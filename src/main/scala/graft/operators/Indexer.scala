@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Inverted-index construction + query — the entire capability of the
+  * reference engine (`/root/reference/`), re-expressed Spark-first.
+  *
+  * Reference dataflow (SURVEY.md §3.1): text → word-aligned split →
+  * tokenize/normalize (`helper_map.c:166`) → local count (combiner) →
+  * alphabetic range shuffle (`helper_map.c:175-188,343-364`) → sum-by-key
+  * reduce (`helper_reduce.c:153`) → letter-partitioned append files
+  * (`helper_reduce.c:238-257`).
+  *
+  * Spark mapping: `groupBy(term, doc).count()` IS map-side partial
+  * aggregation + hash shuffle + final aggregation (partial/final
+  * HashAggregateExec); the 26 letter files become
+  * `write.partitionBy("first_letter")` so term lookups prune partitions
+  * exactly like opening one `./index/<c>` file. At 100 TB the postings
+  * build is one wide shuffle keyed on (term, doc_id) with map-side combine
+  * — the same shape the reference hand-codes, but spillable, codegen'd and
+  * AQE-balanced.
+  */
+object Indexer {
+
+  /** Postings table (term, doc_id, tf) over the documents corpus.
+    * A1+A2 of SURVEY.md §2: partial+final count per (term, doc).
+    */
+  def postings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs
+      .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Full index build, ordered like the reference's `| sort` output
+    * (`helper_reduce.c:153`) with the letter partition key (P6).
+    */
+  def indexBuild(spark: SparkSession, sfDir: String): DataFrame =
+    postings(spark, sfDir)
+      .withColumn("first_letter", firstLetter(col("term")))
+      .select("first_letter", "term", "doc_id", "tf")
+      .orderBy("term", "doc_id")
+
+  /** Materialize the master index as letter-partitioned parquet — the
+    * analogue of the 26 `./index/<c>` files (`helper_reduce.c:238-242`),
+    * but idempotent overwrite instead of blind append (SURVEY.md §7.0).
+    * `repartition(first_letter)` keeps one writer task per partition value
+    * so we don't emit numPartitions×26 small files at scale.
+    */
+  def writeIndex(spark: SparkSession, sfDir: String, outPath: String): Unit =
+    indexBuild(spark, sfDir)
+      .repartition(col("first_letter"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite")
+      .partitionBy("first_letter")
+      .parquet(outPath)
+
+  /** Term lookup: postings for one term, highest-tf first — the query the
+    * `./index/<letter>` layout exists to serve (SURVEY.md §2.1). On the
+    * materialized index this prunes to a single letter partition.
+    */
+  def termLookup(spark: SparkSession, sfDir: String, term: String): DataFrame =
+    postings(spark, sfDir)
+      .filter(col("term") === term)
+      .orderBy(desc("tf"), col("doc_id"))
+      .select("term", "doc_id", "tf")
+
+  /** Multi-term AND: documents containing ALL the given terms.
+    * filter + groupBy(doc) + countDistinct(term) == n — one shuffle,
+    * no self-join chain (SURVEY.md §2.1).
+    */
+  def multiTermAnd(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
+    postings(spark, sfDir)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === terms.length)
+      .select("doc_id", "total_tf")
+      .orderBy(desc("total_tf"), col("doc_id"))
+
+  /** tf-idf ranking, top-k documents per term (SURVEY.md §2.1).
+    * idf = ln(N / df); the df side is a groupBy on term only, joined back —
+    * both aggregations shuffle on `term`, so Catalyst reuses the exchange.
+    * Scores rounded so the DuckDB oracle hash-matches bit-for-bit.
+    */
+  def tfIdfTopK(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val p = postings(spark, sfDir)
+    // corpus size as a broadcast 1-row aggregate, not a driver-side action —
+    // keeps the whole plan lazy/distributed
+    val n = Tables.documents(spark, sfDir)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = p.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("term")).orderBy(desc("tf_idf"), col("doc_id"))
+    p.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("term", "doc_id", "tf", "tf_idf", "rank")
+      .orderBy("term", "rank")
+  }
+
+  /** Vocabulary statistics per first letter — the "how big is each of my 26
+    * index files" question, plus distinct-term counts (A3).
+    */
+  def vocabStats(spark: SparkSession, sfDir: String): DataFrame =
+    postings(spark, sfDir)
+      .groupBy(firstLetter(col("term")).as("first_letter"))
+      .agg(
+        countDistinct(col("term")).as("n_terms"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy("first_letter")
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB oracle check.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers the sf parquet tables as
+views in DuckDB, runs each oracle SQL, and compares against the Spark
+result parquet at <verifyOutDir>/<name>/ — exact value compare with
+columns sorted by name and rows sorted, which is strictly stronger than
+any hash compare the driver might do. Prints one line per query.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if hasattr(v, "isoformat"):          # datetime/date
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_dir = Path(out_dir) / name
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+        try:
+            o = con.execute(sql)
+            ocols = [d[0] for d in o.description]
+            orows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
+        s = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [d[0] for d in s.description]
+        srows = s.fetchall()
+        oc, orr = canon(ocols, orows)
+        sc, srr = canon(scols, srows)
+        if oc != sc:
+            print(f"FAIL {name}: cols spark={sc} oracle={oc}"); n_fail += 1; continue
+        if len(orr) != len(srr):
+            print(f"FAIL {name}: rows spark={len(srr)} oracle={len(orr)}"); n_fail += 1; continue
+        bad = next((i for i, (a, b) in enumerate(zip(srr, orr)) if a != b), None)
+        if bad is not None:
+            print(f"FAIL {name}: first diff at sorted row {bad}:\n  spark ={srr[bad]}\n  oracle={orr[bad]}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(srr)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
