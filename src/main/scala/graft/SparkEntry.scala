@@ -8,9 +8,18 @@ import graft.operators._
   *
   * Every entry in `queries` has a matching ANSI-SQL oracle in `oracleSql`
   * (run by the driver in DuckDB over the same parquet tables) unless the
-  * operator is not SQL-expressible (then rows-only check). Column names and
-  * row ordering are aligned engine-to-engine; doubles are rounded and money
-  * aggregates use exact decimal arithmetic so value hashes match.
+  * operator depends on Spark-native hashing (MinHash/SimHash/LSH buckets:
+  * murmur3/xxhash64 are not reproducible in DuckDB SQL → rows-only check;
+  * their correctness is covered by ScalaTest specs against exact
+  * baselines).
+  *
+  * Engine-parity rules used throughout (verified bit-exact locally):
+  *  - column names and ORDER BY identical on both sides;
+  *  - integer aggregates cast to BIGINT in DuckDB (sum → HUGEINT there);
+  *  - money sums in exact DECIMAL(12,2) arithmetic, cast to double;
+  *  - double averages rounded to 4 dp, cosines to 6 dp;
+  *  - timestamps never exposed raw (parquet is ns; Spark truncates to µs):
+  *    hours as strings, instants as epoch milliseconds.
   */
 object SparkEntry {
 
@@ -23,61 +32,306 @@ object SparkEntry {
     Indexer.indexBuild(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_index_build"   -> ((s, d) => Indexer.indexBuild(s, d)),
-    "q_term_lookup"   -> ((s, d) => Indexer.termLookup(s, d, "the")),
+    // — inverted index (reference parity) —
+    "q_index_build"    -> ((s, d) => Indexer.indexBuild(s, d)),
+    "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
-    "q_tfidf_topk"    -> ((s, d) => Indexer.tfIdfTopK(s, d, 5)),
-    "q_vocab_stats"   -> ((s, d) => Indexer.vocabStats(s, d))
+    "q_tfidf_topk"     -> ((s, d) => Indexer.tfIdfTopK(s, d, 5)),
+    "q_vocab_stats"    -> ((s, d) => Indexer.vocabStats(s, d)),
+    // — text analysis —
+    "q_doc_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
+    "q_lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(s, d)),
+    "q_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q_token_counts"   -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    // — dedup —
+    "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
+    "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
+    "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    // — similarity search —
+    "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
+    "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
+    "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
+    // — relational (TPC-H-style) —
+    "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
+    "q3_top_unshipped" -> ((s, d) => Relational.q3TopUnshipped(s, d)),
+    "q5_region_revenue" -> ((s, d) => Relational.q5RegionRevenue(s, d)),
+    "q_parts_top_brand" -> ((s, d) => Relational.partsTopPerBrand(s, d)),
+    "q_orders_rollup"  -> ((s, d) => Relational.ordersRollup(s, d)),
+    // — event-time analytics —
+    "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
+    "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
+    "q_type_shares"    -> ((s, d) => Events.typeShares(s, d)),
+    "q_top_users"      -> ((s, d) => Events.topUsers(s, d))
   )
 
-  /** DuckDB oracle SQL. Tables referenced by bare name (`documents`, …) —
-    * the driver materializes them from the same sf directory. Tokenization
-    * is defined identically to [[graft.functions.TextFunctions.tokens]]:
-    * split lower(text) on ' ', strip [^a-z], drop empties.
+  // ——— DuckDB oracle SQL ———
+
+  /** Tokenization CTE fragment, defined identically to
+    * [[graft.functions.TextFunctions.tokens]].
     */
-  def oracleSql: Map[String, String] = {
-    // shared CTE: postings(term, doc_id, tf)
-    val postings =
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         regexp_replace(unnest(string_split(lower(text), ' ')), '[^a-z]', '', 'g') AS term
-        |  FROM documents
-        |), postings AS (
-        |  SELECT term, doc_id, count(*) AS tf FROM toks WHERE term <> '' GROUP BY term, doc_id
-        |)""".stripMargin
-    Map(
-      "q_index_build" ->
-        s"""$postings
-           |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
-           |FROM postings ORDER BY term, doc_id""".stripMargin,
-      "q_term_lookup" ->
-        s"""$postings
-           |SELECT term, doc_id, tf FROM postings WHERE term = 'the'
-           |ORDER BY tf DESC, doc_id""".stripMargin,
-      "q_multi_term_and" ->
-        s"""$postings
-           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
-           |FROM postings WHERE term IN ('scan', 'join', 'filter')
-           |GROUP BY doc_id HAVING count(DISTINCT term) = 3
-           |ORDER BY total_tf DESC, doc_id""".stripMargin,
-      "q_tfidf_topk" ->
-        s"""$postings, df AS (
-           |  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
-           |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
-           |SELECT term, doc_id, tf, tf_idf, rank FROM (
-           |  SELECT p.term, p.doc_id, p.tf,
-           |         round(p.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf,
-           |         CAST(row_number() OVER (PARTITION BY p.term
-           |           ORDER BY round(p.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC, p.doc_id) AS INTEGER) AS rank
-           |  FROM postings p JOIN df USING (term) CROSS JOIN n
-           |) WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
-      "q_vocab_stats" ->
-        s"""$postings
-           |SELECT substr(term, 1, 1) AS first_letter,
-           |       count(DISTINCT term) AS n_terms,
-           |       count(DISTINCT doc_id) AS n_docs,
-           |       CAST(sum(tf) AS BIGINT) AS total_tf
-           |FROM postings GROUP BY 1 ORDER BY first_letter""".stripMargin
-    )
-  }
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |         list_filter(list_transform(string_split(lower(text), ' '),
+      |                     w -> regexp_replace(w, '[^a-z]', '', 'g')),
+      |                     w -> w <> '') AS ts
+      |  FROM documents
+      |)""".stripMargin
+
+  private val postingsCte =
+    s"""WITH $toksCte, flat AS (
+      |  SELECT doc_id, unnest(ts) AS term FROM toks
+      |), postings AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM flat GROUP BY term, doc_id
+      |)""".stripMargin
+
+  /** Word-3-gram distinct shingle CTE (mirrors TextFunctions.wordShingles). */
+  private val shingleCte =
+    s"""WITH $toksCte, sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+      |  FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Double-precision cosine between two float-list columns — bit-identical
+    * to VectorFunctions.cosine (products exact, sequential sums).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1),
+       |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, len($a)+1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1, len($b)+1),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  def oracleSql: Map[String, String] = Map(
+    // — inverted index —
+    "q_index_build" ->
+      s"""$postingsCte
+         |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
+         |FROM postings ORDER BY term, doc_id""".stripMargin,
+    "q_term_lookup" ->
+      s"""$postingsCte
+         |SELECT term, doc_id, tf FROM postings WHERE term = 'the'
+         |ORDER BY tf DESC, doc_id""".stripMargin,
+    "q_multi_term_and" ->
+      s"""$postingsCte
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM postings WHERE term IN ('scan', 'join', 'filter')
+         |GROUP BY doc_id HAVING count(DISTINCT term) = 3
+         |ORDER BY total_tf DESC, doc_id""".stripMargin,
+    "q_tfidf_topk" ->
+      s"""$postingsCte, df AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+         |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT term, doc_id, tf, tf_idf, rank FROM (
+         |  SELECT p.term, p.doc_id, p.tf,
+         |         round(p.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf,
+         |         CAST(row_number() OVER (PARTITION BY p.term
+         |           ORDER BY round(p.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC, p.doc_id) AS INTEGER) AS rank
+         |  FROM postings p JOIN df USING (term) CROSS JOIN n
+         |) WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
+    "q_vocab_stats" ->
+      s"""$postingsCte
+         |SELECT substr(term, 1, 1) AS first_letter,
+         |       count(DISTINCT term) AS n_terms,
+         |       count(DISTINCT doc_id) AS n_docs,
+         |       CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM postings GROUP BY 1 ORDER BY first_letter""".stripMargin,
+    // — text analysis —
+    "q_doc_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, lang, source, n_chars,
+         |       CAST(len(ts) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct,
+         |       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |             / len(ts), 4) AS avg_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_lang_breakdown" ->
+      s"""WITH $toksCte
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(sum(len(ts)) AS BIGINT) AS total_tokens,
+         |       count(DISTINCT source) AS n_sources
+         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |       CAST(len(ts) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS INTEGER) AS n_stopwords,
+         |       round(CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / len(ts), 4) AS stopword_ratio,
+         |       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / len(ts), 4) AS avg_token_len,
+         |       (len(ts) >= 10 AND CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / len(ts) < 0.5) AS keep
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(list_transform(string_split(lower(text), ' '),
+         |       w -> regexp_replace(w, '[^a-z]', '', 'g')), w -> w <> '')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens,
+         |  round(CAST(n_chars AS DOUBLE)
+         |        / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprints" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |g AS (SELECT fp, count(*) AS n_same_fp FROM f GROUP BY fp)
+        |SELECT doc_id, f.fp, n_same_fp FROM f JOIN g USING (fp)
+        |ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      s"""WITH $toksCte, scored AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    CAST(len(list_intersect(list_distinct(ts), ['the','a','and','of','is'])) AS INTEGER) AS score_en,
+         |    CAST(len(list_intersect(list_distinct(ts), ['der','die','das','und'])) AS INTEGER) AS score_de,
+         |    CAST(len(list_intersect(list_distinct(ts), ['le','la','et','les'])) AS INTEGER) AS score_fr,
+         |    CAST(len(list_intersect(list_distinct(ts), ['el','la','los','que'])) AS INTEGER) AS score_es
+         |  FROM toks)
+         |SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es,
+         |  CASE WHEN score_es > greatest(score_en, score_de, score_fr) THEN 'es'
+         |       WHEN score_fr > greatest(score_en, score_de) THEN 'fr'
+         |       WHEN score_de > score_en THEN 'de'
+         |       ELSE 'en' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // — dedup —
+    "q_exact_dedup" ->
+      """WITH f AS (SELECT doc_id, sha256(text) AS fp FROM documents),
+        |g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keeper FROM f GROUP BY fp)
+        |SELECT keeper AS doc_id, fp, CAST(group_size AS BIGINT) AS group_size
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_neardup_jaccard" ->
+      s"""$shingleCte, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q_minhash_lsh / q_simhash / q_ann_topk: Spark-native hashing (murmur3 /
+    // xxhash64 / seeded hyperplanes) — not reproducible in DuckDB SQL;
+    // rows-only check + ScalaTest spec vs exact baseline.
+    // — similarity —
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |j AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(${cosSql("q.q_emb", "e.embedding")}, 6) AS cosine
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+         |      FROM j)
+         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q_embed_stats" ->
+      s"""WITH n AS (
+         |  SELECT label,
+         |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+         |              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // — relational —
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($revenueSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($revenueSql * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         |  round(avg(l_quantity), 4) AS avg_qty,
+         |  round(avg(l_extendedprice), 4) AS avg_price,
+         |  round(avg(l_discount), 4) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_parts_top_brand" ->
+      s"""WITH rev AS (
+         |  SELECT p_brand, p_partkey, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY p_brand, p_partkey)
+         |SELECT p_brand, p_partkey, revenue, rnk FROM (
+         |  SELECT p_brand, p_partkey, revenue,
+         |         CAST(row_number() OVER (PARTITION BY p_brand
+         |              ORDER BY revenue DESC, p_partkey) AS INTEGER) AS rnk
+         |  FROM rev)
+         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // — events —
+    "q_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, event_id, ms,
+        |               lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |        FROM e)
+        |), numbered AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no,
+        |       min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |       count(*) AS n_events,
+        |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS duration_s
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q_type_shares" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_types,
+        |       CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms,
+        |       CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin
+  )
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2.2):
+  * exact (content-hash), exact n-gram Jaccard (all-pairs via shingle
+  * inverted index), MinHash+LSH (the 100 TB-scale path), and SimHash.
+  *
+  * Scale notes:
+  *  - Exact dedup is one hash-shuffle on a 64-hex key — same shape as the
+  *    reference's sum-by-key reduce (`/root/reference/helper_reduce.c:153`).
+  *  - All-pairs Jaccard only joins docs that SHARE a shingle (an inverted
+  *    index on shingles — the reference's own data structure, repurposed),
+  *    never a blind cross join.
+  *  - MinHash/LSH replaces the quadratic candidate step with banding:
+  *    cost is linear in corpus size + output pairs; this is the variant
+  *    that survives 1000 executors × 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup via sha256 content fingerprint: one survivor (min doc_id)
+    * per distinct text; group_size counts the duplicates it absorbs.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("rn") === 1)
+      .select("doc_id", "fp", "group_size")
+      .orderBy("doc_id")
+  }
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  private[operators] def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(col("text"), 3))).as("sh"))
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold. Intersections come from a
+    * self-join of the shingle inverted index (only co-occurring docs meet),
+    * unions from |A|+|B|−|A∩B|. Output: (doc_a, doc_b, jaccard).
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+                        threshold: Double): DataFrame = {
+    val sh = shingleIndex(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"), "sh")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // MinHash parameters: k independent permutations h_j(x) = (a_j·x + b_j) mod p
+  // over murmur3 shingle hashes; seeded so signatures are reproducible.
+  private val MinhashP = 2147483647L // 2^31 − 1 (Mersenne prime)
+  private val NumHashes = 64
+  private val NumBands = 16 // 16 bands × 4 rows: P(candidate | J=0.8) ≈ 0.9998
+  private val RowsPerBand = NumHashes / NumBands
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
+     Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: one row per doc, sig = array of k min-hash values.
+    * One aggregation with k `min` columns — a single shuffle on doc_id.
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = shingleIndex(spark, sfDir)
+      .withColumn("h", (hash(col("sh")).cast("long") + lit(1L << 31)))
+    val mins = (0 until NumHashes).map { j =>
+      min((lit(hashA(j)) * col("h") + lit(hashB(j))) % MinhashP).as(s"m$j")
+    }
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signatures, bucket-join, then
+    * verify candidates with EXACT Jaccard (so no false positives; false
+    * negatives bounded by the banding probability). Same output schema as
+    * [[ngramJaccardPairs]].
+    */
+  def minhashLshPairs(spark: SparkSession, sfDir: String,
+                      threshold: Double): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val bandCols = (0 until NumBands).map { bi =>
+      hash(lit(bi) +: (bi * RowsPerBand until (bi + 1) * RowsPerBand)
+        .map(j => col(s"m$j")): _*).as(s"b$bi")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(bi => col(s"b$bi")): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = banded.as("x").join(banded.as("y"), Seq("band_idx", "band_hash"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-verify candidates only: join the shingle index down to candidates
+    val sh = shingleIndex(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("sa")
+      .join(cand, col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash signatures over tf-weighted token hashes (xxhash64).
+    * bit_i(sig) = sign of Σ_tokens tf · (±1 per hash bit) — one shuffle.
+    */
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("term")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$i")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs with GUARANTEED recall: split the 64 bits into
+    * maxDist+1 chunks (Manku et al., WWW'07) — any pair within Hamming
+    * distance maxDist must agree on ≥1 chunk by pigeonhole — then verify
+    * candidates by exact Hamming distance via bit_count(xor).
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val sig = simhashSignatures(spark, sfDir)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until nChunks).map { c =>
+          val width = bounds(c + 1) - bounds(c)
+          val mask = if (width == 64) -1L else (1L << width) - 1
+          shiftright(col("simhash"), bounds(c)).bitwiseAND(mask)
+        }: _*)))
+      .toDF("doc_id", "simhash", "chunk_idx", "chunk")
+    chunks.as("x").join(chunks.as("y"), Seq("chunk_idx", "chunk"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+}

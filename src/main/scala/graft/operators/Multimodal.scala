@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.2): treat image/audio/video as
+  * opaque `binary` payloads with typed metadata, and run batch decode /
+  * feature-extraction as a partition-wise pipeline.
+  *
+  * The Spark-side shape is the real thing — binary columns, metadata
+  * struct, `mapPartitions` batch processing with a case-class Encoder (the
+  * Scala analogue of `mapInPandas` batches) — while the decoder itself is
+  * a STUB: this container has no image/audio codecs, so `decodeStub`
+  * produces a deterministic fake "decoded frame" from the bytes. Swapping
+  * in a real JNI/codec call changes only that one function; schema,
+  * partitioning and batch flow are unchanged and tested.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+
+  case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
+                   width: Int, height: Int)
+  case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Int,
+                           features: Array[Float])
+
+  /** Synthesize an asset table from the documents corpus: payload = utf-8
+    * bytes of the text standing in for an encoded image; metadata derived
+    * deterministically. (In production this is `spark.read.format
+    * ("binaryFile")` or a parquet of blobs.)
+    */
+  def assets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 640 + 32).cast("int").as("width"),
+      (col("n_chars") % 480 + 32).cast("int").as("height"))
+
+  /** STUB decoder: a real implementation would decode the payload with an
+    * image/audio codec here (??? in this container — no codec libs).
+    * Deterministic fake: fold the bytes into a fixed-size float vector so
+    * tests can assert exact values and the pipeline is end-to-end runnable.
+    */
+  private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Partition-wise batch feature extraction: one decoder instance per
+    * partition (the expensive-init amortization pattern of mapInPandas),
+    * streaming through rows without materializing the partition.
+    */
+  def extractFeatures(spark: SparkSession, sfDir: String): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    assets(spark, sfDir).as[Asset].mapPartitions { it =>
+      // per-partition init of the (stub) decoder would happen here
+      it.map { a =>
+        AssetFeatures(a.asset_id, a.kind, a.payload.length, decodeStub(a.payload))
+      }
+    }
+  }
+
+  /** Downstream analytics over extracted features: per-kind count, mean
+    * payload size, mean first feature component — shows the decoded output
+    * flowing back into relational ops.
+    */
+  def featureStats(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(spark, sfDir).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("n_bytes")), 4).as("avg_bytes"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+      .orderBy("kind")
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational coverage over the TPC-H-ish tables — the join/agg/window
+  * capabilities the north star demands at scale (absent in the reference,
+  * whose only "join" is annotating postings with a constant doc name,
+  * `/root/reference/helper_reduce.c:153`).
+  *
+  * Numeric contract for oracle hash-matching: money aggregates are summed
+  * in exact DECIMAL then cast to double (values ≤ ~1e15 so the double is
+  * exact); averages of doubles are rounded to 4 dp (FP divergence across
+  * engines is ~1e-11 relative — orders of magnitude inside the margin).
+  *
+  * Scale notes: dimension tables (region, nation) are broadcast; the
+  * orders⋈lineitem join shuffles on the orderkey both sides already
+  * share; AQE handles skew at real scale.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** TPC-H Q1: pricing summary report. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+          * (lit(1).cast("decimal(12,2)") + dec(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: top-10 highest-revenue orders still unshipped at the
+    * cutoff, for one market segment.
+    */
+  def q3TopUnshipped(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation for one region/year where supplier
+    * and customer are in the same nation. Small dims broadcast.
+    */
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Top-3 parts per brand by revenue — the window/rank showcase. */
+  def partsTopPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(desc("revenue"), col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rnk")
+      .orderBy("p_brand", "rnk")
+  }
+
+  /** Order status/priority rollup with exact decimal totals. */
+  def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Corpus/text analytics — the LLM-training-data-pipeline extension ops
+  * (SURVEY.md §2.2): per-document statistics, language breakdown, quality
+  * scoring, token counting, fingerprinting, and a marker-word language-ID
+  * heuristic. All built-ins (one scan, one aggregation each) so they run
+  * as single WholeStageCodegen passes over the corpus at any scale.
+  */
+object TextAnalysis {
+
+  /** Letters-only length — shared by stats + quality. */
+  private def nLetters(text: org.apache.spark.sql.Column) =
+    length(regexp_replace(lower(text), "[^a-z]", ""))
+
+  /** Per-document statistics: token/char/distinct counts, average token
+    * length. Narrow (no shuffle): everything is per-row array math.
+    */
+  def docStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct"),
+        round(nLetters(col("text")).cast("double") /
+          size(tokens(col("text"))), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Corpus breakdown by language: doc/char/token totals. */
+  def langBreakdown(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Quality scoring: stopword ratio + length heuristics → keep/drop flag.
+    * The filter-before-training step of a data pipeline; pure map-side.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val ts = tokens(col("text"))
+    val nTok = size(ts)
+    val nStop = size(filter(ts, t => t.isin(stop.map(lit): _*)))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+        round(nLetters(col("text")).cast("double") / nTok, 4).as("avg_token_len"),
+        (nTok >= 10 && nStop.cast("double") / nTok < lit(0.5)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting with a BPE-ish regex segmentation (letters / digits /
+    * single punctuation marks), plus bytes-per-token — the "how many LLM
+    * tokens is this corpus" estimator.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        bpe.as("bpe_tokens"),
+        round(col("n_chars").cast("double") / bpe, 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprinting via md5 (portable, exact): every doc with its
+    * fingerprint and how many docs share it — the duplicate-cluster map.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val sizes = d.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
+    d.join(sizes, "fp").select("doc_id", "fp", "n_same_fp").orderBy("doc_id")
+  }
+
+  /** Marker-word language-ID heuristic: score = |distinct tokens ∩ marker
+    * set| per language, prediction = argmax (deterministic tie-break by
+    * language order). With the synthetic corpus every doc scores 'en';
+    * the operator shape (per-row set intersection, no shuffle) is the
+    * point.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "and", "of", "is"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "es" -> Seq("el", "la", "los", "que"))
+    val ts = array_distinct(tokens(col("text")))
+    val scoreCols = markers.map { case (l, ws) =>
+      size(array_intersect(ts, array(ws.map(lit): _*))).as(s"score_$l")
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: scoreCols: _*)
+      .withColumn("predicted_lang", {
+        // recompute argmax over the materialized score columns
+        val init = (col("score_en"), lit("en"))
+        val folded = markers.tail.foldLeft(init) { case ((bs, bl), (l, _)) =>
+          (greatest(bs, col(s"score_$l")),
+            when(col(s"score_$l") > bs, lit(l)).otherwise(bl))
+        }
+        folded._2
+      })
+      .orderBy("doc_id")
+  }
+}

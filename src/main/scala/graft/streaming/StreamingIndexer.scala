@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFunctions._
+
+/** Continuous inverted-index maintenance via Structured Streaming — the
+  * analogue of the reference master's accept-forever loop
+  * (`/root/reference/minigoogle.c:49-60`), which re-indexes every document
+  * a client submits. Here new documents land as parquet files in a watched
+  * directory; the same tokenize→count plan runs incrementally with
+  * streaming state instead of fork/exec per request.
+  */
+object StreamingIndexer {
+
+  /** Streaming postings aggregation over a watched parquet directory of
+    * documents(doc_id, text, ...). Complete-mode output mirrors the
+    * batch [[graft.operators.Indexer.postings]] exactly.
+    */
+  def postingsStream(spark: SparkSession, watchDir: String): DataFrame = {
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    spark.readStream
+      .schema(schema)
+      .parquet(watchDir)
+      .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Run the streaming postings build into an in-memory table (for tests /
+    * local smoke). Caller stops the query.
+    */
+  def startToMemory(spark: SparkSession, watchDir: String,
+                    tableName: String): StreamingQuery =
+    postingsStream(spark, watchDir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+}

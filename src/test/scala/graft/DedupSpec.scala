@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactDedup keeps min doc_id per identical text with group size") {
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "dd ee"),
+      (4L, "aa bb cc"), (5L, "dd ee"), (6L, "unique here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("dedup_fixture")
+    val out = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = Dedup.exactDedup(spark, out)
+      .select("doc_id", "group_size").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (3L, 2L), (6L, 1L)))
+  }
+
+  test("minhash LSH pairs == exact n-gram Jaccard pairs at threshold 0.8 (sf0.001)") {
+    // LSH has no false positives (exact verify step); at J≥0.8 with
+    // 16 bands × 4 rows the false-negative probability is ≈2e-4 per pair.
+    val exact = Dedup.ngramJaccardPairs(spark, sf, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair exact Jaccard rejects")
+    assert(exact === lsh, s"LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
+  }
+
+  test("simhash: identical texts get identical signatures; near-dups are close") {
+    val sigs = Dedup.simhashSignatures(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // exact-duplicate docs (same text) must collide exactly
+    val fps = graft.operators.TextAnalysis.fingerprints(spark, sf)
+      .as[(Long, String, Long)].collect()
+    // near-dup pairs from exact Jaccard should be within small hamming distance
+    val near = Dedup.ngramJaccardPairs(spark, sf, 0.9)
+      .as[(Long, Long, Double)].collect()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    near.foreach { case (a, b, j) =>
+      assert(hamming(sigs(a), sigs(b)) <= 12,
+        s"docs $a,$b with jaccard $j have hamming ${hamming(sigs(a), sigs(b))}")
+    }
+    assert(sigs.size === fps.length)
+  }
+
+  test("simhashPairs finds the planted near-duplicates") {
+    val pairs = Dedup.simhashPairs(spark, sf, 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = Dedup.ngramJaccardPairs(spark, sf, 0.95)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(pairs),
+      s"simhash missed ${(planted -- pairs).size} of ${planted.size} planted pairs")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Indexer, Multimodal}
+import graft.streaming.StreamingIndexer
+
+class MultimodalStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("multimodal: binary payload round-trips and features are deterministic") {
+    val feats = Multimodal.extractFeatures(spark, sf).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      assert(f.features.length === Multimodal.FeatureDim)
+      assert(f.n_bytes > 0)
+    }
+    // determinism: recompute one asset's features on the driver
+    val one = Multimodal.assets(spark, sf)
+      .filter("asset_id = 0")
+      .select("asset_id", "payload").as[(Long, Array[Byte])].head()
+    val expected = feats.find(_.asset_id == 0L).get.features
+    assert(Multimodal.decodeStub(one._2).sameElements(expected))
+  }
+
+  test("multimodal featureStats: kinds partition the corpus") {
+    val rows = Multimodal.featureStats(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
+    assert(rows.map(_.getAs[Long]("n")).sum === 500L)
+  }
+
+  test("streaming postings == batch postings over the same directory") {
+    // copy the documents parquet into a watch dir, stream it, compare
+    val watch = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").parquet(watch)
+    val q = StreamingIndexer.startToMemory(spark, watch, "stream_postings")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_postings")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = Indexer.postings(spark, sf)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Events, Relational}
+import graft.sources.Tables
+
+class RelationalEventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q1 pricing: group count bounded by flag×status combos; totals positive") {
+    val rows = Relational.q1Pricing(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q3 returns at most 10 rows sorted by revenue desc") {
+    val rev = Relational.q3TopUnshipped(spark, sf)
+      .select("revenue").as[Double].collect()
+    assert(rev.length <= 10)
+    assert(rev.sorted(Ordering[Double].reverse).sameElements(rev))
+  }
+
+  test("q5 region revenue covers only ASIA nations") {
+    val rows = Relational.q5RegionRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select("n_name").as[String].collect().toSet
+    assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
+  }
+
+  test("sessionize: sessions partition events; durations respect the 30-min gap") {
+    val sessions = Events.sessionize(spark, sf).collect()
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum === totalEvents)
+    sessions.foreach { r =>
+      val dur = r.getAs[Long]("duration_s")
+      val n = r.getAs[Long]("n_events")
+      assert(dur >= 0)
+      // max possible span: every consecutive gap just under 30 min
+      assert(dur <= (n - 1) * 30 * 60 + 1,
+        s"session longer than (n-1)×gap: $r")
+    }
+  }
+
+  test("type shares sum to ~1 and users are bounded") {
+    val rows = Events.typeShares(spark, sf).collect()
+    val total = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(total - 1.0) < 1e-4)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    rows.foreach(r => assert(r.getAs[Long]("n_users") <= nUsers))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def naiveTopK(k: Int, nQ: Int): Map[Long, Seq[Long]] = {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.filter(_._1 < nQ).map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(q, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("cosineTopK matches a naive driver-side computation (sf0.001)") {
+    val got = Similarity.cosineTopK(spark, sf, 5, 10)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(got === naiveTopK(10, 5))
+  }
+
+  test("annTopK recall vs exact top-k is usable and all results are true cosines") {
+    val exact = naiveTopK(10, 5)
+    val ann = Similarity.annTopK(spark, sf, 5, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      ann.get(q).map(found => ids.count(found).toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean ANN recall $mean too low — LSH bucketing broken?")
+  }
+
+  test("embedStats covers every label once") {
+    val got = Similarity.embedStats(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.map(_._2).sum === 500L)
+    got.foreach { case (_, _, avgNorm) => assert(avgNorm > 0) }
+  }
+}
