@@ -38,6 +38,12 @@ object SparkEntry {
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     "q_tfidf_topk"     -> ((s, d) => Indexer.tfIdfTopK(s, d, 5)),
     "q_vocab_stats"    -> ((s, d) => Indexer.vocabStats(s, d)),
+    "q_phrase_search"  -> ((s, d) => IndexQueries.phraseSearch(s, d, "key order")),
+    "q_top_terms_per_doc" -> ((s, d) => IndexQueries.topTermsPerDoc(s, d, 3)),
+    "q_common_terms"   -> ((s, d) => IndexQueries.commonTerms(s, d, 0L, 1L)),
+    "q_terms_only_in"  -> ((s, d) => IndexQueries.termsOnlyIn(s, d, 0L, 1L)),
+    "q_running_totals" -> ((s, d) => IndexQueries.customerRunningTotals(s, d)),
+    "q_vocab_approx"   -> ((s, d) => IndexQueries.vocabApprox(s, d)),
     // — text analysis —
     "q_doc_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(s, d)),
@@ -145,6 +151,45 @@ object SparkEntry {
          |       count(DISTINCT doc_id) AS n_docs,
          |       CAST(sum(tf) AS BIGINT) AS total_tf
          |FROM postings GROUP BY 1 ORDER BY first_letter""".stripMargin,
+    "q_phrase_search" ->
+      s"""WITH $toksCte, bg AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+         |  FROM toks, unnest(range(1, len(ts))) AS t(i))
+         |SELECT doc_id, count(*) AS n_occurrences FROM bg
+         |WHERE bigram = 'key order' GROUP BY doc_id
+         |ORDER BY n_occurrences DESC, doc_id""".stripMargin,
+    "q_top_terms_per_doc" ->
+      s"""$postingsCte
+         |SELECT doc_id, term, tf, rnk FROM (
+         |  SELECT doc_id, term, tf,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |              ORDER BY tf DESC, term) AS INTEGER) AS rnk
+         |  FROM postings)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_common_terms" ->
+      s"""$postingsCte
+         |SELECT term FROM postings WHERE doc_id = 0
+         |INTERSECT
+         |SELECT term FROM postings WHERE doc_id = 1
+         |ORDER BY term""".stripMargin,
+    "q_terms_only_in" ->
+      s"""$postingsCte
+         |SELECT term FROM postings WHERE doc_id = 0
+         |EXCEPT
+         |SELECT term FROM postings WHERE doc_id = 1
+         |ORDER BY term""".stripMargin,
+    "q_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate, o_orderkey
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    // q_vocab_approx: approx_count_distinct is Spark's HLL++ — sketch values
+    // are implementation-specific → rows-only check (exact_vocab column is
+    // still asserted in ScalaTest against countDistinct).
     // — text analysis —
     "q_doc_stats" ->
       s"""WITH $toksCte

@@ -50,11 +50,19 @@ object TextFunctions {
     * `array_distinct` for set semantics). Empty array when fewer than n
     * tokens — `sequence(1, k)` with k < 1 would count DOWN, so guard it.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** Shingles from an already-tokenized array column. Prefer computing the
+    * token array in its OWN projection and passing it here: `ts` is
+    * referenced three times, and if it's an inline `tokens(text)` call the
+    * whole tokenize tree gets triplicated in the fused stage (Catalyst
+    * doesn't CSE it), which at corpus scale is the difference between one
+    * and three regex passes per row.
+    */
+  def shinglesOfTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - (n - 1)),
         i => array_join(slice(ts, i, lit(n)), " "))
     ).otherwise(array().cast("array<string>"))
-  }
 }

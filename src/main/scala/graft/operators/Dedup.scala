@@ -37,24 +37,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
-  private[operators] def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(array_distinct(wordShingles(col("text"), 3))).as("sh"))
-
-  /** Exact all-pairs n-gram Jaccard ≥ threshold. Intersections come from a
-    * self-join of the shingle inverted index (only co-occurring docs meet),
-    * unions from |A|+|B|−|A∩B|. Output: (doc_a, doc_b, jaccard).
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle).
+    *
+    * Tokenization runs in its own projection (see
+    * [[graft.functions.TextFunctions.shinglesOfTokens]]), and the result
+    * sits behind a `repartition(doc_id)` exchange: every consumer of the
+    * shingle index (signature agg, both sides of the candidate self-join,
+    * the verify step) then REUSES one materialized exchange instead of
+    * re-tokenizing the corpus per plan branch — Catalyst's ReuseExchange
+    * turns ~5 corpus scans into 1.
     */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-                        threshold: Double): DataFrame = {
-    val sh = shingleIndex(spark, sfDir)
+  private[graft] def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesOfTokens(col("ts"), 3))).as("sh"))
+      .repartition(col("doc_id"))
+
+  /** Exact-verify candidate pairs: intersect counts from the shingle index
+    * restricted to candidates, Jaccard from |A|+|B|−|A∩B|. Shared by the
+    * exact (prefix-filtered) and MinHash-LSH paths — both are therefore
+    * false-positive-free.
+    */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame,
+                          threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"), "sh")
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter = sh.as("sa")
+      .join(cand, col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -66,6 +78,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via PPJoin-style prefix
+    * filtering (Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    *
+    * order each doc's shingles by ascending global frequency and keep only
+    * the first |d| − ⌈t·|d|⌉ + 1 (any pair with J ≥ t MUST share a prefix
+    * shingle); join prefixes instead of full sets, apply the length filter
+    * t·max(|A|,|B|) ≤ min(|A|,|B|), then exact-verify. Against a naive
+    * inverted-index self-join this removes the quadratic blowup on
+    * frequent shingles — the difference between O(candidates) and
+    * O(Σ df²) work at corpus scale.
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+                        threshold: Double): DataFrame = {
+    val sh = shingleIndex(spark, sfDir)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    val prefix = sh.join(freq, "sh")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc_id", "sh", "n_sh")
+    val cand = prefix.as("x").join(prefix.as("y"), "sh")
+      .where(col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n_sh"), col("y.n_sh")) >=
+          lit(threshold) * greatest(col("x.n_sh"), col("y.n_sh")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(sh, cand, threshold)
   }
 
   // MinHash parameters: k independent permutations h_j(x) = (a_j·x + b_j) mod p
@@ -112,25 +155,7 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-verify candidates only: join the shingle index down to candidates
-    val sh = shingleIndex(spark, sfDir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("sa")
-      .join(cand, col("sa.doc_id") === col("doc_a"))
-      .join(sh.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sa.sh") === col("sb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard", round(
-        col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyPairs(shingleIndex(spark, sfDir), cand, threshold)
   }
 
   /** 64-bit SimHash signatures over tf-weighted token hashes (xxhash64).

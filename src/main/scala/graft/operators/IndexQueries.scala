@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Additional query-side operators over the inverted index / corpus:
+  * phrase search, per-document top terms, term-set algebra (the set
+  * operations the reference's query surface implies but never wrote),
+  * and cumulative relational windows.
+  */
+object IndexQueries {
+
+  /** Phrase search via the bigram shingle index: documents containing the
+    * exact 2-word phrase, with occurrence counts. The n-gram generalization
+    * of the single-term lookup (`./index/<c>` scan analogue).
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String, phrase: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("bigram"))
+      .filter(col("bigram") === phrase)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("doc_id"))
+
+  /** Top-k most frequent terms per document (window over postings). */
+  def topTermsPerDoc(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tf"), col("term"))
+    Indexer.postings(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Terms two documents share (INTERSECT of their vocabularies). */
+  def commonTerms(spark: SparkSession, sfDir: String,
+                  docA: Long, docB: Long): DataFrame = {
+    val p = Indexer.postings(spark, sfDir)
+    p.filter(col("doc_id") === docA).select("term")
+      .intersect(p.filter(col("doc_id") === docB).select("term"))
+      .orderBy("term")
+  }
+
+  /** Terms in document A but not B (EXCEPT of vocabularies). */
+  def termsOnlyIn(spark: SparkSession, sfDir: String,
+                  docA: Long, docB: Long): DataFrame = {
+    val p = Indexer.postings(spark, sfDir)
+    p.filter(col("doc_id") === docA).select("term")
+      .except(p.filter(col("doc_id") === docB).select("term"))
+      .orderBy("term")
+  }
+
+  /** Cumulative revenue per customer over order dates — running-total
+    * window over the orders fact (epoch-day keyed for engine parity).
+    */
+  def customerRunningTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 100)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Exact vs approximate distinct-term cardinality per language — the
+    * sketch-style aggregation (HLL) a 100 TB vocabulary count would use.
+    * approx values are Spark-implementation-specific → rows-only check.
+    */
+  def vocabApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explodedTokens(col("text")).as("term"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("term")).as("exact_vocab"),
+        approx_count_distinct(col("term"), 0.01).as("approx_vocab"))
+      .orderBy("lang")
+}
