@@ -69,6 +69,7 @@ object SparkEntry {
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
+    "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
     "q_type_shares"    -> ((s, d) => Events.typeShares(s, d)),
     "q_top_users"      -> ((s, d) => Events.topUsers(s, d))
   )
@@ -367,6 +368,16 @@ object SparkEntry {
         |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS duration_s
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+    "q_asof_purchase_view" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, epoch_ms(ts) AS v_ms
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p_id, p_ms, v.v_ms AS last_view_ms,
+        |       p_ms - v.v_ms AS gap_ms
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.v_user AND v.v_ms <= p.p_ms
+        |ORDER BY user_id, p_id""".stripMargin,
     "q_type_shares" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share

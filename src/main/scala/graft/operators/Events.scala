@@ -66,6 +66,35 @@ object Events {
       .select("event_type", "n", "n_users", "share")
       .orderBy("event_type")
 
+  /** As-of join: for every purchase event, the most recent prior (or
+    * simultaneous) view event of the same user. Expressed as an
+    * equi-join on user + range condition + max-per-purchase — the shape
+    * Catalyst turns into one shuffle on user_id; DuckDB's native ASOF JOIN
+    * is the oracle. At real scale the user-key shuffle co-locates both
+    * sides once, and AQE handles hot users.
+    */
+  def asofPurchaseView(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ms", unix_millis(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ms").as("p_ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ms").as("v_ms"))
+    // range condition INSIDE the left join: a purchase whose views are all
+    // later must survive with a null match, not be filtered out
+    purchases.join(views,
+        col("user_id") === col("v_user") && col("v_ms") <= col("p_ms"), "left")
+      .groupBy(col("user_id"), col("p_id"), col("p_ms"))
+      .agg(max(col("v_ms")).as("last_view_ms"))
+      .select(
+        col("user_id"), col("p_id"), col("p_ms"),
+        col("last_view_ms"),
+        (col("p_ms") - col("last_view_ms")).as("gap_ms"))
+      .orderBy("user_id", "p_id")
+  }
+
   /** Top-5 most active users by event count, with their span of activity. */
   def topUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

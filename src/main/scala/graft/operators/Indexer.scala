@@ -61,6 +61,18 @@ object Indexer {
       .partitionBy("first_letter")
       .parquet(outPath)
 
+  /** Term lookup against a MATERIALIZED index written by [[writeIndex]]:
+    * the `first_letter` predicate prunes the scan to one partition
+    * directory — exactly the reference's "open only `./index/<c>`"
+    * (`helper_reduce.c:238-242`), but enforced by Catalyst's partition
+    * pruning (asserted in IndexerSpec).
+    */
+  def lookupInIndex(spark: SparkSession, indexPath: String, term: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("first_letter") === term.take(1) && col("term") === term)
+      .select("term", "doc_id", "tf")
+      .orderBy(desc("tf"), col("doc_id"))
+
   /** Term lookup: postings for one term, highest-tf first — the query the
     * `./index/<letter>` layout exists to serve (SURVEY.md §2.1). On the
     * materialized index this prunes to a single letter partition.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CosineSimilarityExpr.cosineNative
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -33,7 +34,9 @@ object Similarity {
       .orderBy(desc("cosine"), col("vec_id"))
     emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("q_emb"), col("embedding")), 6))
+      // native codegen'd Expression — bit-identical to VectorFunctions.cosine
+      // (same double arithmetic) but a zero-allocation primitive loop
+      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "cosine", "rnk")
@@ -88,7 +91,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
       .distinct()                          // union candidates across tables
-      .withColumn("cosine", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
       .drop("q_emb", "embedding")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

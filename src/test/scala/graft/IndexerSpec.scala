@@ -65,6 +65,20 @@ class IndexerSpec extends SparkTestBase {
     assert(docsWithBoth === (scan intersect join))
   }
 
+  test("materialized index prunes to one letter partition on term lookup") {
+    val out = java.nio.file.Files.createTempDirectory("graft_index_prune").toString
+    Indexer.writeIndex(spark, sf, out)
+    val q = spark.read.parquet(out).filter($"first_letter" === "t" && $"term" === "the")
+    val plan = q.queryExecution.executedPlan.toString
+    // partition pruning must reach the scan — the ./index/<c> analogue
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("first_letter"), s"no partition pruning in plan:\n$plan")
+    assert(q.count() > 0)
+    // only the t= directory should be listed by the pruned query
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("first_letter=t"))
+  }
+
   test("index write partitions by first letter and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft_index").toString
     Indexer.writeIndex(spark, sf, out)
