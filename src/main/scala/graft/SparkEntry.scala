@@ -66,6 +66,10 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, d) => Relational.q5RegionRevenue(s, d)),
     "q_parts_top_brand" -> ((s, d) => Relational.partsTopPerBrand(s, d)),
     "q_orders_rollup"  -> ((s, d) => Relational.ordersRollup(s, d)),
+    "q_orders_rollup_cube" -> ((s, d) => Relational.ordersRollupCube(s, d)),
+    "q_value_percentiles" -> ((s, d) => Relational.valuePercentiles(s, d)),
+    "q_cust_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q_supp_with_ship" -> ((s, d) => Relational.suppliersWithShipments(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
@@ -341,6 +345,26 @@ object SparkEntry {
         |  round(avg(o_totalprice), 4) AS avg_price
         |FROM orders GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_orders_rollup_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cust_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_supp_with_ship" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
     // — events —
     "q_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -20,7 +20,10 @@ object IndexQueries {
     */
   def phraseSearch(spark: SparkSession, sfDir: String, phrase: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("bigram"))
+      // tokens in their own projection: inlining them into the shingle
+      // expression triplicates the tokenize tree (no CSE on HOFs)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("ts"), 2)).as("bigram"))
       .filter(col("bigram") === phrase)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))

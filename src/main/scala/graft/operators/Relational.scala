@@ -107,6 +107,47 @@ object Relational {
       .orderBy("p_brand", "rnk")
   }
 
+  /** Hierarchical ROLLUP over status → priority: subtotal and grand-total
+    * rows with exact decimal sums (grouping-set coverage).
+    */
+  def ordersRollupCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Exact interpolated percentiles of event values per type (the
+    * nearest-rank-free `percentile` both engines define identically as
+    * linear interpolation at rank (n−1)·p).
+    */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Customers with no orders at all — left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Suppliers that shipped at least one line item — left-semi (EXISTS). */
+  def suppliersWithShipments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

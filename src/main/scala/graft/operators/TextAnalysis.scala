@@ -11,6 +11,12 @@ import graft.sources.Tables
   * scoring, token counting, fingerprinting, and a marker-word language-ID
   * heuristic. All built-ins (one scan, one aggregation each) so they run
   * as single WholeStageCodegen passes over the corpus at any scale.
+  *
+  * Every operator computes the token array (and other expensive derived
+  * values) in a dedicated projection and only references the resulting
+  * attribute afterwards: Catalyst does not common-subexpression-eliminate
+  * higher-order-function trees, so an inline `tokens(text)` used k times
+  * is k full tokenize passes per row.
   */
 object TextAnalysis {
 
@@ -23,22 +29,26 @@ object TextAnalysis {
     */
   def docStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        tokens(col("text")).as("ts"), nLetters(col("text")).as("nlet"))
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        size(tokens(col("text"))).as("n_tokens"),
-        size(array_distinct(tokens(col("text")))).as("n_distinct"),
-        round(nLetters(col("text")).cast("double") /
-          size(tokens(col("text"))), 4).as("avg_token_len"))
+        size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct"),
+        round(col("nlet").cast("double") / size(col("ts")), 4)
+          .as("avg_token_len"))
       .orderBy("doc_id")
 
   /** Corpus breakdown by language: doc/char/token totals. */
   def langBreakdown(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        sum(col("n_tokens")).as("total_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
@@ -47,17 +57,22 @@ object TextAnalysis {
     */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val ts = tokens(col("text"))
-    val nTok = size(ts)
-    val nStop = size(filter(ts, t => t.isin(stop.map(lit): _*)))
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"),
+        nLetters(col("text")).as("nlet"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(filter(col("ts"), t => t.isin(stop.map(lit): _*))).as("n_stopwords"),
+        col("nlet"))
       .select(
-        col("doc_id"),
-        nTok.as("n_tokens"),
-        nStop.as("n_stopwords"),
-        round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
-        round(nLetters(col("text")).cast("double") / nTok, 4).as("avg_token_len"),
-        (nTok >= 10 && nStop.cast("double") / nTok < lit(0.5)).as("keep"))
+        col("doc_id"), col("n_tokens"), col("n_stopwords"),
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 4)
+          .as("stopword_ratio"),
+        round(col("nlet").cast("double") / col("n_tokens"), 4)
+          .as("avg_token_len"),
+        (col("n_tokens") >= 10 &&
+          col("n_stopwords").cast("double") / col("n_tokens") < lit(0.5))
+          .as("keep"))
       .orderBy("doc_id")
   }
 
@@ -65,17 +80,17 @@ object TextAnalysis {
     * single punctuation marks), plus bytes-per-token — the "how many LLM
     * tokens is this corpus" estimator.
     */
-  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val bpe = size(regexp_extract_all(lower(col("text")),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
+      .select(col("doc_id"), col("n_chars"),
         size(tokens(col("text"))).as("ws_tokens"),
-        bpe.as("bpe_tokens"),
-        round(col("n_chars").cast("double") / bpe, 4).as("chars_per_token"))
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"))
+      .select(
+        col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 4)
+          .as("chars_per_token"))
       .orderBy("doc_id")
-  }
 
   /** Content fingerprinting via md5 (portable, exact): every doc with its
     * fingerprint and how many docs share it — the duplicate-cluster map.
@@ -99,14 +114,15 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "das", "und"),
       "fr" -> Seq("le", "la", "et", "les"),
       "es" -> Seq("el", "la", "los", "que"))
-    val ts = array_distinct(tokens(col("text")))
     val scoreCols = markers.map { case (l, ws) =>
-      size(array_intersect(ts, array(ws.map(lit): _*))).as(s"score_$l")
+      size(array_intersect(col("td"), array(ws.map(lit): _*))).as(s"score_$l")
     }
     Tables.documents(spark, sfDir)
-      .select(col("doc_id") +: col("lang").as("labeled_lang") +: scoreCols: _*)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        array_distinct(tokens(col("text"))).as("td"))
+      .select(col("doc_id") +: col("labeled_lang") +: scoreCols: _*)
       .withColumn("predicted_lang", {
-        // recompute argmax over the materialized score columns
+        // argmax over the materialized score attributes (cheap refs)
         val init = (col("score_en"), lit("en"))
         val folded = markers.tail.foldLeft(init) { case ((bs, bl), (l, _)) =>
           (greatest(bs, col(s"score_$l")),

@@ -39,4 +39,33 @@ object StreamingIndexer {
       .format("memory")
       .queryName(tableName)
       .start()
+
+  /** Streaming twin of [[graft.operators.Events.hourlyRollup]]: watermarked
+    * event-time tumbling windows with per-type counts/sums. Late data
+    * beyond the watermark is dropped; state is bounded — the shape that
+    * runs indefinitely against a real event feed.
+    */
+  def hourlyRollupStream(spark: SparkSession, watchDir: String): DataFrame = {
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream
+      .schema(schema)
+      .parquet(watchDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** Run the streaming hourly rollup into memory (complete mode for test
+    * determinism). Caller stops the query.
+    */
+  def startHourlyToMemory(spark: SparkSession, watchDir: String,
+                          tableName: String): StreamingQuery =
+    hourlyRollupStream(spark, watchDir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
 }

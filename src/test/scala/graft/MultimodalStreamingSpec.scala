@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{Indexer, Multimodal}
 import graft.streaming.StreamingIndexer
 
@@ -25,6 +27,24 @@ class MultimodalStreamingSpec extends SparkTestBase {
     val rows = Multimodal.featureStats(spark, sf).collect()
     assert(rows.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
     assert(rows.map(_.getAs[Long]("n")).sum === 500L)
+  }
+
+  test("streaming hourly rollup == batch hourly rollup") {
+    val watch = java.nio.file.Files.createTempDirectory("graft_stream_ev").toString
+    graft.sources.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(watch)
+    val q = StreamingIndexer.startHourlyToMemory(spark, watch, "stream_hourly")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_hourly")
+        .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      val batch = graft.operators.Events.hourlyRollup(spark, sf)
+        .select($"hour", $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
   }
 
   test("streaming postings == batch postings over the same directory") {
