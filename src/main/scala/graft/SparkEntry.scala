@@ -50,6 +50,7 @@ object SparkEntry {
     "q_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_token_counts"   -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(s, d, 50, 10)),
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
     // — dedup —
     "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -59,6 +60,7 @@ object SparkEntry {
     // — similarity search —
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
+    "q_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
@@ -228,6 +230,18 @@ object SparkEntry {
          |  round(CAST(n_chars AS DOUBLE)
          |        / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4) AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunk_documents" ->
+      s"""WITH $toksCte, t2 AS (
+         |  SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+         |), t3 AS (
+         |  SELECT doc_id, ts, n,
+         |         1 + greatest(0, CAST(floor((n - 50 + 39.0) / 40) AS INTEGER)) AS nwin
+         |  FROM t2)
+         |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+         |       array_to_string(ts[k*40+1 : k*40+50], ' ') AS chunk_text,
+         |       CAST(least(50, n - k*40) AS INTEGER) AS n_chunk_tokens
+         |FROM t3, unnest(range(0, nwin)) AS u(k)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_fingerprints" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |g AS (SELECT fp, count(*) AS n_same_fp FROM f GROUP BY fp)

@@ -99,6 +99,46 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus by nearest centroid
+    * (deterministic centroid sample: every 29th vec_id), then each query
+    * scans only its `nprobe` nearest cells, re-ranked by exact cosine.
+    * The other classic scale path next to sign-LSH: cost ≈
+    * nprobe/ncells of a full scan; centroids stay broadcastable (a real
+    * deployment would k-means them — the sample keeps it deterministic
+    * for the driver check).
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+              nQueries: Int, k: Int, nprobe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(pmod(col("vec_id"), lit(29)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("sim"), col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineNative(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(desc("sim"), col("cent_id"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosineNative(col("q_emb"), col("cent")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cent_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    assigned.join(broadcast(probes), "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("query_id"), col("vec_id"), col("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-label embedding statistics: count + mean L2 norm. */
   def embedStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)

@@ -92,6 +92,34 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** Chunk documents into overlapping token windows (size `chunkSize`,
+    * overlap `overlap`) — the context-window preparation step of an LLM
+    * training pipeline. Pure map-side: one tokenize projection, one
+    * arithmetic window count, one posexplode; no shuffle, so it streams
+    * at corpus scale.
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val stride = chunkSize - overlap
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+      // windows = 1 + max(0, ceil((n - chunkSize) / stride)); the cast
+      // truncates toward zero but greatest(0, _) makes that equal floor
+      .withColumn("nwin", greatest(lit(0),
+        ((col("n") - chunkSize + (stride - 1)) / stride).cast("int")) + 1)
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("nwin") - 1),
+          k => array_join(slice(col("ts"), k * stride + 1, lit(chunkSize)), " "))))
+      .toDF("doc_id", "n", "chunk_idx", "chunk_text")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        least(lit(chunkSize), col("n") - col("chunk_idx") * stride)
+          .cast("int").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Content fingerprinting via md5 (portable, exact): every doc with its
     * fingerprint and how many docs share it — the duplicate-cluster map.
     */

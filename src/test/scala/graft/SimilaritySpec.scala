@@ -47,6 +47,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.3, s"mean ANN recall $mean too low — LSH bucketing broken?")
   }
 
+  test("ivfTopK recall vs exact top-k is usable") {
+    val exact = naiveTopK(10, 5)
+    val ivf = Similarity.ivfTopK(spark, sf, 5, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      ivf.get(q).map(found => ids.count(found).toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean IVF recall $mean too low — cell probing broken?")
+  }
+
   test("embedStats covers every label once") {
     val got = Similarity.embedStats(spark, sf)
       .as[(Int, Long, Double)].collect()
