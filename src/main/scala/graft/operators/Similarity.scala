@@ -56,12 +56,19 @@ object Similarity {
     Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
+  // all hyperplanes as ONE typed literal (array<array<double>>): inlining
+  // 16×64 scalar literals per reference bloats the plan and codegen —
+  // a single literal + element_at keeps the expression tree tiny
+  private lazy val planesLit: Column =
+    typedlit(planes.map(_.toSeq).toSeq)
+
   /** Bucket id within table `t` = sign bits of the vector against that
-    * table's hyperplanes (pure map-side; literal-array dot products).
+    * table's hyperplanes (pure map-side; one shared literal plane array).
+    * Bits accumulate as acc·2+bit — a deterministic bucket numbering.
     */
   private[operators] def bucketOf(v: Column, t: Int): Column =
     (0 until BitsPerTable).map { b =>
-      val plane = array(planes(t * BitsPerTable + b).map(lit): _*)
+      val plane = element_at(planesLit, t * BitsPerTable + b + 1)
       when(dot(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
