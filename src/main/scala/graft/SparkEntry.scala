@@ -44,6 +44,9 @@ object SparkEntry {
     "q_terms_only_in"  -> ((s, d) => IndexQueries.termsOnlyIn(s, d, 0L, 1L)),
     "q_running_totals" -> ((s, d) => IndexQueries.customerRunningTotals(s, d)),
     "q_vocab_approx"   -> ((s, d) => IndexQueries.vocabApprox(s, d)),
+    "q_doc_similarity" -> ((s, d) => IndexQueries.docSimilarity(s, d, 5, 5)),
+    "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
+    "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
     // — text analysis —
     "q_doc_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(s, d)),
@@ -197,6 +200,46 @@ object SparkEntry {
     // q_vocab_approx: approx_count_distinct is Spark's HLL++ — sketch values
     // are implementation-specific → rows-only check (exact_vocab column is
     // still asserted in ScalaTest against countDistinct).
+    "q_doc_similarity" ->
+      s"""$postingsCte, df AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+         |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT term, doc_id, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+         |  FROM postings JOIN df USING (term) CROSS JOIN n
+         |), nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+         |qw AS (SELECT term, doc_id AS q_doc, w AS qw FROM w WHERE doc_id < 5),
+         |dots AS (
+         |  SELECT q_doc, w.doc_id, sum(w.w * qw.qw) AS dot
+         |  FROM w JOIN qw USING (term) WHERE w.doc_id <> qw.q_doc
+         |  GROUP BY 1, 2)
+         |SELECT q_doc, doc_id, cosine, rnk FROM (
+         |  SELECT d.q_doc, d.doc_id,
+         |         round(d.dot / (qn.nrm * nn.nrm), 4) AS cosine,
+         |         CAST(row_number() OVER (PARTITION BY d.q_doc
+         |              ORDER BY round(d.dot / (qn.nrm * nn.nrm), 4) DESC, d.doc_id)
+         |           AS INTEGER) AS rnk
+         |  FROM dots d
+         |  JOIN nrm qn ON d.q_doc = qn.doc_id
+         |  JOIN nrm nn ON d.doc_id = nn.doc_id)
+         |WHERE rnk <= 5 ORDER BY q_doc, rnk""".stripMargin,
+    "q_sliding_windows" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |         strftime(date_trunc('hour', ts) - k * INTERVAL 1 HOUR,
+        |                  '%Y-%m-%d %H:%M:%S') AS win_start
+        |  FROM events, unnest([0, 1]) AS t(k))
+        |SELECT win_start, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_event_pivot" ->
+      """SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY hr""".stripMargin,
     // — text analysis —
     "q_doc_stats" ->
       s"""WITH $toksCte

@@ -56,6 +56,37 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** Sliding 2-hour windows advancing hourly: each event lands in two
+    * overlapping windows (Spark's `window(ts, len, slide)`; the oracle
+    * enumerates the two hour-aligned starts explicitly).
+    */
+  def slidingWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Hour-of-day × event-type pivot (counts). Fixed pivot value list so
+    * the output schema is static; absent cells coalesce to 0 to match
+    * SQL's FILTER-ed counts.
+    */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, sfDir)
+      .withColumn("hr", hour(col("ts")))
+      .groupBy(col("hr"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted
+      .select(col("hr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("hr")
+  }
+
   /** Per-type share of total events + distinct-user reach. */
   def typeShares(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -74,6 +74,44 @@ object IndexQueries {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** "More like this": cosine similarity between documents in tf-idf
+    * space, computed on the postings index itself (sparse-vector dot
+    * products as a join on term — no dense vectors anywhere). Returns the
+    * top-k most similar docs for each query doc. One shuffle on term for
+    * the dot products, one on doc for the norms; both sides are the
+    * already-aggregated postings, so this scales with index size, not
+    * corpus size.
+    */
+  def docSimilarity(spark: SparkSession, sfDir: String,
+                    nQueryDocs: Int, k: Int): DataFrame = {
+    val p = Indexer.postings(spark, sfDir)
+    val n = graft.sources.Tables.documents(spark, sfDir)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = p.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val weights = p.join(df, "term").crossJoin(broadcast(n))
+      .select(col("term"), col("doc_id"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    val norms = weights.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val qw = weights.filter(col("doc_id") < nQueryDocs)
+      .select(col("term"), col("doc_id").as("q_doc"), col("w").as("qw"))
+    val dots = weights.join(qw, "term")
+      .where(col("doc_id") =!= col("q_doc"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+    val wTop = Window.partitionBy(col("q_doc"))
+      .orderBy(desc("cosine"), col("doc_id"))
+    dots
+      .join(norms.withColumnRenamed("doc_id", "q_doc")
+                 .withColumnRenamed("nrm", "q_nrm"), "q_doc")
+      .join(norms, "doc_id")
+      .withColumn("cosine", round(col("dot") / (col("q_nrm") * col("nrm")), 4))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("q_doc"), col("doc_id"), col("cosine"), col("rnk"))
+      .orderBy("q_doc", "rnk")
+  }
+
   /** Exact vs approximate distinct-term cardinality per language — the
     * sketch-style aggregation (HLL) a 100 TB vocabulary count would use.
     * approx values are Spark-implementation-specific → rows-only check.
