@@ -61,6 +61,61 @@ object Indexer {
       .partitionBy("first_letter")
       .parquet(outPath)
 
+  /** Incrementally re-index a set of documents into a materialized index:
+    * replaces the reference's append-only re-index (which duplicates
+    * postings — `helper_reduce.c:241` `a+` mode, SURVEY.md §7.0) with a
+    * partition-targeted upsert. Only letter partitions containing the
+    * updated docs' old or new terms are rewritten (dynamic partition
+    * overwrite); untouched letters keep their files byte-for-byte.
+    *
+    * `localCheckpoint` materializes the merged result before the write so
+    * the plan no longer scans the path it is about to overwrite (Spark
+    * refuses read+overwrite of the same location in one lineage). On a
+    * real cluster, checkpoint to reliable storage instead.
+    */
+  def upsertIntoIndex(spark: SparkSession, indexPath: String,
+                      updatedDocs: DataFrame): Unit = {
+    val newPostings = updatedDocs
+      .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("first_letter", firstLetter(col("term")))
+      .select("first_letter", "term", "doc_id", "tf")
+    val docIds = updatedDocs.select("doc_id").distinct()
+    val old = spark.read.parquet(indexPath)
+      .select("first_letter", "term", "doc_id", "tf")
+    val affectedLetters = newPostings.select("first_letter")
+      .union(old.join(docIds, "doc_id").select("first_letter"))
+      .distinct()
+    val kept = old
+      .join(affectedLetters, Seq("first_letter"), "left_semi")
+      .join(docIds, Seq("doc_id"), "left_anti")
+      .select("first_letter", "term", "doc_id", "tf")
+    val merged = kept.union(newPostings)
+      .repartition(col("first_letter"))
+      .sortWithinPartitions("term", "doc_id")
+      .localCheckpoint(true)
+    // materialize BEFORE the overwrite — both derive from a scan of
+    // indexPath, which is about to be rewritten under this lineage
+    val affected = affectedLetters.collect().map(_.getString(0)).toSet
+    val remaining = merged.select("first_letter").distinct()
+      .collect().map(_.getString(0)).toSet
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("first_letter")
+      .parquet(indexPath)
+    // dynamic overwrite only rewrites partitions PRESENT in the output: an
+    // affected letter whose postings all belonged to the updated docs ends
+    // up with zero rows and would keep its stale files — drop those dirs.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (affected -- remaining).foreach { letter =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexPath/first_letter=$letter"), true)
+    }
+  }
+
   /** Term lookup against a MATERIALIZED index written by [[writeIndex]]:
     * the `first_letter` predicate prunes the scan to one partition
     * directory — exactly the reference's "open only `./index/<c>`"
