@@ -247,7 +247,7 @@ object SparkEntry {
          |       CAST(len(ts) AS INTEGER) AS n_tokens,
          |       CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct,
          |       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-         |             / len(ts), 4) AS avg_token_len
+         |             / nullif(len(ts), 0), 4) AS avg_token_len
          |FROM toks ORDER BY doc_id""".stripMargin,
     "q_lang_breakdown" ->
       s"""WITH $toksCte
@@ -261,8 +261,8 @@ object SparkEntry {
          |SELECT doc_id,
          |       CAST(len(ts) AS INTEGER) AS n_tokens,
          |       CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS INTEGER) AS n_stopwords,
-         |       round(CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / len(ts), 4) AS stopword_ratio,
-         |       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / len(ts), 4) AS avg_token_len,
+         |       round(CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / nullif(len(ts), 0), 4) AS stopword_ratio,
+         |       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / nullif(len(ts), 0), 4) AS avg_token_len,
          |       (len(ts) >= 10 AND CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / len(ts) < 0.5) AS keep
          |FROM toks ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
@@ -271,7 +271,7 @@ object SparkEntry {
          |       w -> regexp_replace(w, '[^a-z]', '', 'g')), w -> w <> '')) AS INTEGER) AS ws_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens,
          |  round(CAST(n_chars AS DOUBLE)
-         |        / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4) AS chars_per_token
+         |        / nullif(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')), 0), 4) AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_chunk_documents" ->
       s"""WITH $toksCte, t2 AS (
@@ -322,7 +322,24 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // q_minhash_lsh / q_simhash / q_ann_topk: Spark-native hashing (murmur3 /
+    // q_minhash_lsh verifies every LSH candidate with EXACT Jaccard, so its
+    // output is provably ⊆ the exact all-pairs result; the ScalaTest spec
+    // (DedupSpec) asserts set-EQUALITY with ngramJaccardPairs at 0.8 on both
+    // sf0.001 and sf0.01 — banding (16×4) misses a J≥0.8 pair with
+    // P ≈ (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴. It therefore shares the exact-Jaccard oracle.
+    "q_minhash_lsh" ->
+      s"""$shingleCte, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q_simhash / q_ann_topk / q_ivf_topk: Spark-native hashing (murmur3 /
     // xxhash64 / seeded hyperplanes) — not reproducible in DuckDB SQL;
     // rows-only check + ScalaTest spec vs exact baseline.
     // — similarity —

@@ -1,30 +1,49 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` columns — the codegen'd fast path for brute-force
   * similarity search.
   *
   * Semantics are IDENTICAL to [[VectorFunctions.cosine]] (cast each float
-  * to double, exact products, sequential left-to-right sums), so results
-  * stay bit-for-bit equal to the DuckDB oracle. The difference is purely
-  * mechanical: `zip_with`/`aggregate` allocate an intermediate array and
-  * evaluate a lambda per element; this compiles to a tight primitive loop
-  * inside WholeStageCodegen with zero allocation — the (b) path of the
+  * to double, exact products, sequential left-to-right sums, NULL when a
+  * norm is zero — matching Spark's non-ANSI Divide on a 0.0 divisor), so
+  * results stay bit-for-bit equal to the DuckDB oracle. The difference is
+  * purely mechanical: `zip_with`/`aggregate` allocate an intermediate array
+  * and evaluate a lambda per element; this compiles to a tight primitive
+  * loop inside WholeStageCodegen with zero allocation — the (b) path of the
   * custom-operator preference order (compose > Expression > Strategy >
   * mapPartitions).
+  *
+  * Inputs are strictly `array<float>`: checkInputDataTypes rejects e.g. an
+  * `array<double>` at analysis time instead of silently reading garbage
+  * through `getFloat`.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // nullable even for non-null children: zero-norm input yields NULL
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -38,7 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -51,7 +71,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double yi = (double) $y.getFloat(i);
          |  dot += xi * yi; na += xi * xi; nb += yi * yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+         |if (denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = dot / denom;
+         |}
        """.stripMargin
     })
 

@@ -87,42 +87,54 @@ object Events {
       .orderBy("hr")
   }
 
-  /** Per-type share of total events + distinct-user reach. */
-  def typeShares(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  /** Per-type share of total events + distinct-user reach. The total comes
+    * from a broadcast 1-row aggregate of the per-type counts, NOT an
+    * empty-partition window (`sum(n).over()`): a global window funnels all
+    * rows through one partition — harmless on 5 post-agg rows, a foot-gun
+    * if the group-by key ever grows.
+    */
+  def typeShares(spark: SparkSession, sfDir: String): DataFrame = {
+    val perType = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    val total = perType.agg(sum(col("n")).as("n_total"))
+    perType.crossJoin(broadcast(total))
       .withColumn("share",
-        round(col("n").cast("double") / sum(col("n")).over(), 6))
+        round(col("n").cast("double") / col("n_total"), 6))
       .select("event_type", "n", "n_users", "share")
       .orderBy("event_type")
+  }
 
   /** As-of join: for every purchase event, the most recent prior (or
-    * simultaneous) view event of the same user. Expressed as an
-    * equi-join on user + range condition + max-per-purchase — the shape
-    * Catalyst turns into one shuffle on user_id; DuckDB's native ASOF JOIN
-    * is the oracle. At real scale the user-key shuffle co-locates both
-    * sides once, and AQE handles hot users.
+    * simultaneous) view event of the same user; DuckDB's native ASOF JOIN
+    * is the oracle.
+    *
+    * Shape: ONE window pass over the union of both event streams — views
+    * and purchases interleave per user ordered by (ms, kind, event_id),
+    * views sorting BEFORE purchases at equal ms so a simultaneous view
+    * counts; `last(v_ms, ignoreNulls)` over rows-unbounded-preceding gives
+    * each purchase its latest view at or before it. Linear per user, one
+    * shuffle. The obvious alternative — `purchases ⋈ views ON user AND
+    * v_ms <= p_ms` then max-per-purchase — generates P×V intermediate rows
+    * per user before aggregating, a blow-up on any hot user at scale.
     */
   def asofPurchaseView(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "view"))
       .withColumn("ms", unix_millis(col("ts")))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"),
-        col("ms").as("p_ms"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
-        col("ms").as("v_ms"))
-    // range condition INSIDE the left join: a purchase whose views are all
-    // later must survive with a null match, not be filtered out
-    purchases.join(views,
-        col("user_id") === col("v_user") && col("v_ms") <= col("p_ms"), "left")
-      .groupBy(col("user_id"), col("p_id"), col("p_ms"))
-      .agg(max(col("v_ms")).as("last_view_ms"))
+      .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_view_ms",
+        last(when(col("is_purchase") === 0, col("ms")), ignoreNulls = true)
+          .over(byUser))
+      .filter(col("is_purchase") === 1)
       .select(
-        col("user_id"), col("p_id"), col("p_ms"),
+        col("user_id"), col("event_id").as("p_id"), col("ms").as("p_ms"),
         col("last_view_ms"),
-        (col("p_ms") - col("last_view_ms")).as("gap_ms"))
+        (col("ms") - col("last_view_ms")).as("gap_ms"))
       .orderBy("user_id", "p_id")
   }
 

@@ -108,11 +108,15 @@ object Indexer {
     // dynamic overwrite only rewrites partitions PRESENT in the output: an
     // affected letter whose postings all belonged to the updated docs ends
     // up with zero rows and would keep its stale files — drop those dirs.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the index path — FileSystem.get(conf)
+    // returns fs.defaultFS, which is the wrong FS whenever the index lives
+    // elsewhere (e.g. file:/ path with an HDFS default) and would silently
+    // leave the stale partitions in place
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (affected -- remaining).foreach { letter =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$indexPath/first_letter=$letter"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"first_letter=$letter"), true)
     }
   }
 

@@ -35,7 +35,9 @@ object TextAnalysis {
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         size(col("ts")).as("n_tokens"),
         size(array_distinct(col("ts"))).as("n_distinct"),
-        round(col("nlet").cast("double") / size(col("ts")), 4)
+        // try_divide: NULL (not an ANSI error / DuckDB inf) for
+        // zero-token docs — oracle mirrors with nullif(len(ts), 0)
+        round(try_divide(col("nlet").cast("double"), size(col("ts"))), 4)
           .as("avg_token_len"))
       .orderBy("doc_id")
 
@@ -66,12 +68,13 @@ object TextAnalysis {
         col("nlet"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_stopwords"),
-        round(col("n_stopwords").cast("double") / col("n_tokens"), 4)
+        // try_divide → NULL on zero-token docs, both engines (oracle: nullif)
+        round(try_divide(col("n_stopwords").cast("double"), col("n_tokens")), 4)
           .as("stopword_ratio"),
-        round(col("nlet").cast("double") / col("n_tokens"), 4)
+        round(try_divide(col("nlet").cast("double"), col("n_tokens")), 4)
           .as("avg_token_len"),
         (col("n_tokens") >= 10 &&
-          col("n_stopwords").cast("double") / col("n_tokens") < lit(0.5))
+          try_divide(col("n_stopwords").cast("double"), col("n_tokens")) < lit(0.5))
           .as("keep"))
       .orderBy("doc_id")
   }
@@ -88,7 +91,8 @@ object TextAnalysis {
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"))
       .select(
         col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
-        round(col("n_chars").cast("double") / col("bpe_tokens"), 4)
+        // try_divide → NULL for empty docs, both engines (oracle: nullif)
+        round(try_divide(col("n_chars").cast("double"), col("bpe_tokens")), 4)
           .as("chars_per_token"))
       .orderBy("doc_id")
 

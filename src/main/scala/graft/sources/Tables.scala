@@ -23,13 +23,22 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** The events parquet stores ns-precision timestamps, which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read them as raw nanos
-    * (legacy flag) and floor-convert to a µs TimestampType — identical to
-    * what Spark's own ns→µs truncation would produce, and consistent with
-    * the DuckDB oracle's `epoch_ms` flooring.
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read them as raw nanos and
+    * floor-convert to a µs TimestampType — identical to what Spark's own
+    * ns→µs truncation would produce, and consistent with the DuckDB
+    * oracle's `epoch_ms` flooring.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set at build time in Bench/Verify/tests; there is no per-read parquet
+    * option for it, and mutating session config here would silently change
+    * schemas of unrelated parquet reads). `ts div 1000` truncates toward
+    * zero, which equals floor only for ts >= 0 — fine for this corpus
+    * (all timestamps post-1970 per TESTDATA.md); pre-epoch data would need
+    * an explicit floor-div.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true at session build time")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
