@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once / query-many serving of the letter-partitioned inverted
+  * index — the reference's actual operating mode: `./index/<c>` is written
+  * once and every search opens exactly one letter file
+  * (`/root/reference/helper_reduce.c:238-257`). Re-tokenizing the corpus
+  * per query (what [[Indexer.termLookup]] does) answers the same question
+  * but is a full scan; a search engine serves from the prebuilt index.
+  *
+  * [[ensure]] materializes the index at a deterministic temp path exactly
+  * once per JVM per corpus dir; the serve queries below then run against
+  * that path with Catalyst partition pruning standing in for "open one of
+  * the 26 files". At cluster scale the path would be shared storage and the
+  * build a scheduled job; the query plans are identical.
+  */
+object MaterializedIndex {
+
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Path of the materialized index for `sfDir`, building it on first use
+    * in this JVM (subsequent calls are free — build-once/query-many).
+    */
+  def ensure(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(sfDir, {
+      val path = new File(System.getProperty("java.io.tmpdir"),
+        "graft_index_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+      Indexer.writeIndex(spark, sfDir, path)
+      path
+    })
+
+  /** Term lookup served from the materialized index: prunes to ONE letter
+    * partition (asserted in IndexerSpec), reads postings already aggregated
+    * — no corpus scan, no shuffle beyond the final tiny sort.
+    */
+  def termLookup(spark: SparkSession, sfDir: String, term: String): DataFrame =
+    Indexer.lookupInIndex(spark, ensure(spark, sfDir), term)
+
+  /** Multi-term AND served from the materialized index: scans only the
+    * letter partitions of the query terms, then one small aggregation over
+    * the matching postings — work proportional to the terms' posting lists,
+    * not the corpus.
+    */
+  def multiTermAnd(spark: SparkSession, sfDir: String,
+                   terms: Seq[String]): DataFrame = {
+    val letters = terms.map(_.take(1)).distinct
+    spark.read.parquet(ensure(spark, sfDir))
+      .filter(col("first_letter").isin(letters: _*) &&
+        col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === terms.length)
+      .select("doc_id", "total_tf")
+      .orderBy(desc("total_tf"), col("doc_id"))
+  }
+}
