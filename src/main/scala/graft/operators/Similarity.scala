@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarityExpr.cosineNative
+import graft.functions.TopKByScore
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -19,8 +19,29 @@ import graft.sources.Tables
   *    vector hashes to a small bucket id; candidates are only same-bucket
   *    pairs, so cost is ~linear in corpus size. Recall is probabilistic
   *    (tested against the brute-force baseline in SimilaritySpec).
+  *
+  * Top-k everywhere is PARTIAL top-k via [[TopKByScore]] (map-side combine
+  * to k rows per partition), not `row_number().over(partitionBy(query))`:
+  * a per-query window funnels every scored candidate of a query through
+  * one partition — at 100× scale that is millions of rows through a
+  * handful of partitions while the rest of the cluster idles.
   */
 object Similarity {
+
+  /** Shared top-k: `scored(query_id, vec_id, cosine)` → k best per query
+    * by (cosine desc, vec_id asc), with rnk — byte-identical to the
+    * window row_number form (the q_cosine_topk oracle hash proves it).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
 
   /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries),
     * excluding self-matches.
@@ -30,17 +51,13 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), col("vec_id"))
-    emb.crossJoin(broadcast(q))
+    val scored = emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       // native codegen'd Expression — bit-identical to VectorFunctions.cosine
       // (same double arithmetic) but a zero-allocation primitive loop
       .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "cosine", "rnk")
-      .orderBy("query_id", "rnk")
+      .select("query_id", "vec_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   // Deterministic random hyperplanes (seeded) for multi-table LSH:
@@ -84,6 +101,13 @@ object Similarity {
     * vectors, re-ranked by exact cosine. Same output schema as
     * [[cosineTopK]]; recall vs the exact baseline is asserted in
     * SimilaritySpec.
+    *
+    * Scale shape: the bucket join is a broadcast hash join (query side is
+    * tiny), so scoring is map-side over one corpus scan; the cosine is
+    * computed BEFORE the cross-table dedup so the distinct shuffles only
+    * (query_id, vec_id, cosine) triples — never the 64-float arrays — and
+    * the dedup cost is bytes-per-candidate, not bytes-per-embedding.
+    * (Cosine is deterministic, so duplicated candidates collapse exactly.)
     */
   def annTopK(spark: SparkSession, sfDir: String,
               nQueries: Int, k: Int): DataFrame = {
@@ -92,58 +116,96 @@ object Similarity {
         .filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), col("vec_id"))
-    emb.join(broadcast(q), Seq("tbl", "bucket"))
+    val scored = emb.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct()                          // union candidates across tables
       .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
-      .drop("q_emb", "embedding")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "cosine", "rnk")
-      .orderBy("query_id", "rnk")
+      .select("query_id", "vec_id", "cosine")
+      .distinct()                          // union candidates across tables
+    topKPerQuery(scored, k)
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus by nearest centroid
-    * (deterministic centroid sample: every 29th vec_id), then each query
-    * scans only its `nprobe` nearest cells, re-ranked by exact cosine.
-    * The other classic scale path next to sign-LSH: cost ≈
-    * nprobe/ncells of a full scan; centroids stay broadcastable (a real
-    * deployment would k-means them — the sample keeps it deterministic
-    * for the driver check).
+  /** Nearest centroid per vector via `max_by` over the broadcast centroid
+    * set — a map-side-combinable aggregation (O(k) comparisons per vector,
+    * one partial-agg pass), not a per-vector window funnel. Ties break to
+    * the lowest cent_id, deterministically.
+    */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineNative(col("embedding"), col("cent")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"),
+        first(col("embedding")).as("embedding"))
+
+  /** Fixed-k seeded k-means (Lloyd) over the corpus, entirely in DataFrame
+    * ops: init = first k vectors in xxhash64(vec_id) order (deterministic
+    * pseudo-random sample), then `iters` rounds of broadcast-assign +
+    * per-dimension mean. Means are computed in exact DECIMAL arithmetic so
+    * centroids — and therefore cell assignments — are bit-deterministic
+    * run-to-run (double summation order would not be). Only the k×dim
+    * centroid table ever reaches the driver (between iterations, to keep
+    * the lineage flat) — the corpus itself never moves: each iteration is
+    * one broadcast join + two partial aggregations, O(N·k) map-side work.
+    * Fixed k means assignment cost stays O(N·k) however large the corpus —
+    * unlike a corpus-proportional centroid sample, which degenerates to
+    * O(N²/c).
+    */
+  private[operators] def kmeansCentroids(spark: SparkSession, emb: DataFrame,
+                                         k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val centsDF = cents.toDF("cent_id", "cent")
+      cents = assignCells(emb, centsDF)
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,10)")) / count(lit(1)))
+          .cast("float").as("v"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cent_id"), expr("transform(pv, s -> s.v)").as("cent"))
+        .as[(Long, Seq[Float])].collect().toSeq
+    }
+    cents.toDF("cent_id", "cent")
+  }
+
+  /** IVF ANN: k-means-quantize the corpus into `kCells` cells, then each
+    * query scans only its `nprobe` nearest cells, re-ranked by exact
+    * cosine. Cost ≈ nprobe/kCells of a full scan per query, and the
+    * centroid table is fixed-size-broadcastable at any corpus size.
+    *
+    * Defaults are tuned for THIS corpus's embeddings, which are isotropic
+    * random (no cluster structure — measured intra-label cosine ==
+    * inter-label ≈ 0): on such data recall ≈ 1.7× the scanned fraction, so
+    * hitting ≥0.8 recall needs nprobe/kCells ≈ 1/2 (measured 0.86–0.90
+    * here). On a real clustered embedding corpus the same code runs with
+    * nprobe ≈ kCells/16 for the classic 10–50× speedup.
     */
   def ivfTopK(spark: SparkSession, sfDir: String,
-              nQueries: Int, k: Int, nprobe: Int = 3): DataFrame = {
+              nQueries: Int, k: Int, nprobe: Int = 32,
+              kCells: Int = 64, iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val cents = emb.filter(pmod(col("vec_id"), lit(29)) === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("sim"), col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim", cosineNative(col("embedding"), col("cent")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(desc("sim"), col("cent_id"))
+    val cents = kmeansCentroids(spark, emb, kCells, iters)
+    val assigned = assignCells(emb, cents)
+    val probeTopK = udaf(new TopKByScore(nprobe))
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))
       .withColumn("sim", cosineNative(col("q_emb"), col("cent")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cent_id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(desc("cosine"), col("vec_id"))
-    assigned.join(broadcast(probes), "cent_id")
+      .groupBy(col("q_id"))
+      .agg(probeTopK(col("sim"), col("cent_id")).as("cells"),
+        first(col("q_emb")).as("q_emb"))
+      .select(col("q_id"), col("q_emb"), explode(col("cells.id")).as("cent_id"))
+    val scored = assigned.join(broadcast(probes), "cent_id")
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id").as("query_id"), col("vec_id"), col("cosine"), col("rnk"))
-      .orderBy("query_id", "rnk")
+      .select(col("q_id").as("query_id"), col("vec_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Per-label embedding statistics: count + mean L2 norm. */
