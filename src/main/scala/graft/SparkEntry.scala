@@ -66,6 +66,7 @@ object SparkEntry {
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
     // — similarity search —
+    "q_multimodal_stats" -> ((s, d) => Multimodal.featureStats(s, d)),
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
     "q_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d, 10, 10)),
@@ -222,6 +223,7 @@ object SparkEntry {
          |w AS (
          |  SELECT term, doc_id, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
          |  FROM postings JOIN df USING (term) CROSS JOIN n
+         |  WHERE df * 10 <= n_docs * 9  -- near-zero-idf prune, mirrors Spark side
          |), nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
          |qw AS (SELECT term, doc_id AS q_doc, w AS qw FROM w WHERE doc_id < 5),
          |dots AS (
@@ -357,6 +359,26 @@ object SparkEntry {
     // q_simhash / q_ann_topk / q_ivf_topk: Spark-native hashing (murmur3 /
     // xxhash64 / seeded hyperplanes) — not reproducible in DuckDB SQL;
     // rows-only check + ScalaTest spec vs exact baseline.
+    // — multimodal —
+    // The payload is the utf-8 text bytes (ASCII corpus: byte == ord(char)),
+    // and the stub decoder's feature[0] is an exact integer byte-fold over
+    // positions ≡ 0 (mod 16), divided once — so the whole decode pipeline is
+    // reproducible in portable SQL.
+    "q_multimodal_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         CAST(CAST(coalesce(list_sum(list_transform(
+        |              range(1, length(text) + 1, 16),
+        |              i -> ord(substr(text, i, 1)))), 0) AS DOUBLE) / 255.0
+        |           AS FLOAT) AS f0
+        |  FROM documents)
+        |SELECT kind, count(*) AS n, round(avg(n_bytes), 4) AS avg_bytes,
+        |       round(avg(f0), 4) AS avg_f0
+        |FROM a GROUP BY kind ORDER BY kind""".stripMargin,
     // — similarity —
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

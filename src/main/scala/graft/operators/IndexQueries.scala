@@ -81,6 +81,13 @@ object IndexQueries {
     * the dot products, one on doc for the norms; both sides are the
     * already-aggregated postings, so this scales with index size, not
     * corpus size.
+    *
+    * Near-zero-idf terms (df in > 90% of docs — integer cutoff
+    * `df·10 > n_docs·9`, mirrored exactly in the oracle) are pruned BEFORE
+    * the dot-product term join: a term like "the" joins every query doc
+    * against nearly every corpus doc for a weight contribution of ~0,
+    * making the hottest term key also the most worthless — unbounded skew
+    * at corpus scale for no signal.
     */
   def docSimilarity(spark: SparkSession, sfDir: String,
                     nQueryDocs: Int, k: Int): DataFrame = {
@@ -89,6 +96,7 @@ object IndexQueries {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val df = p.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val weights = p.join(df, "term").crossJoin(broadcast(n))
+      .filter(col("df") * 10 <= col("n_docs") * 9)
       .select(col("term"), col("doc_id"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
     val norms = weights.groupBy("doc_id")

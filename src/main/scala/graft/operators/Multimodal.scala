@@ -45,15 +45,18 @@ object Multimodal {
     * image/audio codec here (??? in this container — no codec libs).
     * Deterministic fake: fold the bytes into a fixed-size float vector so
     * tests can assert exact values and the pipeline is end-to-end runnable.
+    * Accumulation is INTEGER (exact) with a single final division, so the
+    * same fold is reproducible in the DuckDB oracle's double arithmetic —
+    * a float-accumulating loop would drift from any SQL re-expression.
     */
   private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val acc = new Array[Float](FeatureDim)
+    val acc = new Array[Long](FeatureDim)
     var i = 0
     while (i < payload.length) {
-      acc(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+      acc(i % FeatureDim) += (payload(i) & 0xFF)
       i += 1
     }
-    acc
+    acc.map(s => (s / 255.0).toFloat)
   }
 
   /** Partition-wise batch feature extraction: one decoder instance per
