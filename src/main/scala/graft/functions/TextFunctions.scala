@@ -31,6 +31,21 @@ object TextFunctions {
   /** One row per normalized token (P1+P2+P3+P4 of SURVEY.md §2). */
   def explodedTokens(text: Column): Column = explode(tokens(text))
 
+  /** Reference-faithful tokens for RAW multi-line corpus files: split on
+    * space OR newline — exactly what `tr ' ' '\n'` plus line-based
+    * counting does (`/root/reference/helper_map.c:166`). Note a tab does
+    * NOT separate tokens there (it is stripped by the `[^a-z]` filter,
+    * merging its neighbors) and so it doesn't here either; `\r` of CRLF
+    * line ends is likewise stripped. [[tokens]] (single-space split)
+    * remains the oracle-parity tokenizer for the single-line synthetic
+    * corpus — both are asserted against independent ground truth.
+    */
+  def corpusTokens(text: Column): Column =
+    filter(
+      transform(split(lower(text), "[ \n]"), w => regexp_replace(w, "[^a-z]", "")),
+      w => w =!= ""
+    )
+
   /** Token count per document. */
   def numTokens(text: Column): Column = size(tokens(text))
 

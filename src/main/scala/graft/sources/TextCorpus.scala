@@ -33,12 +33,15 @@ object TextCorpus {
         col("value").as("text"))
 
   /** Postings straight from a raw text corpus — the full reference
-    * pipeline on its native input format.
+    * pipeline on its native input format, with the reference's own
+    * space-or-newline token semantics ([[graft.functions.TextFunctions.corpusTokens]]).
+    * Asserted token-for-token against the reference's shell pipeline on
+    * its real 14.5 MB corpus in GoldenCorpusSpec.
     */
   def postings(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
     read(spark, dir)
-      .select(col("doc_name"), explodedTokens(col("text")).as("term"))
+      .select(col("doc_name"), explode(corpusTokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_name"))
       .agg(count(lit(1)).as("tf"))
   }
