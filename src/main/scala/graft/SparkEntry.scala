@@ -71,6 +71,7 @@ object SparkEntry {
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
     "q_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
+    "q_embed_neardup"  -> ((s, d) => Similarity.embedNearDupPairs(s, d, 100, 0.3)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_unshipped" -> ((s, d) => Relational.q3TopUnshipped(s, d)),
@@ -393,6 +394,14 @@ object SparkEntry {
          |      FROM j)
          |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH q AS (SELECT vec_id AS vec_a, embedding AS emb_a
+         |           FROM embeddings WHERE vec_id < 100)
+         |SELECT vec_a, e.vec_id AS vec_b,
+         |       round(${cosSql("q.emb_a", "e.embedding")}, 6) AS cosine
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id > q.vec_a
+         |  AND round(${cosSql("q.emb_a", "e.embedding")}, 6) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_embed_stats" ->
       s"""WITH n AS (
          |  SELECT label,

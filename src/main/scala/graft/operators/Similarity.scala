@@ -208,6 +208,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate detection at ingest: every pair
+    * (a, b) with `a < nNew` (the incoming batch), `b > a`, and
+    * cosine ≥ threshold — the semantic-dedup step of a training-data
+    * pipeline (drop new documents whose embedding nearly coincides with
+    * anything already kept). Shape = one corpus scan against the broadcast
+    * batch: linear in corpus size, no shuffle of the big side — the same
+    * scale posture as [[cosineTopK]]. (A full corpus×corpus exact
+    * threshold join is inherently quadratic; at scale you either dedup
+    * incrementally like this, batch by batch, or accept approximate recall
+    * via the [[annTopK]] LSH buckets.)
+    */
+  def embedNearDupPairs(spark: SparkSession, sfDir: String,
+                        nNew: Int, threshold: Double): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nNew)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    emb.crossJoin(broadcast(q))
+      .where(col("vec_id") > col("vec_a"))
+      .withColumn("cosine", round(cosineNative(col("emb_a"), col("embedding")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Per-label embedding statistics: count + mean L2 norm. */
   def embedStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
