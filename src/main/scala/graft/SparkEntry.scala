@@ -134,6 +134,15 @@ object SparkEntry {
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
+  /** The seeded LSH hyperplanes as SQL VALUES rows (tbl, 2^bit, weights).
+    * Scala's Double.toString is shortest-round-trip, so DuckDB parses each
+    * literal back to the bit-identical double Spark uses.
+    */
+  private def annPlanesValues: String =
+    operators.Similarity.lshPlaneRows.map { case (t, pw, w) =>
+      s"($t, $pw, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n  ")
+
   def oracleSql: Map[String, String] = Map(
     // — inverted index —
     "q_index_build" ->
@@ -357,9 +366,41 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // q_simhash / q_ann_topk / q_ivf_topk: Spark-native hashing (murmur3 /
-    // xxhash64 / seeded hyperplanes) — not reproducible in DuckDB SQL;
-    // rows-only check + ScalaTest spec vs exact baseline.
+    // q_ann_topk IS oracle-checkable: the LSH hyperplanes are seeded,
+    // data-independent constants, embedded below as literals; the sign-bit
+    // bucketing uses the same double-exact dot products as the cosine
+    // oracle, so the whole candidate set — and the exact re-rank — is
+    // reproducible in portable SQL.
+    "q_ann_topk" ->
+      s"""WITH planes(tbl, pw, w) AS (VALUES
+         |  $annPlanesValues),
+         |b AS (
+         |  SELECT e.vec_id, p.tbl,
+         |         CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+         |              i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) >= 0
+         |              THEN p.pw ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.tbl),
+         |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT qb.query_id, b.vec_id
+         |  FROM b JOIN qb USING (tbl, bucket)
+         |  WHERE b.vec_id <> qb.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings e  ON e.vec_id  = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // q_simhash / q_ivf_topk: Spark-native hashing (murmur3 / xxhash64) or
+    // data-dependent k-means centroids — not reproducible in static DuckDB
+    // SQL; rows-only check + ScalaTest spec vs exact baseline.
     // — multimodal —
     // The payload is the utf-8 text bytes (ASCII corpus: byte == ord(char)),
     // and the stub decoder's feature[0] is an exact integer byte-fold over

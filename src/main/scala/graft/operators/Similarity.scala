@@ -73,6 +73,18 @@ object Similarity {
     Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** The seeded hyperplanes, exposed so the DuckDB oracle can embed them
+    * as literals: the planes are data-independent constants, the dot
+    * products are bit-identical across engines (double casts + sequential
+    * sums), so the ENTIRE LSH bucketing — and therefore [[annTopK]]'s
+    * exact output — is reproducible in portable SQL.
+    * Returns (tableIdx, 2^bit weight, plane weights) per plane.
+    */
+  def lshPlaneRows: Seq[(Int, Long, Seq[Double])] =
+    planes.toSeq.zipWithIndex.map { case (w, i) =>
+      (i / BitsPerTable, 1L << (i % BitsPerTable), w.toSeq)
+    }
+
   // all hyperplanes as ONE typed literal (array<array<double>>): inlining
   // 16×64 scalar literals per reference bloats the plan and codegen —
   // a single literal + element_at keeps the expression tree tiny
