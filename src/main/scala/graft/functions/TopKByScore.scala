@@ -17,6 +17,13 @@ case class ScoredId(score: Double, id: Long)
   * ascending id — byte-identical output to the window form (asserted by
   * the q_cosine_topk oracle hash and SkewTopKSpec).
   *
+  * Duplicate candidates — identical (score, id) pairs, as produced by a
+  * multi-table LSH union where the same pair surfaces from several tables
+  * — are deduplicated inside the aggregation, so callers need no separate
+  * `distinct()` (which would cost its own full-candidate shuffle). Two
+  * entries sharing an id but NOT a score are treated as distinct
+  * candidates; feed deterministic scores.
+  *
   * Registered via `functions.udaf(...)` it runs as an ObjectHashAggregate
   * with partial+final phases, exactly like a built-in aggregate.
   */
@@ -29,13 +36,14 @@ class TopKByScore(k: Int)
   override def zero: Seq[ScoredId] = Seq.empty
 
   override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] = {
-    // skip the sort when the candidate can't displace anything
+    // skip the sort when the candidate can't displace anything (an exact
+    // duplicate of the current worst is also correctly skipped here)
     if (buf.length >= k && ord.gteq(in, buf.last)) buf
-    else (buf :+ in).sorted(ord).take(k)
+    else ((buf :+ in).distinct.sorted(ord)).take(k)
   }
 
   override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
-    (a ++ b).sorted(ord).take(k)
+    (a ++ b).distinct.sorted(ord).take(k)
 
   override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
 

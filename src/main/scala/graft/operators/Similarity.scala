@@ -115,11 +115,12 @@ object Similarity {
     * SimilaritySpec.
     *
     * Scale shape: the bucket join is a broadcast hash join (query side is
-    * tiny), so scoring is map-side over one corpus scan; the cosine is
-    * computed BEFORE the cross-table dedup so the distinct shuffles only
-    * (query_id, vec_id, cosine) triples — never the 64-float arrays — and
-    * the dedup cost is bytes-per-candidate, not bytes-per-embedding.
-    * (Cosine is deterministic, so duplicated candidates collapse exactly.)
+    * tiny), so scoring is map-side over one corpus scan; cross-table
+    * duplicates (the same pair surfacing from several LSH tables, with
+    * identical deterministic cosines) are absorbed by [[TopKByScore]]'s
+    * in-aggregate dedup — the ONLY exchange in the whole query is the
+    * O(k)-per-query partial-aggregate shuffle. Embedding arrays never
+    * shuffle at all.
     */
   def annTopK(spark: SparkSession, sfDir: String,
               nQueries: Int, k: Int): DataFrame = {
@@ -132,22 +133,34 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
       .select("query_id", "vec_id", "cosine")
-      .distinct()                          // union candidates across tables
     topKPerQuery(scored, k)
   }
 
-  /** Nearest centroid per vector via `max_by` over the broadcast centroid
-    * set — a map-side-combinable aggregation (O(k) comparisons per vector,
-    * one partial-agg pass), not a per-vector window funnel. Ties break to
-    * the lowest cent_id, deterministically.
+  /** Nearest-centroid id as a PURE PROJECTION: the (tiny, fixed-k)
+    * centroid table rides along as one typed literal and an argmax fold
+    * over it picks the best cell per row — zero shuffle, zero join, the
+    * corpus never moves. (The earlier crossJoin + max_by aggregation shape
+    * re-shuffled all N rows to group them back; a fold over a literal
+    * doesn't.) Each centroid's cosine is computed once in a `transform`
+    * projection — Catalyst does not CSE higher-order-function trees, so
+    * folding over raw cosine expressions would evaluate each twice. Ties
+    * break to the first (= lowest) cent_id: strictly-greater replaces.
     */
-  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .withColumn("sim", cosineNative(col("embedding"), col("cent")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"),
-        first(col("embedding")).as("embedding"))
+  private def assignExpr(cents: Seq[(Long, Seq[Float])], v: Column): Column = {
+    val scoredCells = transform(typedlit(cents.sortBy(_._1)), c => struct(
+      cosineNative(v, c.getField("_2")).as("best"),
+      c.getField("_1").as("id")))
+    aggregate(scoredCells,
+      struct(lit(-2.0).as("best"), lit(-1L).as("id")),
+      (acc, x) => when(x.getField("best") > acc.getField("best"), x)
+        .otherwise(acc),
+      acc => acc.getField("id"))
+  }
+
+  private def assignCells(emb: DataFrame,
+                          cents: Seq[(Long, Seq[Float])]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      assignExpr(cents, col("embedding")).as("cent_id"))
 
   /** Fixed-k seeded k-means (Lloyd) over the corpus, entirely in DataFrame
     * ops: init = first k vectors in xxhash64(vec_id) order (deterministic
@@ -163,7 +176,7 @@ object Similarity {
     * O(N²/c).
     */
   private[operators] def kmeansCentroids(spark: SparkSession, emb: DataFrame,
-                                         k: Int, iters: Int): DataFrame = {
+                                         k: Int, iters: Int): Seq[(Long, Seq[Float])] = {
     import spark.implicits._
     var cents: Seq[(Long, Seq[Float])] = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -172,8 +185,7 @@ object Similarity {
       .as[(Long, Seq[Float])].collect().toSeq
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
-      val centsDF = cents.toDF("cent_id", "cent")
-      cents = assignCells(emb, centsDF)
+      cents = assignCells(emb, cents)
         .select(col("cent_id"), posexplode(col("embedding")))
         .groupBy(col("cent_id"), col("pos"))
         .agg((sum(col("col").cast("decimal(27,10)")) / count(lit(1)))
@@ -183,7 +195,7 @@ object Similarity {
         .select(col("cent_id"), expr("transform(pv, s -> s.v)").as("cent"))
         .as[(Long, Seq[Float])].collect().toSeq
     }
-    cents.toDF("cent_id", "cent")
+    cents
   }
 
   /** IVF ANN: k-means-quantize the corpus into `kCells` cells, then each
@@ -201,18 +213,23 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String,
               nQueries: Int, k: Int, nprobe: Int = 32,
               kCells: Int = 64, iters: Int = 2): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val cents = kmeansCentroids(spark, emb, kCells, iters)
     val assigned = assignCells(emb, cents)
+    val centsDF = cents.toDF("cent_id", "cent")
     val probeTopK = udaf(new TopKByScore(nprobe))
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centsDF))
       .withColumn("sim", cosineNative(col("q_emb"), col("cent")))
       .groupBy(col("q_id"))
       .agg(probeTopK(col("sim"), col("cent_id")).as("cells"),
         first(col("q_emb")).as("q_emb"))
       .select(col("q_id"), col("q_emb"), explode(col("cells.id")).as("cent_id"))
+    // assigned is a pure projection of the corpus scan and probes are
+    // broadcast: scoring is map-side; the only exchange in the whole
+    // query (beyond the k-means rounds) is the O(k)-per-query top-k
     val scored = assigned.join(broadcast(probes), "cent_id")
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
