@@ -6,10 +6,17 @@ import org.apache.spark.sql.SparkSession
   * queries (default: a representative set) so scan pushdown, broadcast
   * choices and WholeStageCodegen spans can be reviewed per round.
   *
-  * Usage: runMain graft.Explain [sfDir] [queryName ...]
+  * With `-run` as the first argument each query is EXECUTED (noop sink)
+  * first and the final adaptive plan is printed instead — the only way to
+  * see what AQE actually did: exchange reuse, broadcast demotions, skew
+  * splits are all runtime decisions invisible in the static plan.
+  *
+  * Usage: runMain graft.Explain [-run] [sfDir] [queryName ...]
   */
 object Explain {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val run = args0.headOption.contains("-run")
+    val args = if (run) args0.drop(1) else args0
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_index_build", "q5_region_revenue", "q_minhash_lsh",
@@ -27,7 +34,13 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (run) {
+        // collect() drives THIS df's QueryExecution (a writer would build
+        // its own), so executedPlan afterwards is the final adaptive plan
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

@@ -88,10 +88,22 @@ object IndexQueries {
     * against nearly every corpus doc for a weight contribution of ~0,
     * making the hottest term key also the most worthless — unbounded skew
     * at corpus scale for no signal.
+    *
+    * Postings come from the MATERIALIZED index ([[MaterializedIndex]]):
+    * this plan consumes the postings relation from four branches (df,
+    * dot-product join, norms, query side), and Catalyst's exchange reuse
+    * cannot unify them once column pruning specializes each branch — from
+    * the raw corpus that would mean four full tokenize passes, from the
+    * index it is four cheap columnar scans of the already-aggregated
+    * postings. (Build-once/query-many, the reference's own operating mode.)
     */
   def docSimilarity(spark: SparkSession, sfDir: String,
                     nQueryDocs: Int, k: Int): DataFrame = {
-    val p = Indexer.postings(spark, sfDir)
+    // weights sit behind a repartition(term) exchange: term is the
+    // dot-product join key, so the join needs no further shuffle
+    val p = spark.read.parquet(MaterializedIndex.ensure(spark, sfDir))
+      .select(col("term"), col("doc_id"), col("tf"))
+      .repartition(col("term"))
     val n = graft.sources.Tables.documents(spark, sfDir)
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val df = p.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
@@ -99,6 +111,7 @@ object IndexQueries {
       .filter(col("df") * 10 <= col("n_docs") * 9)
       .select(col("term"), col("doc_id"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .repartition(col("term"))
     val norms = weights.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val qw = weights.filter(col("doc_id") < nQueryDocs)
