@@ -39,19 +39,23 @@ object IndexQueries {
       .orderBy("doc_id", "rnk")
   }
 
-  /** Terms two documents share (INTERSECT of their vocabularies). */
+  /** Terms two documents share (INTERSECT of their vocabularies) — both
+    * sides read the materialized index, not a fresh tokenize per branch.
+    */
   def commonTerms(spark: SparkSession, sfDir: String,
                   docA: Long, docB: Long): DataFrame = {
-    val p = Indexer.postings(spark, sfDir)
+    val p = MaterializedIndex.postings(spark, sfDir)
     p.filter(col("doc_id") === docA).select("term")
       .intersect(p.filter(col("doc_id") === docB).select("term"))
       .orderBy("term")
   }
 
-  /** Terms in document A but not B (EXCEPT of vocabularies). */
+  /** Terms in document A but not B (EXCEPT of vocabularies) — served from
+    * the materialized index like [[commonTerms]].
+    */
   def termsOnlyIn(spark: SparkSession, sfDir: String,
                   docA: Long, docB: Long): DataFrame = {
-    val p = Indexer.postings(spark, sfDir)
+    val p = MaterializedIndex.postings(spark, sfDir)
     p.filter(col("doc_id") === docA).select("term")
       .except(p.filter(col("doc_id") === docB).select("term"))
       .orderBy("term")

@@ -156,12 +156,15 @@ object Indexer {
       .orderBy(desc("total_tf"), col("doc_id"))
 
   /** tf-idf ranking, top-k documents per term (SURVEY.md §2.1).
-    * idf = ln(N / df); the df side is a groupBy on term only, joined back —
-    * both aggregations shuffle on `term`, so Catalyst reuses the exchange.
+    * idf = ln(N / df); the df side is a groupBy on term only, joined back.
+    * Both branches read the MATERIALIZED index (one tokenize ever, two
+    * cheap postings scans — see [[MaterializedIndex.postings]]).
     * Scores rounded so the DuckDB oracle hash-matches bit-for-bit.
+    * The per-term window is rank-limit-pushed by Spark 4's
+    * WindowGroupLimit (partial top-k before the shuffle).
     */
   def tfIdfTopK(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val p = postings(spark, sfDir)
+    val p = MaterializedIndex.postings(spark, sfDir)
     // corpus size as a broadcast 1-row aggregate, not a driver-side action —
     // keeps the whole plan lazy/distributed
     val n = Tables.documents(spark, sfDir)

@@ -33,6 +33,18 @@ object MaterializedIndex {
       path
     })
 
+  /** The postings relation served from the materialized index — the
+    * build-once/query-many source for every operator that consumes
+    * postings from MULTIPLE plan branches (tf-idf, doc similarity, set
+    * algebra): column pruning specializes per-branch subtrees so exchange
+    * reuse cannot unify them, and from the raw corpus each branch would
+    * re-tokenize everything; from the index each branch is a cheap
+    * columnar scan of already-aggregated rows.
+    */
+  def postings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(ensure(spark, sfDir))
+      .select(col("term"), col("doc_id"), col("tf"))
+
   /** Term lookup served from the materialized index: prunes to ONE letter
     * partition (asserted in IndexerSpec), reads postings already aggregated
     * — no corpus scan, no shuffle beyond the final tiny sort.
