@@ -67,6 +67,7 @@ object SparkEntry {
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
     // — similarity search —
     "q_multimodal_stats" -> ((s, d) => Multimodal.featureStats(s, d)),
+    "q_frame_sample"   -> ((s, d) => Multimodal.frameSampleStats(s, d, 4)),
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
     "q_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d, 10, 10)),
@@ -421,6 +422,23 @@ object SparkEntry {
         |SELECT kind, count(*) AS n, round(avg(n_bytes), 4) AS avg_bytes,
         |       round(avg(f0), 4) AS avg_f0
         |FROM a GROUP BY kind ORDER BY kind""".stripMargin,
+    // The frame-sampling oracle recomputes the chunk/sample geometry purely
+    // from payload lengths (frames of 256 bytes, every 4th sampled), while
+    // the Spark side aggregates the ACTUAL emitted frame rows — an
+    // independent check of the mapPartitions fan-out.
+    "q_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT asset_id, nb,
+        |         CAST(ceil(nb / 256.0) AS INTEGER) AS n_frames
+        |  FROM v WHERE nb > 0)
+        |SELECT asset_id, n_frames,
+        |       CAST(len(range(0, n_frames, 4)) AS INTEGER) AS n_sampled,
+        |       CAST(list_sum(list_transform(range(0, n_frames, 4),
+        |            i -> least(256, nb - i * 256))) AS INTEGER) AS bytes_sampled
+        |FROM f ORDER BY asset_id""".stripMargin,
     // — similarity —
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

@@ -85,4 +85,84 @@ object Multimodal {
         round(avg(col("n_bytes")), 4).as("avg_bytes"),
         round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
       .orderBy("kind")
+
+  // ——— resize (images) ———
+
+  case class Thumb(asset_id: Long, width: Int, height: Int,
+                   target_w: Int, target_h: Int, thumb: Array[Byte])
+
+  /** STUB resize: a real implementation would decode + bilinear-resample
+    * here. Deterministic fake: nearest-neighbor byte sampling of the
+    * payload down to target_w×target_h "pixels", so output size and values
+    * are exactly assertable while the Spark plumbing (typed batch map,
+    * per-partition codec init point) is the real pattern.
+    */
+  private[graft] def resizeStub(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    if (payload.nonEmpty) {
+      var j = 0
+      while (j < out.length) {
+        out(j) = payload(((j.toLong * payload.length) / out.length).toInt)
+        j += 1
+      }
+    }
+    out
+  }
+
+  /** Partition-wise thumbnail generation over the image assets. */
+  def resizeImages(spark: SparkSession, sfDir: String,
+                   targetW: Int, targetH: Int): Dataset[Thumb] = {
+    import spark.implicits._
+    assets(spark, sfDir).filter(col("kind") === "image").as[Asset]
+      .mapPartitions { it =>
+        // per-partition init of the (stub) image library would happen here
+        it.map(a => Thumb(a.asset_id, a.width, a.height, targetW, targetH,
+          resizeStub(a.payload, targetW, targetH)))
+      }
+  }
+
+  // ——— frame sampling (video) ———
+
+  val FrameBytes = 256
+
+  case class Frame(asset_id: Long, n_frames: Int, frame_idx: Int,
+                   n_bytes: Int, data: Array[Byte])
+
+  /** Sample every `every`-th fixed-size "frame" (byte chunk) of each video
+    * payload — the keyframe-extraction batch shape: one row per sampled
+    * frame, emitted lazily from `mapPartitions` (a real codec would seek;
+    * the chunking is the deterministic stand-in). The per-asset fan-out
+    * happens inside the partition — no shuffle, no driver involvement.
+    */
+  def sampleFrames(spark: SparkSession, sfDir: String,
+                   every: Int): Dataset[Frame] = {
+    import spark.implicits._
+    assets(spark, sfDir).filter(col("kind") === "video").as[Asset]
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val n = (a.payload.length + FrameBytes - 1) / FrameBytes
+          (0 until n by every).iterator.map { i =>
+            val start = i * FrameBytes
+            val len = math.min(FrameBytes, a.payload.length - start)
+            Frame(a.asset_id, n, i, len,
+              java.util.Arrays.copyOfRange(a.payload, start, start + len))
+          }
+        }
+      }
+  }
+
+  /** Per-video frame-sampling stats over the REAL frame rows (not derived
+    * arithmetically): total frames, sampled count, sampled bytes. The
+    * DuckDB oracle recomputes the same numbers independently from payload
+    * lengths, verifying the chunk/sample geometry end-to-end.
+    */
+  def frameSampleStats(spark: SparkSession, sfDir: String,
+                       every: Int): DataFrame =
+    sampleFrames(spark, sfDir, every).toDF()
+      .groupBy(col("asset_id"))
+      .agg(
+        first(col("n_frames")).as("n_frames"),
+        count(lit(1)).cast("int").as("n_sampled"),
+        sum(col("n_bytes")).cast("int").as("bytes_sampled"))
+      .orderBy("asset_id")
 }

@@ -29,6 +29,36 @@ class MultimodalStreamingSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n")).sum === 500L)
   }
 
+  test("multimodal resize: exact thumbnail size, deterministic bytes") {
+    val thumbs = Multimodal.resizeImages(spark, sf, 8, 8).collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach { t =>
+      assert(t.thumb.length === 64)
+      assert(t.target_w === 8 && t.target_h === 8)
+    }
+    // determinism vs a driver-side recompute of one asset
+    val one = Multimodal.assets(spark, sf)
+      .filter("kind = 'image'").orderBy("asset_id")
+      .select("asset_id", "payload").as[(Long, Array[Byte])].head()
+    val expected = Multimodal.resizeStub(one._2, 8, 8)
+    assert(thumbs.find(_.asset_id == one._1).get.thumb.sameElements(expected))
+  }
+
+  test("multimodal frame sampling: frames tile the payload, stride respected") {
+    val frames = Multimodal.sampleFrames(spark, sf, 4).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_idx % 4 === 0)
+      assert(f.n_bytes > 0 && f.n_bytes <= Multimodal.FrameBytes)
+      assert(f.data.length === f.n_bytes)
+    }
+    // per-asset: sampled count matches ceil(n_frames / 4)
+    frames.groupBy(_.asset_id).foreach { case (_, fs) =>
+      val n = fs.head.n_frames
+      assert(fs.length === (n + 3) / 4)
+    }
+  }
+
   test("streaming hourly rollup == batch hourly rollup") {
     val watch = java.nio.file.Files.createTempDirectory("graft_stream_ev").toString
     graft.sources.Tables.events(spark, sf)
