@@ -60,6 +60,8 @@ object SparkEntry {
     "q_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(s, d, 50, 10)),
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
+    "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
     // — dedup —
     "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
@@ -332,6 +334,28 @@ object SparkEntry {
          |       WHEN score_de > score_en THEN 'de'
          |       ELSE 'en' END AS predicted_lang
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      s"""WITH $toksCte, s AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 98 THEN 'train'
+         |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 99 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM toks)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH $toksCte, t AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
     // — dedup —
     "q_exact_dedup" ->
       """WITH f AS (SELECT doc_id, sha256(text) AS fp FROM documents),

@@ -124,6 +124,43 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Deterministic train/val/test split assignment — the
+    * reproducible-split step of a training-data pipeline. Bucket =
+    * multiplicative hash of doc_id (Knuth's 2654435761 mod 2^32), pure
+    * integer arithmetic so the oracle reproduces it exactly; 98/1/1 by
+    * bucket range. Map-side only.
+    */
+  def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
+        when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("split")
+  }
+
+  /** Greedy sequence packing: concatenate documents in doc_id order and
+    * cut packs every `budget` tokens (a doc belongs to the pack its first
+    * token lands in) — the sample-packing step that turns variable-length
+    * docs into fixed context windows. The cumulative token count uses
+    * [[Scan.prefixSum]], the two-phase distributed scan, NOT a global
+    * cumsum window (which would funnel the corpus through one partition).
+    */
+  def packSequences(spark: SparkSession, sfDir: String, budget: Int): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    Scan.prefixSum(toks, "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+
   /** Content fingerprinting via md5 (portable, exact): every doc with its
     * fingerprint and how many docs share it — the duplicate-cluster map.
     */
