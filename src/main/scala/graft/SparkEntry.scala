@@ -58,6 +58,7 @@ object SparkEntry {
     "q_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_token_counts"   -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_rolling_fp"     -> ((s, d) => TextAnalysis.rollingFingerprints(s, d)),
     "q_chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(s, d, 50, 10)),
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
@@ -320,6 +321,13 @@ object SparkEntry {
         |g AS (SELECT fp, count(*) AS n_same_fp FROM f GROUP BY fp)
         |SELECT doc_id, f.fp, n_same_fp FROM f JOIN g USING (fp)
         |ORDER BY doc_id""".stripMargin,
+    "q_rolling_fp" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(ts, w -> CAST(length(w) * 256 + ord(w[1]) AS BIGINT))),
+         |         (acc, t) -> (acc * 31 + t) % 1000000007) AS rolling_fp
+         |FROM toks ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       s"""WITH $toksCte, scored AS (
          |  SELECT doc_id, lang AS labeled_lang,

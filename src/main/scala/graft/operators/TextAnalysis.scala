@@ -171,6 +171,26 @@ object TextAnalysis {
     d.join(sizes, "fp").select("doc_id", "fp", "n_same_fp").orderBy("doc_id")
   }
 
+  /** Polynomial rolling-hash fingerprint over the TOKEN stream (Rabin-Karp
+    * style): h = fold(h·31 + t mod p) with t = 256·len(w) + ascii(w[0]) —
+    * the order-sensitive fingerprint a chunk-level dedup uses (md5 above is
+    * content-exact; this one is recomputable incrementally over a sliding
+    * window). Pure integer arithmetic (products ≤ 31·p + t < 2^35), so the
+    * DuckDB oracle folds the identical recurrence with list_reduce. One
+    * codegen'd `aggregate` HOF per row — map-side only.
+    */
+  def rollingFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1000000007L
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        aggregate(col("ts"), lit(0L),
+          (acc, w) => (acc * 31 + length(w).cast("long") * 256 + ascii(w)) % p)
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Marker-word language-ID heuristic: score = |distinct tokens ∩ marker
     * set| per language, prediction = argmax (deterministic tie-break by
     * language order). With the synthetic corpus every doc scores 'en';
