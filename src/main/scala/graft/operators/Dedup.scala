@@ -37,22 +37,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle).
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle), MATERIALIZED
+    * once per corpus per JVM (like [[MaterializedIndex]]) — the
+    * shingle-once design every real dedup pipeline uses at scale.
     *
-    * Tokenization runs in its own projection (see
-    * [[graft.functions.TextFunctions.shinglesOfTokens]]), and the result
-    * sits behind a `repartition(doc_id)` exchange: every consumer of the
-    * shingle index (signature agg, both sides of the candidate self-join,
-    * the verify step) then REUSES one materialized exchange instead of
-    * re-tokenizing the corpus per plan branch — Catalyst's ReuseExchange
-    * turns ~5 corpus scans into 1.
+    * The dedup plans consume this relation from many branches (global
+    * shingle frequencies, both sides of the candidate self-join, the
+    * exact-verify step, per-doc sizes, MinHash signatures); exchange reuse
+    * cannot unify them once column pruning specializes each branch, so an
+    * un-materialized shingle pipeline re-tokenizes the corpus per branch.
+    * From parquet, each branch is a cheap two-column scan.
     */
   private[graft] def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"),
-        explode(array_distinct(shinglesOfTokens(col("ts"), 3))).as("sh"))
-      .repartition(col("doc_id"))
+    spark.read.parquet(ensureShingles(spark, sfDir))
+
+  private val shinglesBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def ensureShingles(spark: SparkSession, sfDir: String): String =
+    shinglesBuilt.getOrElseUpdate(sfDir, {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_shingles_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          explode(array_distinct(shinglesOfTokens(col("ts"), 3))).as("sh"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
 
   /** Exact-verify candidate pairs: intersect counts from the shingle index
     * restricted to candidates, Jaccard from |A|+|B|−|A∩B|. Shared by the
