@@ -23,13 +23,29 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship: inverted-index build over the documents corpus — the entire
-    * reference dataflow (`/root/reference/helper_map.c:166` →
-    * `helper_reduce.c:153`) as one declarative plan. Driver smoke-checks
+  /** Flagship: the full index LIFECYCLE the reference operates —
+    * build the letter-partitioned index (`/root/reference/helper_map.c:166`
+    * → `helper_reduce.c:153`), incrementally re-index one changed document
+    * (replacing the reference's duplicating `a+` append,
+    * `helper_reduce.c:241`), then SERVE lookups from the materialized
+    * index with partition pruning (`helper_reduce.c:238-242`). The first
+    * returned posting ("graftmarker") can only exist if the upsert landed;
+    * the rest prove ordinary serving still works. Driver smoke-checks
     * rows>0 at sf0.001.
     */
-  def entry(spark: SparkSession): DataFrame =
-    Indexer.indexBuild(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val sfDir = "/root/testdata/sf0.001"
+    val indexPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_entry_index").getAbsolutePath
+    Indexer.writeIndex(spark, sfDir, indexPath)
+    val updated = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0)
+      .withColumn("text", concat(col("text"), lit(" graftmarker")))
+    Indexer.upsertIntoIndex(spark, indexPath, updated)
+    Indexer.lookupInIndex(spark, indexPath, "graftmarker")
+      .unionAll(Indexer.lookupInIndex(spark, indexPath, "the"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — inverted index (reference parity) —
@@ -68,6 +84,7 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    "q_dup_clusters"   -> ((s, d) => Dedup.dupClusters(s, d, 0.8)),
     // — similarity search —
     "q_multimodal_stats" -> ((s, d) => Multimodal.featureStats(s, d)),
     "q_frame_sample"   -> ((s, d) => Multimodal.frameSampleStats(s, d, 4)),
@@ -399,6 +416,33 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components are expressible in ANSI SQL via a recursive
+    // CTE: reach(v,l) enumerates every (vertex, reachable-label) pair over
+    // the symmetric near-dup edge list, so MIN(l) per v is the component
+    // minimum — exactly the iterative min-label-propagation fixpoint.
+    "q_dup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v)
+         |SELECT v AS doc_id, cluster_id, CAST(cnt AS BIGINT) AS cluster_size
+         |FROM labels
+         |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // q_ann_topk IS oracle-checkable: the LSH hyperplanes are seeded,
     // data-independent constants, embedded below as literals; the sign-bit
     // bucketing uses the same double-exact dot products as the cosine

@@ -212,4 +212,59 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Duplicate CLUSTERS: connected components over the exact near-dup pair
+    * graph, labeling every clustered doc with the min doc_id of its
+    * component — the canonical post-LSH step of a real dedup pipeline
+    * (pairs alone can't pick keepers once duplicates chain A~B~C).
+    *
+    * Spark-first iterative min-label propagation: labels(v) starts at v;
+    * each round takes the min over v's neighborhood; a fixpoint is a valid
+    * component labeling. The loop is a DRIVER loop over DataFrame ops —
+    * the same shape GraphX/GraphFrames use — with `localCheckpoint` per
+    * round to truncate lineage (on a cluster: `checkpoint` to reliable
+    * storage). Scale posture: the graph is the DEDUP OUTPUT (pairs ≪
+    * corpus), every round is one shuffle of that small edge set, and
+    * rounds ≤ component diameter (near-dup clusters are shallow; the cap
+    * of 50 covers a 2^50-vertex path in the small-star worst case).
+    */
+  def dupClusters(spark: SparkSession, sfDir: String,
+                  threshold: Double): DataFrame =
+    dupClustersFromPairs(spark,
+      ngramJaccardPairs(spark, sfDir, threshold).select("doc_a", "doc_b"))
+
+  private[graft] def dupClustersFromPairs(spark: SparkSession,
+                                          pairs: DataFrame): DataFrame = {
+    // symmetric edge list, materialized once — reused every round
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val viaEdges = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("l"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("v").agg(min("l").as("l"))
+        .localCheckpoint(true)
+      // labels only ever decrease: zero changed rows ⇒ fixpoint
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.l") =!= col("o.l"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("l").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
 }

@@ -54,4 +54,37 @@ class DedupSpec extends SparkTestBase {
     assert(planted.subsetOf(pairs),
       s"simhash missed ${(planted -- pairs).size} of ${planted.size} planted pairs")
   }
+
+  test("dupClusters: min-label propagation matches brute-force components") {
+    // chain 1-2-3 (transitivity), pair 10-11, triangle 20-21-22, long
+    // path 30..34 (forces >1 propagation round), singleton edge 40-41
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClustersFromPairs(spark, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L),
+      (30L, 30L, 5L), (31L, 30L, 5L), (32L, 30L, 5L),
+      (33L, 30L, 5L), (34L, 30L, 5L),
+      (40L, 40L, 2L), (41L, 40L, 2L))
+    assert(got === want)
+  }
+
+  test("dupClusters on the corpus: every near-dup pair lands in one cluster") {
+    val labels = Dedup.dupClusters(spark, sf, 0.8)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, c, _) => d -> c }.toMap
+    val pairs = Dedup.ngramJaccardPairs(spark, sf, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster label is the component minimum, so each label labels itself
+    labels.values.toSet.foreach((c: Long) => assert(labels(c) === c))
+  }
 }
