@@ -79,6 +79,13 @@ object SparkEntry {
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(s, d, Map("en" -> 25), 60)),
+    "q_sample_stats"   -> ((s, d) =>
+      Sampling.stratifiedSampleStats(s, d, Map("en" -> 25), 60)),
+    // — privacy / PII hygiene —
+    "q_pii_mask"       -> ((s, d) => Privacy.pseudonymizeCustomers(s, d)),
+    "q_pseudonym_join" -> ((s, d) => Privacy.ordersByPseudonym(s, d)),
     // — dedup —
     "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
@@ -381,6 +388,41 @@ object SparkEntry {
          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+    // deterministic (Knuth-hash) stratified sampling: integer-only keep
+    // rule — bit-identical across engines
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+        |      CASE WHEN lang = 'en' THEN 25 ELSE 60 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stats" ->
+      """WITH k AS (
+        |  SELECT lang, CASE WHEN lang = 'en' THEN 25 ELSE 60 END AS req_pct,
+        |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 <
+        |              CASE WHEN lang = 'en' THEN 25 ELSE 60 END
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT lang, req_pct, count(*) AS n_total,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(kept) AS BIGINT) * 100.0 / count(*), 4) AS got_pct
+        |FROM k GROUP BY lang, req_pct ORDER BY lang""".stripMargin,
+    // — privacy: Knuth-hash pseudonyms + regex masking + integer
+    // generalization, all engine-exact —
+    "q_pii_mask" ->
+      """SELECT c_custkey,
+        |       (c_custkey * 2654435761) % 4294967296 AS pseudo_key,
+        |       regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+        |       CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500) * 500 AS BIGINT) AS acctbal_bucket,
+        |       c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_pseudonym_join" ->
+      """WITH a AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT (o_custkey * 2654435761) % 4294967296 AS pseudo_key,
+        |       n_orders, CAST(rev AS DOUBLE) AS revenue
+        |FROM a ORDER BY pseudo_key""".stripMargin,
     // — dedup —
     "q_exact_dedup" ->
       """WITH f AS (SELECT doc_id, sha256(text) AS fp FROM documents),
