@@ -110,6 +110,7 @@ object SparkEntry {
     "q_value_percentiles" -> ((s, d) => Relational.valuePercentiles(s, d)),
     "q_cust_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_supp_with_ship" -> ((s, d) => Relational.suppliersWithShipments(s, d)),
+    "q_bucketed_join"  -> ((s, d) => Bucketing.bucketedOrderRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
@@ -662,6 +663,15 @@ object SparkEntry {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
         |ORDER BY s_suppkey""".stripMargin,
+    // bucketing changes the physical layout only — the oracle is the plain
+    // logical join (BucketingSpec asserts the bucketed plan is
+    // exchange-free; this checks it is also lossless)
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
     // — events —
     "q_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
