@@ -518,9 +518,33 @@ object SparkEntry {
          |      FROM scored)
          |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
-    // q_simhash / q_ivf_topk: Spark-native hashing (murmur3 / xxhash64) or
-    // data-dependent k-means centroids — not reproducible in static DuckDB
-    // SQL; rows-only check + ScalaTest spec vs exact baseline.
+    // q_ivf_topk: data-dependent k-means centroids — not reproducible in
+    // static DuckDB SQL; rows-only check + ScalaTest recall spec.
+    // q_simhash IS oracle-checkable since the token hash is a two-modulus
+    // polynomial char-fold (Dedup.polyHash) — exact Int64 arithmetic both
+    // engines reproduce bit-for-bit.
+    "q_simhash" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, t AS term, count(*) AS tf
+         |        FROM toks, unnest(ts) AS u(t) GROUP BY 1, 2),
+         |v AS (SELECT DISTINCT term FROM tok),
+         |vh AS (SELECT term,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*131+c) % 2147483647) AS h1,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*257+c) % 4294967291) AS h2
+         | FROM v),
+         |th AS (SELECT doc_id, tf, h1*4294967296 + h2 AS h
+         |       FROM tok JOIN vh USING (term)),
+         |bits AS (SELECT doc_id, i,
+         |           sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1
+         |               THEN tf ELSE -tf END) AS s
+         |         FROM th, unnest(range(0, 64)) t(i) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0
+         |  THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // — multimodal —
     // The payload is the utf-8 text bytes (ASCII corpus: byte == ord(char)),
     // and the stub decoder's feature[0] is an exact integer byte-fold over
