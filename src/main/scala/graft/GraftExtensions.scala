@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.FunctionRegistryBridge
+
+import graft.functions.CosineSimilarity
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in —
+  * the (c) rung of the custom-operator ladder
+  * (SparkSessionExtensions-based integration).
+  *
+  * Two entry points:
+  *  - config: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (applies to every session the driver builds);
+  *  - programmatic: [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) triples for every graft SQL function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b) takes two arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+
+  /** Register every graft function into a live session's registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, b) =>
+      FunctionRegistryBridge.register(spark, id, info, b)
+    }
+}

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_cust_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_supp_with_ship" -> ((s, d) => Relational.suppliersWithShipments(s, d)),
     "q_bucketed_join"  -> ((s, d) => Bucketing.bucketedOrderRevenue(s, d)),
+    "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
@@ -696,6 +697,13 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderstatus
         |ORDER BY o_orderkey""".stripMargin,
+    // salting changes shuffle routing only — the oracle is the plain join
+    "q_skew_join" ->
+      """SELECT l_suppkey AS suppkey, s_name, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY l_suppkey, s_name
+        |ORDER BY suppkey""".stripMargin,
     // — events —
     "q_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
