@@ -68,6 +68,7 @@ object SparkEntry {
     "q_doc_similarity" -> ((s, d) => IndexQueries.docSimilarity(s, d, 5, 5)),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
     "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
+    "q_views_before_purchase" -> ((s, d) => Events.viewsBeforePurchase(s, d)),
     // — text analysis —
     "q_doc_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q_rolling_fp"     -> ((s, d) => TextAnalysis.rollingFingerprints(s, d)),
     "q_chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(s, d, 50, 10)),
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_bigram_counts"  -> ((s, d) => TextAnalysis.ngramCounts(s, d, 2, 20)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
     "q_stratified_sample" -> ((s, d) =>
@@ -390,6 +392,12 @@ object SparkEntry {
          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+    "q_bigram_counts" ->
+      s"""WITH $toksCte, g AS (
+         |  SELECT ts[i] || ' ' || ts[i+1] AS gram
+         |  FROM toks, unnest(range(1, len(ts))) AS t(i))
+         |SELECT gram, count(*) AS n FROM g
+         |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     // deterministic (Knuth-hash) stratified sampling: integer-only keep
     // rule — bit-identical across engines
     "q_stratified_sample" ->
@@ -731,6 +739,19 @@ object SparkEntry {
         |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS duration_s
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+    // interval join: the oracle is the naive range join; the Spark plan
+    // bins time so candidates stay bounded (Events.viewsBeforePurchase)
+    "q_views_before_purchase" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS v_ms
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ms AS purchase_ms,
+        |       CAST(count(v.v_ms) AS BIGINT) AS n_views_1h
+        |FROM p LEFT JOIN v
+        |  ON v.user_id = p.user_id
+        | AND v.v_ms > p.ms - 3600000 AND v.v_ms <= p.ms
+        |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
     "q_asof_purchase_view" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
         |           FROM events WHERE event_type = 'purchase'),

@@ -138,6 +138,35 @@ object Events {
       .orderBy("user_id", "p_id")
   }
 
+  /** Views within the hour before each purchase — an INTERVAL JOIN,
+    * executed with time-bin bucketing instead of a per-user cross join:
+    * each view maps to its hour bin, each purchase explodes to the (at
+    * most two) bins its 1-hour lookback can touch, the join runs on
+    * (user_id, bin) equality, and the exact range predicate filters the
+    * bounded candidate set. Candidates per purchase ≈ that user's views
+    * in 2 hour-bins — independent of history length, so the plan survives
+    * an unbounded event log where the naive range join (user_id equality
+    * + inequality only) degenerates to P×V per user.
+    */
+  def viewsBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val HourMs = 3600000L
+    val ev = Tables.events(spark, sfDir).withColumn("ms", unix_millis(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ms").as("v_ms"),
+        floor(col("ms") / HourMs).as("bin"))
+    val pBinned = p.withColumn("bin",
+      explode(array(floor(col("ms") / HourMs), floor(col("ms") / HourMs) - 1)))
+    val counts = pBinned.join(v, Seq("user_id", "bin"))
+      .filter(col("v_ms") > col("ms") - HourMs && col("v_ms") <= col("ms"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_views"))
+    p.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        coalesce(col("n_views"), lit(0L)).as("n_views_1h"))
+      .orderBy("event_id")
+  }
+
   /** Top-5 most active users by event count, with their span of activity. */
   def topUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

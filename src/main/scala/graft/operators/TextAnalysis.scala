@@ -221,4 +221,19 @@ object TextAnalysis {
       })
       .orderBy("doc_id")
   }
+
+  /** Corpus n-gram counts, top-k by frequency (ties broken by gram) — the
+    * language-model co-occurrence statistic over the whole corpus. One
+    * wordcount-shaped shuffle (map-side partial counts on the exploded
+    * grams), then TakeOrdered for the global top-k — no full sort, no
+    * single-reducer funnel.
+    */
+  def ngramCounts(spark: SparkSession, sfDir: String, n: Int,
+                  topK: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(shinglesOfTokens(col("ts"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("gram"))
+      .limit(topK)
 }
