@@ -94,6 +94,7 @@ object SparkEntry {
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q_dup_clusters"   -> ((s, d) => Dedup.dupClusters(s, d, 0.8)),
+    "q_curated_corpus" -> ((s, d) => Curate.curateCorpus(s, d)),
     // — similarity search —
     "q_multimodal_stats" -> ((s, d) => Multimodal.featureStats(s, d)),
     "q_frame_sample"   -> ((s, d) => Multimodal.frameSampleStats(s, d, 4)),
@@ -494,6 +495,36 @@ object SparkEntry {
          |FROM labels
          |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
          |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    // curation = exact-dedup keepers ∖ near-dup component losers, gated
+    // on token count — composed from the already-verified stage oracles
+    "q_curated_corpus" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v),
+         |nl AS (SELECT v AS doc_id FROM labels WHERE cluster_id <> v),
+         |ek AS (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, sha256(text) AS fp FROM documents)
+         |       GROUP BY fp),
+         |t AS (SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT t.doc_id, t.lang, t.n_tokens
+         |FROM t JOIN ek USING (doc_id)
+         |WHERE NOT EXISTS (SELECT 1 FROM nl WHERE nl.doc_id = t.doc_id)
+         |  AND t.n_tokens BETWEEN 10 AND 5000
          |ORDER BY doc_id""".stripMargin,
     // q_ann_topk IS oracle-checkable: the LSH hyperplanes are seeded,
     // data-independent constants, embedded below as literals; the sign-bit

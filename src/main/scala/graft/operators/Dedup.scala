@@ -246,8 +246,29 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, sfDir: String,
                   threshold: Double): DataFrame =
-    dupClustersFromPairs(spark,
-      ngramJaccardPairs(spark, sfDir, threshold).select("doc_a", "doc_b"))
+    spark.read.parquet(ensureClusters(spark, sfDir, threshold))
+      .orderBy("doc_id")
+
+  private val clustersBuilt =
+    scala.collection.concurrent.TrieMap[(String, Double), String]()
+
+  /** Cluster labels MATERIALIZED once per (corpus, threshold) per JVM —
+    * like [[shingleIndex]]: the labeling is consumed by dup-cluster
+    * reporting AND by corpus curation ([[Curate.curateCorpus]]), and the
+    * PPJoin + propagation that produces it is the most expensive plan in
+    * the suite; every consumer after the first reads a 3-column parquet.
+    */
+  private def ensureClusters(spark: SparkSession, sfDir: String,
+                             threshold: Double): String =
+    clustersBuilt.getOrElseUpdate((sfDir, threshold), {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_dupclusters_" + Integer.toHexString(sfDir.hashCode) +
+          "_" + (threshold * 100).toInt).getAbsolutePath
+      dupClustersFromPairs(spark,
+        ngramJaccardPairs(spark, sfDir, threshold).select("doc_a", "doc_b"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
 
   private[graft] def dupClustersFromPairs(spark: SparkSession,
                                           pairs: DataFrame): DataFrame = {
