@@ -69,6 +69,7 @@ object SparkEntry {
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
     "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
     "q_views_before_purchase" -> ((s, d) => Events.viewsBeforePurchase(s, d)),
+    "q_funnel"         -> ((s, d) => Events.conversionFunnel(s, d)),
     // — text analysis —
     "q_doc_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(s, d)),
@@ -79,6 +80,7 @@ object SparkEntry {
     "q_chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(s, d, 50, 10)),
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_bigram_counts"  -> ((s, d) => TextAnalysis.ngramCounts(s, d, 2, 20)),
+    "q_typo_pairs"     -> ((s, d) => TextAnalysis.typoPairs(s, d, 2)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
     "q_stratified_sample" -> ((s, d) =>
@@ -399,6 +401,16 @@ object SparkEntry {
          |  FROM toks, unnest(range(1, len(ts))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // FastSS candidates are an optimization only — the oracle is the
+    // naive all-pairs edit-distance join over the (small) vocabulary
+    "q_typo_pairs" ->
+      s"""WITH $toksCte, v AS (
+         |  SELECT DISTINCT t AS term FROM toks, unnest(ts) AS u(t))
+         |SELECT a.term AS term_a, b.term AS term_b,
+         |       CAST(levenshtein(a.term, b.term) AS INTEGER) AS dist
+         |FROM v a JOIN v b
+         |  ON a.term < b.term AND levenshtein(a.term, b.term) BETWEEN 1 AND 2
+         |ORDER BY term_a, term_b""".stripMargin,
     // deterministic (Knuth-hash) stratified sampling: integer-only keep
     // rule — bit-identical across engines
     "q_stratified_sample" ->
@@ -783,6 +795,23 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.v_ms > p.ms - 3600000 AND v.v_ms <= p.ms
         |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t1
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t1
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t2
+        |      GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT 2, 'click_after_view', count(*) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase_after_click', count(*) FROM p
+        |ORDER BY stage_idx""".stripMargin,
     "q_asof_purchase_view" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
         |           FROM events WHERE event_type = 'purchase'),

@@ -167,6 +167,36 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * stage k+1 only with an event strictly AFTER their stage-k time
+    * (first-touch semantics: t1 = first view, t2 = first click > t1,
+    * t3 = first purchase > t2). Each stage is one hash aggregation on
+    * user_id plus a semi-shaped join against the (shrinking) previous
+    * stage — no windows over the whole event log, no funnels through a
+    * single partition.
+    */
+  def conversionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ms") > col("t1"))
+      .groupBy("user_id").agg(min(col("ms")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ms") > col("t2"))
+      .groupBy("user_id").agg(min(col("ms")).as("t3"))
+    def stage(df: DataFrame, idx: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "click_after_view"))
+      .unionAll(stage(p, 3, "purchase_after_click"))
+      .orderBy("stage_idx")
+  }
+
   /** Top-5 most active users by event count, with their span of activity. */
   def topUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -236,4 +236,45 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("gram"))
       .limit(topK)
+
+  /** Vocabulary spelling-variant pairs within edit distance `maxDist`
+    * (≤ 2), via the FastSS / symmetric-deletion candidate rule:
+    * ed(a,b) ≤ k  ⟺  the ≤k-deletion neighborhoods of a and b intersect.
+    * Candidates come from an equality join on deletion variants —
+    * |vocab| · O(len²) rows, NOT the |vocab|² cross join — then exact
+    * `levenshtein` verification removes false positives. All candidate
+    * generation is built-in array/lambda expressions (codegen'd); the
+    * oracle cross-checks with a naive all-pairs levenshtein.
+    */
+  def typoPairs(spark: SparkSession, sfDir: String,
+                maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "supported distances: 1, 2")
+    val t = col("term")
+    val L = length(t)
+    // delete char at 0-based i (1-based substr arithmetic)
+    val del1 = transform(sequence(lit(0), L - 1),
+      i => concat(t.substr(lit(1), i), t.substr(i + 2, L - i - 1)))
+    // delete chars at 0-based i < j
+    val del2 = flatten(transform(sequence(lit(0), L - 2),
+      i => transform(sequence(i + 1, L - 1),
+        j => concat(t.substr(lit(1), i),
+          t.substr(i + 2, j - i - 1),
+          t.substr(j + 2, L - j - 1)))))
+    val vars0 = array_union(array(t), del1)
+    val vars =
+      if (maxDist == 1) vars0
+      else array_union(vars0,
+        when(L >= 2, del2).otherwise(array().cast("array<string>")))
+    val dels = Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("term")).distinct()
+      .select(t, explode(vars).as("variant"))
+    val cand = dels.as("a").join(dels.as("b"), "variant")
+      .where(col("a.term") < col("b.term"))
+      .select(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("term_a"), col("term_b")))
+      .filter(col("dist").between(1, maxDist))
+      .orderBy("term_a", "term_b")
+  }
 }
