@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     "q_embed_neardup"  -> ((s, d) => Similarity.embedNearDupPairs(s, d, 100, 0.3)),
+    "q_quantize_embed" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_unshipped" -> ((s, d) => Relational.q3TopUnshipped(s, d)),
@@ -664,6 +665,31 @@ object SparkEntry {
          |  FROM embeddings)
          |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // int8 quantization: float→double casts, greatest-fold max|x|, explicit
+    // ⌊x+0.5⌋ rounding (engine round() tie-breaks differ), sequential
+    // error fold — every step engine-exact
+    "q_quantize_embed" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, label, xd,
+        |         list_reduce(list_prepend(0.0, xd),
+        |                     (m, v) -> greatest(m, abs(v))) / 127 AS scale_raw
+        |  FROM e0),
+        |s2 AS (
+        |  SELECT vec_id, label, xd,
+        |         CASE WHEN scale_raw = 0 THEN 1.0 ELSE scale_raw END AS scale
+        |  FROM s),
+        |q AS (
+        |  SELECT vec_id, label, xd, scale,
+        |         list_transform(xd, v -> floor(v / scale + 0.5)) AS qv
+        |  FROM s2)
+        |SELECT vec_id, label, round(scale, 8) AS scale,
+        |       CAST(floor(sqrt(list_sum(list_transform(range(1, len(xd)+1),
+        |             i -> (xd[i] - qv[i]*scale) * (xd[i] - qv[i]*scale)))) * 1e6 + 0.5) AS BIGINT) AS err_l2_micro
+        |FROM q ORDER BY vec_id""".stripMargin,
     // — relational —
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

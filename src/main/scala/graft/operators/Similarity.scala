@@ -268,4 +268,42 @@ object Similarity {
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
       .orderBy("label")
+
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * memory/bandwidth cut that makes a 100 TB ANN corpus fit executor
+    * memory: scale = max|x|/127 per vector, qᵢ = ⌊xᵢ/scale + 0.5⌋ ∈
+    * [−127, 127]. Reports the per-vector reconstruction error so the
+    * recall cost of quantization is measurable. Entirely row-local HOF
+    * arithmetic (one projection per derived array — Catalyst does not CSE
+    * lambda expressions), with explicit ⌊x+0.5⌋ rounding because engine
+    * `round()` tie-break rules differ.
+    */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    val scaleRaw = aggregate(col("xd"), lit(0.0),
+      (m, v) => greatest(m, abs(v))) / 127
+    val scale = when(col("scale_raw") === 0, lit(1.0))
+      .otherwise(col("scale_raw"))
+    val qv = transform(col("xd"), v => floor(v / col("scale") + lit(0.5)))
+    val err2 = aggregate(
+      zip_with(col("xd"), col("qv"),
+        (a, b) => (a - b * col("scale")) * (a - b * col("scale"))),
+      lit(0.0), (acc, v) => acc + v)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), xd.as("xd"))
+      .withColumn("scale_raw", scaleRaw)
+      .withColumn("scale", scale)
+      .withColumn("qv", qv)
+      // integer micro-units with explicit ⌊x+0.5⌋: engine round() on a
+      // tie-boundary double diverges; this is exact on identical bits.
+      // The error fold must see the RAW scale, so the rounded display
+      // value gets its alias in a separate projection — aliasing it
+      // "scale" in the same select would capture the fold's reference
+      // via lateral column aliasing.
+      .select(col("vec_id"), col("label"), col("scale"),
+        floor(sqrt(err2) * 1e6 + 0.5).cast("long").as("err_l2_micro"))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 8).as("scale"), col("err_l2_micro"))
+      .orderBy("vec_id")
+  }
 }
