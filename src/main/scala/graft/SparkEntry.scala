@@ -65,6 +65,7 @@ object SparkEntry {
     "q_terms_only_in"  -> ((s, d) => IndexQueries.termsOnlyIn(s, d, 0L, 1L)),
     "q_running_totals" -> ((s, d) => IndexQueries.customerRunningTotals(s, d)),
     "q_vocab_approx"   -> ((s, d) => IndexQueries.vocabApprox(s, d)),
+    "q_shingle_kmv"    -> ((s, d) => IndexQueries.shingleKMV(s, d, 64)),
     "q_doc_similarity" -> ((s, d) => IndexQueries.docSimilarity(s, d, 5, 5)),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
     "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
@@ -402,6 +403,28 @@ object SparkEntry {
          |  FROM toks, unnest(range(1, len(ts))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // KMV cardinality sketch: deterministic function of the data (unlike
+    // HLL) because the hash is the engine-exact polynomial fold — the
+    // whole sketch, k-th minimum and estimate included, is oracle-checked
+    "q_shingle_kmv" ->
+      s"""WITH $toksCte, g AS (
+         |  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)),
+         |hs AS (SELECT
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(sh)+1), i -> CAST(ord(substr(sh,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*131+c) % 2147483647) * 4294967296 +
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(sh)+1), i -> CAST(ord(substr(sh,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*257+c) % 4294967291) AS h
+         |  FROM g),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS kth_min
+         |      FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM hs)
+         |SELECT k, kth_min,
+         |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
+         |       n_exact
+         |FROM m, e""".stripMargin,
     // FastSS candidates are an optimization only — the oracle is the
     // naive all-pairs edit-distance join over the (small) vocabulary
     "q_typo_pairs" ->

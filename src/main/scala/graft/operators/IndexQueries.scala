@@ -149,4 +149,40 @@ object IndexQueries {
         countDistinct(col("term")).as("exact_vocab"),
         approx_count_distinct(col("term"), 0.01).as("approx_vocab"))
       .orderBy("lang")
+
+  /** KMV (k-minimum-values) distinct-count sketch over the corpus shingle
+    * set — the mergeable cardinality sketch whose estimate, unlike HLL's,
+    * is a pure deterministic function of the data: hash every distinct
+    * shingle with the engine-exact polynomial hash, keep the k smallest,
+    * estimate D ≈ (k−1)·H/h₍ₖ₎ (Bar-Yossef et al. 2002). At scale the
+    * k-smallest pass is a TakeOrdered (per-partition top-k, no global
+    * sort), and sketches from shards merge by re-taking k smallest.
+    * Reported next to the EXACT count so the estimate is auditable, and
+    * — because every step is integer/IEEE-exact — the whole sketch is
+    * oracle-checked, not just spec-bounded.
+    */
+  def shingleKMV(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    // same two-modulus fold as Dedup.polyHash, over the shingle string;
+    // hash space H = (2^31 − 1) · 2^32 (h1 strictly below 2^31 − 1 rounds
+    // to the modulus; uniform enough for a cardinality estimate)
+    val sTerm = col("sh")
+    def fold(base: Int, mod: Long) = aggregate(
+      transform(sequence(lit(1), length(sTerm)),
+        i => ascii(sTerm.substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => (acc * base + c) % mod)
+    val h = fold(131, 2147483647L) * lit(4294967296L) + fold(257, 4294967291L)
+    val hs = Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(shinglesOfTokens(col("ts"), 3)).as("sh"))
+      .distinct()
+      .select(h.as("h"))
+    val mins = hs.orderBy("h").limit(k)
+    val H = 2147483647.0 * 4294967296.0
+    mins.agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
+      .crossJoin(hs.agg(count(lit(1)).as("n_exact")))
+      .select(col("k"), col("kth_min"),
+        floor(((col("k") - 1) * lit(H)) / col("kth_min") + 0.5)
+          .cast("long").as("estimate"),
+        col("n_exact"))
+  }
 }
