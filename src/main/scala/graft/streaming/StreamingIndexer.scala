@@ -69,6 +69,20 @@ object StreamingIndexer {
       .queryName(tableName)
       .start()
 
+  /** Append-mode variant of [[startHourlyToMemory]]: a window's row is
+    * emitted exactly once, when the watermark passes its end — the mode
+    * where the 2-hour watermark actually DROPS late data (complete mode
+    * re-emits everything and never discards). Used to spec the late-data
+    * contract.
+    */
+  def startHourlyAppendToMemory(spark: SparkSession, watchDir: String,
+                                tableName: String): StreamingQuery =
+    hourlyRollupStream(spark, watchDir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+
   /** CONTINUOUS INDEX MAINTENANCE: every micro-batch of arriving
     * documents is upserted into the materialized letter-partitioned index
     * via the same partition-targeted overwrite the batch path uses
