@@ -82,6 +82,7 @@ object SparkEntry {
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_bigram_counts"  -> ((s, d) => TextAnalysis.ngramCounts(s, d, 2, 20)),
     "q_typo_pairs"     -> ((s, d) => TextAnalysis.typoPairs(s, d, 2)),
+    "q_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d, 64)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
     "q_stratified_sample" -> ((s, d) =>
@@ -403,6 +404,14 @@ object SparkEntry {
          |  FROM toks, unnest(range(1, len(ts))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // Misra–Gries with k=64 > |vocab| never decrements → provably exact →
+    // the oracle is the plain wordcount (bound-only behavior at small k is
+    // spec-asserted in MisraGriesSpec)
+    "q_heavy_hitters" ->
+      s"""WITH $toksCte
+         |SELECT t AS term, count(*) AS est_count
+         |FROM toks, unnest(ts) AS u(t)
+         |GROUP BY t ORDER BY est_count DESC, term""".stripMargin,
     // KMV cardinality sketch: deterministic function of the data (unlike
     // HLL) because the hash is the engine-exact polynomial fold — the
     // whole sketch, k-th minimum and estimate included, is oracle-checked

@@ -246,6 +246,24 @@ object TextAnalysis {
     * generation is built-in array/lambda expressions (codegen'd); the
     * oracle cross-checks with a naive all-pairs levenshtein.
     */
+  /** Heavy hitters over the token stream via the [[graft.functions.MisraGries]]
+    * sketch: bounded memory (≤ k counters per partition), one partial-
+    * aggregated pass, O(k) result. On this corpus k=64 exceeds the
+    * vocabulary, so the sketch is provably exact and the oracle is the
+    * plain wordcount; at 100 TB the same plan holds with the documented
+    * (N/(k+1))-underestimate bound instead (spec-asserted at small k).
+    * The ≤k-entry sketch is finalized on the driver — that collect is the
+    * POINT of a sketch (constant-size summary), not a scale hazard.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("term")).as[String]
+    val sketch = terms.select(new graft.functions.MisraGries(k).toColumn).head()
+    sketch.toSeq.toDF("term", "est_count")
+      .orderBy(desc("est_count"), col("term"))
+  }
+
   def typoPairs(spark: SparkSession, sfDir: String,
                 maxDist: Int = 2): DataFrame = {
     require(maxDist == 1 || maxDist == 2, "supported distances: 1, 2")
