@@ -71,6 +71,7 @@ object SparkEntry {
     "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
     "q_views_before_purchase" -> ((s, d) => Events.viewsBeforePurchase(s, d)),
     "q_funnel"         -> ((s, d) => Events.conversionFunnel(s, d)),
+    "q_retention"      -> ((s, d) => Events.retentionCohorts(s, d)),
     // — text analysis —
     "q_doc_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(s, d)),
@@ -853,6 +854,13 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.v_ms > p.ms - 3600000 AND v.v_ms <= p.ms
         |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
+    "q_retention" ->
+      """WITH w AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t1
         |           FROM events WHERE event_type = 'view' GROUP BY 1),

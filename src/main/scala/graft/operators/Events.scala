@@ -167,6 +167,26 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Weekly retention cohorts: users grouped by their first-activity
+    * week, counted as retained in each later week they were active.
+    * Two aggregations — first-touch per user (one shuffle on user_id),
+    * then distinct users per (cohort_week, week_offset) — with the
+    * cohort join riding the same user_id partitioning. Weeks are integer
+    * epoch-week indexes (ms / 604800000), engine-exact.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val WeekMs = 604800000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / WeekMs).as("week"))
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Ordered conversion funnel view → click → purchase: a user reaches
     * stage k+1 only with an event strictly AFTER their stage-k time
     * (first-touch semantics: t1 = first view, t2 = first click > t1,
