@@ -84,6 +84,7 @@ object SparkEntry {
     "q_bigram_counts"  -> ((s, d) => TextAnalysis.ngramCounts(s, d, 2, 20)),
     "q_typo_pairs"     -> ((s, d) => TextAnalysis.typoPairs(s, d, 2)),
     "q_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d, 64)),
+    "q_hash_features"  -> ((s, d) => TextAnalysis.hashingTrickFeatures(s, d, 16)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
     "q_stratified_sample" -> ((s, d) =>
@@ -405,6 +406,16 @@ object SparkEntry {
          |  FROM toks, unnest(range(1, len(ts))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // hashing-trick featurization: integer polynomial hash mod k — exact
+    "q_hash_features" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, len(t)+1), i -> CAST(ord(substr(t,i,1)) AS BIGINT))),
+         |         (acc,c) -> (acc*131+c) % 2147483647) % 16 AS bucket,
+         |       count(*) AS n
+         |FROM toks, unnest(ts) AS u(t)
+         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     // Misra–Gries with k=64 > |vocab| never decrements → provably exact →
     // the oracle is the plain wordcount (bound-only behavior at small k is
     // spec-asserted in MisraGriesSpec)

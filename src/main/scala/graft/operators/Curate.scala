@@ -32,7 +32,7 @@ object Curate {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val exactKeepers = Dedup.exactDedup(spark, sfDir).select("doc_id")
+    val exactKeepers = Dedup.exactKeeperIds(spark, sfDir)
     val nearLosers = Dedup.dupClusters(spark, sfDir, 0.8)
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
     toks

@@ -37,6 +37,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Keeper ids only (min doc_id per distinct text) — the reduced form
+    * [[Curate.curateCorpus]] consumes: a plain partial-aggregated groupBy,
+    * no window sort over the corpus.
+    */
+  private[graft] def exactKeeperIds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   /** Distinct word-3-gram shingles per doc: (doc_id, shingle), MATERIALIZED
     * once per corpus per JVM (like [[MaterializedIndex]]) — the
     * shingle-once design every real dedup pipeline uses at scale.

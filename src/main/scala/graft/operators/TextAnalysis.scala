@@ -246,6 +246,31 @@ object TextAnalysis {
     * generation is built-in array/lambda expressions (codegen'd); the
     * oracle cross-checks with a naive all-pairs levenshtein.
     */
+  /** Hashing-trick feature vectors (Weinberger et al., ICML'09): each
+    * document becomes a k-dim count vector by hashing every token into a
+    * bucket — the text→vector leg of the pipeline when no learned
+    * embedding is available (the pre-built `embeddings` table stands in
+    * for that). One tokenize + one posexplode + one (doc, bucket) count;
+    * entirely integer arithmetic on the engine-exact polynomial hash, so
+    * the whole featurization is oracle-checked. Output is the sparse
+    * form (doc_id, bucket, n) — the layout the sparse dot-product join
+    * ([[IndexQueries.docSimilarity]]-style) consumes directly.
+    */
+  def hashingTrickFeatures(spark: SparkSession, sfDir: String,
+                           k: Int): DataFrame = {
+    val t = col("term")
+    val h = aggregate(
+      transform(sequence(lit(1), length(t)),
+        i => ascii(t.substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => (acc * 131 + c) % 2147483647L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+      .select(col("doc_id"), (h % k).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** Heavy hitters over the token stream via the [[graft.functions.MisraGries]]
     * sketch: bounded memory (≤ k counters per partition), one partial-
     * aggregated pass, O(k) result. On this corpus k=64 exceeds the
