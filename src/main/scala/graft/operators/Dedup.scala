@@ -292,19 +292,23 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
+    // per-vertex labels only ever DECREASE, so the label sum strictly
+    // decreases on any change: an unchanged (overflow-proof decimal) sum
+    // is the fixpoint — one cheap aggregation per round instead of a
+    // compare-join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     while (!converged && iter < 50) {
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("l"))
       val next = labels.unionAll(viaEdges)
         .groupBy("v").agg(min("l").as("l"))
         .localCheckpoint(true)
-      // labels only ever decrease: zero changed rows ⇒ fixpoint
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.l") =!= col("o.l"))
-        .count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     val sizes = labels.groupBy(col("l").as("cluster_id"))
