@@ -57,6 +57,7 @@ object SparkEntry {
     // the corpus-scan forms prove the index is a lossless materialization
     "q_index_serve_lookup" -> ((s, d) => MaterializedIndex.termLookup(s, d, "window")),
     "q_index_serve_and" -> ((s, d) => MaterializedIndex.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
+    "q_index_serve_phrase" -> ((s, d) => MaterializedIndex.servePhrase(s, d, "key order")),
     "q_tfidf_topk"     -> ((s, d) => Indexer.tfIdfTopK(s, d, 5)),
     "q_vocab_stats"    -> ((s, d) => Indexer.vocabStats(s, d)),
     "q_phrase_search"  -> ((s, d) => IndexQueries.phraseSearch(s, d, "key order")),
@@ -227,6 +228,15 @@ object SparkEntry {
          |       count(DISTINCT doc_id) AS n_docs,
          |       CAST(sum(tf) AS BIGINT) AS total_tf
          |FROM postings GROUP BY 1 ORDER BY first_letter""".stripMargin,
+    // served-from-positional-index phrase search must equal the corpus
+    // scan — same oracle
+    "q_index_serve_phrase" ->
+      s"""WITH $toksCte, bg AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+         |  FROM toks, unnest(range(1, len(ts))) AS t(i))
+         |SELECT doc_id, count(*) AS n_occurrences FROM bg
+         |WHERE bigram = 'key order' GROUP BY doc_id
+         |ORDER BY n_occurrences DESC, doc_id""".stripMargin,
     "q_phrase_search" ->
       s"""WITH $toksCte, bg AS (
          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram

@@ -23,6 +23,30 @@ class MaterializedIndexSpec extends SparkTestBase {
     assert(served === scanned)
   }
 
+  test("served phrase search == corpus-scan bigram search; n-word phrases exact") {
+    import org.apache.spark.sql.functions._
+    val served = MaterializedIndex.servePhrase(spark, sf, "key order")
+      .as[(Long, Long)].collect().toSeq
+    val scanned = graft.operators.IndexQueries.phraseSearch(spark, sf, "key order")
+      .as[(Long, Long)].collect().toSeq
+    assert(served.nonEmpty)
+    assert(served === scanned)
+
+    // 3-word phrase: ground truth from an independent trigram scan
+    val phrase3 = "key order data"
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shinglesOfTokens(col("ts"), 3)).as("g"))
+      .filter(col("g") === phrase3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = MaterializedIndex.servePhrase(spark, sf, phrase3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === truth)
+  }
+
   test("ensure builds once per JVM (second call returns the same path, no rebuild)") {
     val p1 = MaterializedIndex.ensure(spark, sf)
     val mtimes1 = new java.io.File(p1).listFiles().map(_.lastModified()).toSeq
