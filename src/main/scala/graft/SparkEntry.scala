@@ -58,6 +58,7 @@ object SparkEntry {
     "q_index_serve_lookup" -> ((s, d) => MaterializedIndex.termLookup(s, d, "window")),
     "q_index_serve_and" -> ((s, d) => MaterializedIndex.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     "q_index_serve_phrase" -> ((s, d) => MaterializedIndex.servePhrase(s, d, "key order")),
+    "q_bm25_topk"      -> ((s, d) => IndexQueries.bm25TopK(s, d, Seq("scan", "join", "filter"), 10)),
     "q_tfidf_topk"     -> ((s, d) => Indexer.tfIdfTopK(s, d, 5)),
     "q_vocab_stats"    -> ((s, d) => Indexer.vocabStats(s, d)),
     "q_phrase_search"  -> ((s, d) => IndexQueries.phraseSearch(s, d, "key order")),
@@ -228,6 +229,27 @@ object SparkEntry {
          |       count(DISTINCT doc_id) AS n_docs,
          |       CAST(sum(tf) AS BIGINT) AS total_tf
          |FROM postings GROUP BY 1 ORDER BY first_letter""".stripMargin,
+    // BM25 (k1=1.2, b=0.75): ln (DuckDB log() is log10), exact
+    // sum/count avgdl, 6-dp rounding absorbs last-ulp libm skew
+    "q_bm25_topk" ->
+      s"""$postingsCte, dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |         CAST(count(*) AS BIGINT) AS n_docs FROM dl
+         |), qp AS (
+         |  SELECT term, doc_id, tf FROM postings
+         |  WHERE term IN ('scan', 'join', 'filter')
+         |), dfreq AS (
+         |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qp GROUP BY term
+         |), scored AS (
+         |  SELECT qp.doc_id,
+         |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |         tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+         |  FROM qp JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+         |SELECT doc_id, round(sum(s), 6) AS score
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // served-from-positional-index phrase search must equal the corpus
     // scan — same oracle
     "q_index_serve_phrase" ->

@@ -150,6 +150,43 @@ object IndexQueries {
         approx_count_distinct(col("term"), 0.01).as("approx_vocab"))
       .orderBy("lang")
 
+  /** BM25 ranking (Robertson–Spärck Jones, k1=1.2, b=0.75) served from
+    * the materialized index — the standard retrieval scorer a tf-idf-only
+    * engine is missing. Everything derives from postings: document
+    * lengths (one sum per doc), the corpus stats (two scalars,
+    * crossJoin-broadcast), per-term document frequencies (only the query
+    * terms' postings are read). Scoring is a projection over the query
+    * terms' posting lists; the global top-k is a TakeOrdered. Work scales
+    * with the query terms' posting lists — never the corpus.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String, terms: Seq[String],
+               k: Int): DataFrame = {
+    val post = MaterializedIndex.postings(spark, sfDir)
+    val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val qpost = post.filter(col("term").isin(terms: _*))
+    val dfreq = qpost.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    qpost
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      // constants written exactly as in the oracle SQL (k1=1.2, b=0.75,
+      // k1+1 as the literal 2.2) so both engines fold identical doubles
+      .withColumn("s",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over the corpus shingle
     * set — the mergeable cardinality sketch whose estimate, unlike HLL's,
     * is a pure deterministic function of the data: hash every distinct
