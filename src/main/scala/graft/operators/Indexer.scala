@@ -47,15 +47,31 @@ object Indexer {
       .select("first_letter", "term", "doc_id", "tf")
       .orderBy("term", "doc_id")
 
+  /** Shuffle key for the letter-partitioned writes: (first_letter,
+    * hash(term) mod F). Shuffling on first_letter ALONE (the obvious
+    * translation of the reference's per-letter reducers,
+    * `helper_reduce.c:169-215`) caps the build at ≤26 tasks skewed by
+    * English letter frequency — a scale-killer at 100 TB where the write
+    * stage is the widest in the job. The composite key gives each letter
+    * up to F parallel writer tasks while `partitionBy("first_letter")`
+    * keeps the directory layout (and pruning) identical; within a task,
+    * sorting by term also sorts by first_letter (its leading character),
+    * so the partitioned writer needs no extra sort.
+    */
+  private[graft] val filesPerLetter = 8
+
+  private[graft] def letterShardKeys: Seq[org.apache.spark.sql.Column] =
+    Seq(col("first_letter"), pmod(hash(col("term")), lit(filesPerLetter)))
+
   /** Materialize the master index as letter-partitioned parquet — the
     * analogue of the 26 `./index/<c>` files (`helper_reduce.c:238-242`),
     * but idempotent overwrite instead of blind append (SURVEY.md §7.0).
-    * `repartition(first_letter)` keeps one writer task per partition value
-    * so we don't emit numPartitions×26 small files at scale.
+    * See [[letterShardKeys]] for why the shuffle key is composite: build
+    * parallelism must not be capped at one task per letter.
     */
   def writeIndex(spark: SparkSession, sfDir: String, outPath: String): Unit =
     indexBuild(spark, sfDir)
-      .repartition(col("first_letter"))
+      .repartition(letterShardKeys: _*)
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite")
       .partitionBy("first_letter")
@@ -92,7 +108,7 @@ object Indexer {
       .join(docIds, Seq("doc_id"), "left_anti")
       .select("first_letter", "term", "doc_id", "tf")
     val merged = kept.union(newPostings)
-      .repartition(col("first_letter"))
+      .repartition(letterShardKeys: _*)
       .sortWithinPartitions("term", "doc_id")
       .localCheckpoint(true)
     // materialize BEFORE the overwrite — both derive from a scan of

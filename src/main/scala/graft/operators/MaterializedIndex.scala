@@ -93,7 +93,7 @@ object MaterializedIndex {
           sort_array(collect_list(col("pos"))).as("positions"))
         .withColumn("first_letter",
           graft.functions.TextFunctions.firstLetter(col("term")))
-        .repartition(col("first_letter"))
+        .repartition(Indexer.letterShardKeys: _*)
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").partitionBy("first_letter").parquet(path)
       path

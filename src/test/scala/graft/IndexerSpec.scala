@@ -79,6 +79,38 @@ class IndexerSpec extends SparkTestBase {
     assert(dirs.contains("first_letter=t"))
   }
 
+  test("index write stage is not capped at one task per letter") {
+    // the r2 design shuffled on first_letter alone — a 26-value key that
+    // funnels the widest stage of the build into ≤26 skewed tasks. The
+    // composite (first_letter, hash(term) % F) key must spread each letter
+    // over up to F writer tasks. Distinct part-file ids across the letter
+    // dirs == distinct writer tasks that produced output; AQE is disabled
+    // because it legitimately coalesces tiny test shuffles.
+    val out = java.nio.file.Files.createTempDirectory("graft_index_fan").toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      Indexer.writeIndex(spark, sf, out)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+    val partId = "part-(\\d+)-".r
+    val letterDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    val filesPerLetter = letterDirs.map { d =>
+      d.getName -> d.listFiles().map(_.getName)
+        .flatMap(n => partId.findFirstMatchIn(n).map(_.group(1)))
+    }.toMap
+    val distinctTasks = filesPerLetter.values.flatten.toSet
+    assert(distinctTasks.size > 26,
+      s"write stage produced only ${distinctTasks.size} writer tasks")
+    // per-letter parallelism: a frequent letter is written by several tasks
+    assert(filesPerLetter("first_letter=t").distinct.length > 1,
+      "letter 't' written by a single task — still funneled")
+  }
+
   test("index write partitions by first letter and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft_index").toString
     Indexer.writeIndex(spark, sf, out)
