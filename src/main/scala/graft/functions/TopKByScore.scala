@@ -33,17 +33,45 @@ class TopKByScore(k: Int)
   private val ord: Ordering[ScoredId] =
     Ordering.by(s => (-s.score, s.id))
 
-  override def zero: Seq[ScoredId] = Seq.empty
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  // Invariant: the buffer is always sorted by `ord` and duplicate-free, so
+  // reduce is one binary search + one bounded copy (O(k)) instead of the
+  // r2 sort-the-whole-buffer-per-displacing-insert (O(k log k) + a distinct
+  // pass), and merge is a single sorted-merge sweep. `ord` is injective on
+  // (score, id), so ord-equality IS exact duplication.
 
   override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] = {
-    // skip the sort when the candidate can't displace anything (an exact
-    // duplicate of the current worst is also correctly skipped here)
     if (buf.length >= k && ord.gteq(in, buf.last)) buf
-    else ((buf :+ in).distinct.sorted(ord)).take(k)
+    else {
+      val arr = scala.collection.mutable.ArrayBuffer.from(buf)
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(arr(mid), in)) lo = mid + 1 else hi = mid
+      }
+      if (lo < arr.length && arr(lo) == in) buf // exact LSH-union duplicate
+      else {
+        arr.insert(lo, in)
+        if (arr.length > k) arr.dropRightInPlace(arr.length - k)
+        arr.toVector
+      }
+    }
   }
 
-  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
-    (a ++ b).distinct.sorted(ord).take(k)
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {
+    val ai = a.iterator.buffered
+    val bi = b.iterator.buffered
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredId]
+    while (out.length < k && (ai.hasNext || bi.hasNext)) {
+      val take =
+        if (!bi.hasNext || (ai.hasNext && ord.lteq(ai.head, bi.head))) ai.next()
+        else bi.next()
+      if (out.isEmpty || out.last != take) out += take
+    }
+    out.toVector
+  }
 
   override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
 

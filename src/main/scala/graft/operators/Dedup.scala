@@ -292,23 +292,30 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    // per-vertex labels only ever DECREASE, so the label sum strictly
-    // decreases on any change: an unchanged (overflow-proof decimal) sum
-    // is the fixpoint — one cheap aggregation per round instead of a
-    // compare-join
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // fixpoint detection rides INSIDE the propagation job: the min-label
+    // aggregation also carries each vertex's previous label (the `own`
+    // marker picks it out of the union), and an accumulator counts rows
+    // where the label dropped while the eager checkpoint materializes the
+    // round — ONE Spark job per round, no separate convergence action.
+    // Task retries can only over-count the accumulator (never report 0
+    // changes when one happened), so convergence stays sound.
+    val changes = spark.sparkContext.longAccumulator("graft.labelChanges")
+    val noteChange = udf { (oldL: Long, newL: Long) =>
+      if (newL < oldL) changes.add(1L)
+      newL
+    }
     while (!converged && iter < 50) {
+      changes.reset()
       val viaEdges = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("l"))
-      val next = labels.unionAll(viaEdges)
-        .groupBy("v").agg(min("l").as("l"))
+        .select(col("dst").as("v"), col("l"), lit(false).as("own"))
+      val next = labels.select(col("v"), col("l"), lit(true).as("own"))
+        .unionAll(viaEdges)
+        .groupBy("v")
+        .agg(min("l").as("new_l"), max(when(col("own"), col("l"))).as("old_l"))
+        .select(col("v"), noteChange(col("old_l"), col("new_l")).as("l"))
         .localCheckpoint(true)
-      val s = labelSum(next)
       labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      converged = changes.value == 0L
       iter += 1
     }
     val sizes = labels.groupBy(col("l").as("cluster_id"))

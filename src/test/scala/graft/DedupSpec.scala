@@ -74,6 +74,49 @@ class DedupSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("dupClusters propagation runs one Spark job per round") {
+    // path 30-31-32-33-34: min-label needs 4 changing rounds + 1 confirming
+    // round = 5. Jobs = 2 setup checkpoints + 1 per round = 7; the r2
+    // implementation spent an extra convergence action per round (>=12).
+    // AQE and broadcast are disabled so every eager checkpoint is exactly
+    // one job (AQE runs stages as jobs; broadcast build is its own job).
+    val pairs = Seq((30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L))
+      .toDF("doc_a", "doc_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sparkContext.addSparkListener(listener)
+    val labels =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Dedup.dupClustersFromPairs(spark, pairs) // eager rounds run here
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    // listener events are delivered asynchronously — poll until stable
+    var last = -1
+    var stable = 0
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < deadline) {
+      val now = jobs.get()
+      if (now == last) stable += 1 else { stable = 0; last = now }
+      Thread.sleep(200)
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 7,
+      s"propagation used ${jobs.get()} jobs for 5 rounds — " +
+        "expected one per round plus 2 setup checkpoints")
+    val got = labels.as[(Long, Long, Long)].collect().toSet
+    assert(got === (30L to 34L).map(v => (v, 30L, 5L)).toSet)
+  }
+
   test("dupClusters on the corpus: every near-dup pair lands in one cluster") {
     val labels = Dedup.dupClusters(spark, sf, 0.8)
       .as[(Long, Long, Long)].collect()
