@@ -18,10 +18,13 @@ import org.apache.spark.sql.SparkSession
   *    name lands in "failed", its cost is excluded from the total, and the
   *    process exits nonzero — a broken query can never make the bench look
   *    faster.
-  *  - The materialized-index build runs ONCE before the passes and is
-  *    reported as "index_materialize": the serve queries
-  *    (q_index_serve_*) therefore measure pure query-time against the
-  *    prebuilt index, separating build cost from serve cost.
+  *  - EVERY one-time materialization (serving index, positional index,
+  *    shingle relation, dup-cluster labels, bucketed tables) runs ONCE
+  *    before the passes, timed individually and reported as its own
+  *    "*_materialize" entry. The query passes therefore measure pure
+  *    serve cost, and the builds' TCO is visible in the total instead of
+  *    being charged to the cold pass of whichever query first triggers a
+  *    build and then vanishing from the min-of-2.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,10 +56,25 @@ object Bench {
 
     // warmup: smallest end-to-end plan, absorbs session/codegen startup
     exec("q_vocab_stats")
-    // build the serving index once, outside the query passes
-    val tIdx0 = System.nanoTime()
-    graft.operators.MaterializedIndex.ensure(spark, sfDir)
-    val idxBuildSec = (System.nanoTime() - tIdx0) / 1e9
+    // every build-once materialization, timed on its own BEFORE the query
+    // passes; ordered so shared prerequisites (the shingle relation feeds
+    // the cluster labeling) are charged to their own entry
+    val builds: Seq[(String, () => Unit)] = Seq(
+      "index_materialize" ->
+        (() => { graft.operators.MaterializedIndex.ensure(spark, sfDir); () }),
+      "positional_materialize" ->
+        (() => { graft.operators.MaterializedIndex.ensurePositional(spark, sfDir); () }),
+      "shingles_materialize" ->
+        (() => { graft.operators.Dedup.ensureShingles(spark, sfDir); () }),
+      "dup_clusters_materialize" ->
+        (() => { graft.operators.Dedup.ensureClusters(spark, sfDir, 0.8); () }),
+      "bucketed_tables_materialize" ->
+        (() => { graft.operators.Bucketing.ensureBucketed(spark, sfDir); () }))
+    val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      run()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> exec(n)).toMap
@@ -74,9 +92,11 @@ object Bench {
       xs.map { case (k, v) =>
         "\"" + k + "\":" + v.fold(_ => "-1", d => f"$d%.3f")
       }.mkString("{", ",", "}")
+    // total = every one-time build + min-of-2 of every query: the full
+    // build-plus-serve TCO of one pass over the suite
     val total = best.collect { case (_, Right(d)) => d }.sum +
-      (if (names.contains("q_index_serve_lookup")) idxBuildSec else 0.0)
-    val qs = fmt(best :+ ("index_materialize" -> Right(idxBuildSec)))
+      buildSecs.map(_._2).sum
+    val qs = fmt(best ++ buildSecs.map { case (n, s) => n -> Right(s) })
     val coldJson = fmt(cold.toSeq.sortBy(_._1))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}""")

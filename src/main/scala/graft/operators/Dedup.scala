@@ -63,7 +63,7 @@ object Dedup {
 
   private val shinglesBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
-  private def ensureShingles(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureShingles(spark: SparkSession, sfDir: String): String =
     shinglesBuilt.getOrElseUpdate(sfDir, {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_shingles_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
@@ -268,8 +268,8 @@ object Dedup {
     * PPJoin + propagation that produces it is the most expensive plan in
     * the suite; every consumer after the first reads a 3-column parquet.
     */
-  private def ensureClusters(spark: SparkSession, sfDir: String,
-                             threshold: Double): String =
+  private[graft] def ensureClusters(spark: SparkSession, sfDir: String,
+                                    threshold: Double): String =
     clustersBuilt.getOrElseUpdate((sfDir, threshold), {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_dupclusters_" + Integer.toHexString(sfDir.hashCode) +
