@@ -88,18 +88,43 @@ object Bench {
       })
     }
     val failed = best.collect { case (n, Left(_)) => n }
-    def fmt(xs: Seq[(String, Either[String, Double])]): String =
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // final JSON line from it. The full per-query dump (with the cold pass)
+    // is ~4 KB, so it goes to bench_detail.json + an early stdout line, and
+    // the FINAL line is a compact variant guaranteed to fit the tail window:
+    // trailing-zero-stripped values and short keys for the build entries.
+    def num(d: Double, dp: Int): String = {
+      val s = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    def fmt(xs: Seq[(String, Either[String, Double])], dp: Int): String =
       xs.map { case (k, v) =>
-        "\"" + k + "\":" + v.fold(_ => "-1", d => f"$d%.3f")
+        "\"" + k + "\":" + v.fold(_ => "-1", num(_, dp))
       }.mkString("{", ",", "}")
     // total = every one-time build + min-of-2 of every query: the full
     // build-plus-serve TCO of one pass over the suite
     val total = best.collect { case (_, Right(d)) => d }.sum +
       buildSecs.map(_._2).sum
-    val qs = fmt(best ++ buildSecs.map { case (n, s) => n -> Right(s) })
-    val coldJson = fmt(cold.toSeq.sortBy(_._1))
+    val shortKey = Map(
+      "index_materialize" -> "b_index", "positional_materialize" -> "b_pos",
+      "shingles_materialize" -> "b_shingles",
+      "dup_clusters_materialize" -> "b_clusters",
+      "bucketed_tables_materialize" -> "b_bucketed")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullQs = fmt(best ++ buildSecs.map { case (n, s) => n -> Right(s) }, 3)
+    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (full + "\n").getBytes("UTF-8"))
+    println(full) // early line: complete detail for anyone reading full stdout
+    def compact(dp: Int): String = {
+      val qs = fmt(best ++ buildSecs.map { case (n, s) =>
+        shortKey.getOrElse(n, n) -> Right(s) }, dp)
+      val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$f,"sf":"$sfDir"}"""
+    }
+    // sbt appends a ~75-char "[success] ..." line after us; stay well clear
+    val line2 = compact(2)
+    println(if (line2.length <= 1850) line2 else compact(1))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

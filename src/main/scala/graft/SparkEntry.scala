@@ -109,6 +109,7 @@ object SparkEntry {
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
     "q_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d, 10, 10)),
+    "q_ivf_serve"      -> ((s, d) => Similarity.ivfServeTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     "q_embed_neardup"  -> ((s, d) => Similarity.embedNearDupPairs(s, d, 100, 0.3)),
     "q_quantize_embed" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
@@ -183,6 +184,14 @@ object SparkEntry {
   private def annPlanesValues: String =
     operators.Similarity.lshPlaneRows.map { case (t, pw, w) =>
       s"($t, $pw, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n  ")
+
+  /** The fixed IVF serve centroids as SQL VALUES rows (cent_id, weights) —
+    * same literal-embedding trick as [[annPlanesValues]].
+    */
+  private def ivfCentroidValues: String =
+    operators.Similarity.ivfCentroidRows.map { case (i, c) =>
+      s"($i, CAST([${c.mkString(", ")}] AS DOUBLE[]))"
     }.mkString(",\n  ")
 
   def oracleSql: Map[String, String] = Map(
@@ -635,6 +644,45 @@ object SparkEntry {
          |  SELECT DISTINCT qb.query_id, b.vec_id
          |  FROM b JOIN qb USING (tbl, bucket)
          |  WHERE b.vec_id <> qb.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings e  ON e.vec_id  = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // q_ivf_serve: the IVF SERVE half is fully checkable — centroids are
+    // fixed constants (as in a production serving tier, where cells are
+    // trained offline and shipped as an artifact), embedded as literals;
+    // probe ranking, cell assignment and re-rank are bit-exact doubles.
+    "q_ivf_serve" ->
+      s"""WITH cents(cent_id, c) AS (VALUES
+         |  $ivfCentroidValues),
+         |sim AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         ${cosSql("e.embedding", "c.c")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim WHERE vec_id < 10) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM assign a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.query_id),
          |scored AS (
          |  SELECT c.query_id, c.vec_id,
          |         round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine

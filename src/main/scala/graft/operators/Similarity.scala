@@ -237,6 +237,80 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ——— IVF serve path (oracle-checkable) ———
+  //
+  // ivfTopK above TRAINS its centroids with k-means, so its output depends
+  // on data-derived constants that static oracle SQL cannot reproduce —
+  // that query stays rows-only with a recall spec. The serve path below is
+  // the complementary, fully checkable half: centroids arrive as fixed
+  // constants (exactly how a production ANN serving tier works — cells are
+  // trained offline and shipped to the query layer as a small artifact),
+  // so probe selection, cell assignment, and re-rank are all deterministic
+  // double arithmetic that DuckDB reproduces bit-for-bit from embedded
+  // literals, the same trick lshPlaneRows plays for q_ann_topk.
+  private val ServeCells = 8
+  private[operators] val serveCentroids: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(23)
+    Array.fill(ServeCells)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** The fixed serve centroids, exposed so the DuckDB oracle can embed
+    * them as literals (Double.toString is shortest-round-trip).
+    */
+  def ivfCentroidRows: Seq[(Int, Seq[Double])] =
+    serveCentroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+
+  private lazy val serveCentsLit: Column =
+    typedlit(serveCentroids.map(_.toSeq).toSeq)
+
+  /** Cosine of `v` against every serve centroid, as one array<double> —
+    * computed in its own projection (Catalyst does not CSE higher-order
+    * functions; both the argmax and the probe ranking read this array).
+    */
+  private def serveCellScores(v: Column): Column =
+    transform(serveCentsLit, c => cosine(v, c))
+
+  /** Argmax over the score array, ties to the lowest cell id
+    * (strictly-greater replaces — mirrored by `ORDER BY s DESC, cent_id`
+    * in the oracle).
+    */
+  private def argmaxCell(scores: Column): Column =
+    aggregate(
+      zip_with(scores, sequence(lit(0), lit(ServeCells - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+      struct(lit(-2.0).as("s"), lit(-1).as("i")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc),
+      acc => acc.getField("i"))
+
+  /** IVF serving against the fixed centroid table: assign every corpus
+    * vector to its nearest cell (a pure projection — the corpus never
+    * shuffles), pick each query's `nprobe` best cells (row-local sort of
+    * an 8-element array), and exact-cosine re-rank only the probed cells.
+    * Scan fraction ≈ nprobe/ServeCells; the only exchange is the
+    * O(k)-per-query partial top-k, exactly like [[annTopK]].
+    */
+  def ivfServeTopK(spark: SparkSession, sfDir: String,
+                   nQueries: Int, k: Int, nprobe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val withScores = emb.select(col("vec_id"), col("embedding"),
+      serveCellScores(col("embedding")).as("cs"))
+    val assigned = withScores.select(col("vec_id"), col("embedding"),
+      argmaxCell(col("cs")).as("cent_id"))
+    // per-query probe list: sort (−score, id) ascending = score desc with
+    // lowest-id tie-break, take nprobe — all inside one projection
+    val probes = withScores.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(transform(
+          array_sort(zip_with(col("cs"), sequence(lit(0), lit(ServeCells - 1)),
+            (s, i) => struct((-s).as("ns"), i.as("i")))),
+          x => x.getField("i")), 1, nprobe)).as("cent_id"))
+    val scored = assigned.join(broadcast(probes), "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
+      .select(col("q_id").as("query_id"), col("vec_id"), col("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate detection at ingest: every pair
     * (a, b) with `a < nNew` (the incoming batch), `b > a`, and
     * cosine ≥ threshold — the semantic-dedup step of a training-data
