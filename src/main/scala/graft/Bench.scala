@@ -69,7 +69,9 @@ object Bench {
       "dup_clusters_materialize" ->
         (() => { graft.operators.Dedup.ensureClusters(spark, sfDir, 0.8); () }),
       "bucketed_tables_materialize" ->
-        (() => { graft.operators.Bucketing.ensureBucketed(spark, sfDir); () }))
+        (() => { graft.operators.Bucketing.ensureBucketed(spark, sfDir); () }),
+      "clustered_layout_materialize" ->
+        (() => { graft.operators.Clustering.ensureClustered(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()
@@ -109,7 +111,8 @@ object Bench {
       "index_materialize" -> "b_index", "positional_materialize" -> "b_pos",
       "shingles_materialize" -> "b_shingles",
       "dup_clusters_materialize" -> "b_clusters",
-      "bucketed_tables_materialize" -> "b_bucketed")
+      "bucketed_tables_materialize" -> "b_bucketed",
+      "clustered_layout_materialize" -> "b_zorder")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = fmt(best ++ buildSecs.map { case (n, s) => n -> Right(s) }, 3)
     val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"failed":$failedJson,"sf":"$sfDir"}"""

@@ -124,6 +124,7 @@ object SparkEntry {
     "q_cust_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_supp_with_ship" -> ((s, d) => Relational.suppliersWithShipments(s, d)),
     "q_bucketed_join"  -> ((s, d) => Bucketing.bucketedOrderRevenue(s, d)),
+    "q_clustered_scan" -> ((s, d) => Clustering.clusteredRectRevenue(s, d)),
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
@@ -898,6 +899,19 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderstatus
         |ORDER BY o_orderkey""".stripMargin,
+    // Z-clustering changes the physical layout only — the oracle is the
+    // same rectangle query over the plain table (ClusteringSpec asserts
+    // the layout actually skips non-matching tiles; this checks the
+    // clustered copy is lossless)
+    "q_clustered_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-06-30'
+         |  AND l_partkey BETWEEN 1 AND 100
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // salting changes shuffle routing only — the oracle is the plain join
     "q_skew_join" ->
       """SELECT l_suppkey AS suppkey, s_name, count(*) AS n_items,
