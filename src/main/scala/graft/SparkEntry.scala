@@ -50,6 +50,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — inverted index (reference parity) —
     "q_index_build"    -> ((s, d) => Indexer.indexBuild(s, d)),
+    // the SAME postings, produced by the Structured Streaming maintenance
+    // path drained with an AvailableNow trigger — streaming state must
+    // converge to the batch answer under the batch oracle
+    "q_streaming_index" -> ((s, d) => graft.streaming.StreamingIndexer.indexAvailableNow(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -198,6 +202,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // — inverted index —
     "q_index_build" ->
+      s"""$postingsCte
+         |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
+         |FROM postings ORDER BY term, doc_id""".stripMargin,
+    // streaming drain of the same corpus — identical oracle: the complete-
+    // mode aggregation state must equal the one-shot batch index
+    "q_streaming_index" ->
       s"""$postingsCte
          |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
          |FROM postings ORDER BY term, doc_id""".stripMargin,
@@ -908,7 +918,8 @@ object SparkEntry {
          |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
          |       CAST(sum($revenueSql) AS DOUBLE) AS revenue
          |FROM lineitem
-         |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-06-30'
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+         |                     AND TIMESTAMP '1996-06-30 23:59:59'
          |  AND l_partkey BETWEEN 1 AND 100
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,

@@ -37,16 +37,17 @@ object Clustering {
     */
   val NumFiles = 16
 
-  // 21 bits per dimension (42-bit Z-value): shipdate day-offsets span
-  // ~2.5k values and partkey 200k·SF, both comfortably inside 2^21 for
-  // any SF this library will meet; headroom costs nothing because high
-  // zero bits interleave to zero.
-  private val Bits = 21
+  // 31 bits per dimension (62-bit Z-value): the full non-negative int
+  // range of each key interleaves without truncation, so no SF can alias
+  // distant keys into the same Z-tile. Headroom is free — high zero bits
+  // interleave to zero and the range partitioner's sampled split points
+  // never see them.
+  private val Bits = 31
 
   /** Bit-interleave two non-negative integer columns into a Z-value:
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
     */
-  private[operators] def zValue(x: Column, y: Column): Column =
+  private[graft] def zValue(x: Column, y: Column): Column =
     (0 until Bits).map { i =>
       (shiftright(x, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i))) +
         (shiftright(y, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1)))
@@ -60,20 +61,44 @@ object Clustering {
     new File(System.getProperty("java.io.tmpdir"),
       "graft_lineitem_z_" + Integer.toHexString(sfDir.hashCode))
 
+  /** True when [[ensureClustered]] found a fresh on-disk copy and skipped
+    * the build — lets the bench report cache-hit vs real build honestly.
+    */
+  @volatile var lastEnsureWasCacheHit: Boolean = false
+
   /** Write (once per corpus) the Z-clustered copy of lineitem: range
     * partition by Z-value → Z-contiguous tiles, sort within partitions →
     * tight row-group stats inside each tile. The Z column itself is
-    * dropped — the LAYOUT carries the information.
+    * dropped — the LAYOUT carries the information. Staleness-safe: a copy
+    * older than the source parquet is rebuilt, so a refreshed corpus can
+    * never serve stale tiles.
     */
   def ensureClustered(spark: SparkSession, sfDir: String): String = {
     val dir = clusterDir(sfDir)
-    if (!new File(dir, "_SUCCESS").exists()) {
-      Tables.lineitem(spark, sfDir)
-        .withColumn("zv", zValue(shipDays, col("l_partkey").cast("int")))
-        .repartitionByRange(NumFiles, col("zv"))
-        .sortWithinPartitions("zv")
-        .drop("zv")
-        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val success = new File(dir, "_SUCCESS")
+    val srcMtime = new File(sfDir, "lineitem.parquet").lastModified()
+    lastEnsureWasCacheHit = success.exists() && success.lastModified() >= srcMtime
+    if (!lastEnsureWasCacheHit) {
+      // The source parquet stores shipdate with isAdjustedToUTC=false, which
+      // Spark 4 reads as TIMESTAMP_NTZ — a type its parquet filter
+      // conversion cannot row-group-skip on (bigint/date/LTZ-timestamp
+      // predicates skip; NTZ ones are silently dropped at the reader).
+      // Rewriting the column as a UTC-adjusted INT64-micros timestamp (the
+      // session TZ is UTC, so values are identical) puts the rectangle's
+      // shipdate predicate on the supported pushdown path — without it the
+      // layout's narrow per-tile stats are decoration.
+      val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.get(tsTypeKey)
+      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS") // INT96 writes no usable stats
+      try {
+        Tables.lineitem(spark, sfDir)
+          .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+          .withColumn("zv", zValue(shipDays, col("l_partkey").cast("int")))
+          .repartitionByRange(NumFiles, col("zv"))
+          .sortWithinPartitions("zv")
+          .drop("zv")
+          .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      } finally spark.conf.set(tsTypeKey, prev)
     }
     dir.getAbsolutePath
   }
@@ -90,11 +115,20 @@ object Clustering {
   def clusteredRectRevenue(spark: SparkSession, sfDir: String): DataFrame =
     rectRevenue(clusteredLineitem(spark, sfDir))
 
+  /** Rectangle bounds — inside the corpus's actual shipdate range
+    * (1995-01-02 … 2001-11-04) and partkey range (0 … 200k·SF). TYPED
+    * timestamp literals: l_shipdate is a TimestampType column, and a
+    * string literal would be compared through a cast that blocks parquet
+    * filter pushdown — the exact scan-time skip this layout exists for.
+    */
+  private[graft] val RectLo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+  private[graft] val RectHi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
+
   /** The same query shape over any lineitem-schema frame (shared by the
     * spec's clustered-vs-plain comparison).
     */
   private[graft] def rectRevenue(li: DataFrame): DataFrame =
-    li.where(col("l_shipdate").between(lit("1994-01-01"), lit("1994-06-30"))
+    li.where(col("l_shipdate").between(lit(RectLo), lit(RectHi))
         && col("l_partkey").between(1, 100))
       .groupBy(col("l_returnflag"))
       .agg(

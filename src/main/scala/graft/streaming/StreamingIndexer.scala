@@ -40,6 +40,41 @@ object StreamingIndexer {
       .queryName(tableName)
       .start()
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The full streaming index lifecycle as a BOUNDED, oracle-checkable
+    * query: stage the corpus into a watched directory, drain it with an
+    * AvailableNow trigger through the incremental postings aggregation,
+    * and return the final state shaped exactly like the batch
+    * [[graft.operators.Indexer.indexBuild]] — so the SAME DuckDB oracle
+    * SQL verifies that streaming state converges to the batch answer.
+    *
+    * AvailableNow is precisely "index everything submitted so far, then
+    * stop" — the reference master's accept-loop drained to quiescence
+    * (`/root/reference/minigoogle.c:49-60`). At scale the identical plan
+    * runs unbounded with micro-batches; boundedness here comes only from
+    * the trigger, not from any change to the streaming plan or state.
+    */
+  def indexAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val id = runSeq.incrementAndGet()
+    val watch = Files.createTempDirectory("graft_stream_docs_")
+    Files.copy(Paths.get(sfDir, "documents.parquet"),
+      watch.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val table = s"graft_stream_index_$id"
+    val q = postingsStream(spark, watch.toString).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(substring(col("term"), 1, 1).as("first_letter"),
+        col("term"), col("doc_id"), col("tf"))
+      .orderBy("term", "doc_id")
+  }
+
   /** Streaming twin of [[graft.operators.Events.hourlyRollup]]: watermarked
     * event-time tumbling windows with per-type counts/sums. Late data
     * beyond the watermark is dropped; state is bounded — the shape that

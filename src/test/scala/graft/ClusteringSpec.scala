@@ -23,7 +23,7 @@ class ClusteringSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val rect = (df: DataFrame) => df.where(
-        col("l_shipdate").between(lit("1994-01-01"), lit("1994-06-30"))
+        col("l_shipdate").between(lit(Clustering.RectLo), lit(Clustering.RectHi))
           && col("l_partkey").between(1, 100))
       val plainRead = scanRows(rect(Tables.lineitem(spark, sf)))
       val clustRead = scanRows(rect(Clustering.clusteredLineitem(spark, sf)))
@@ -39,14 +39,17 @@ class ClusteringSpec extends SparkTestBase {
   }
 
   test("both rectangle predicates are pushed to the clustered scan") {
-    val q = Clustering.clusteredRectRevenue(spark, sf)
-    val scan = q.queryExecution.executedPlan
-      .collectFirst { case s: FileSourceScanExec => s }
-      .orElse(q.queryExecution.executedPlan.collectLeaves()
-        .collectFirst { case s: FileSourceScanExec => s })
-    val pushed = scan.map(_.metadata("PushedFilters")).getOrElse("")
-    assert(pushed.contains("l_shipdate") && pushed.contains("l_partkey"),
-      s"expected both predicates pushed, got: $pushed")
+    // AQE's plan wrapper hides the scan until execution — walk the
+    // non-adaptive physical plan, where the scan node is directly visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = Clustering.clusteredRectRevenue(spark, sf)
+      val scan = q.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }
+      val pushed = scan.map(_.metadata("PushedFilters")).getOrElse("")
+      assert(pushed.contains("l_shipdate") && pushed.contains("l_partkey"),
+        s"expected both predicates pushed, got: $pushed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("clustered copy is lossless: rectangle query matches the plain table") {
@@ -64,5 +67,20 @@ class ClusteringSpec extends SparkTestBase {
       .select(Clustering.zValue(col("x"), col("y")).as("z"))
       .as[Long].collect().toSeq
     assert(rows == Seq(0L, 1L, 2L, 3L, 4L, 8L, 15L))
+  }
+
+  test("zValue keeps bits above 2^21 (no aliasing of distant keys)") {
+    import spark.implicits._
+    // with a 21-bit budget these three x values would collapse into the
+    // same tile as (x mod 2^21); 31 bits/dim must keep them distinct and
+    // ordered (y=0 ⇒ z = bits of x spread to even positions)
+    val big = Seq(1 << 22, 1 << 25, (1 << 30) + 1)
+    val zs = big.toDF("x")
+      .select(Clustering.zValue(col("x"), lit(0)).as("z"))
+      .as[Long].collect().toSeq
+    def spread(v: Long): Long =
+      (0 until 31).map(i => ((v >> i) & 1L) << (2 * i)).sum
+    assert(zs == big.map(x => spread(x.toLong)))
+    assert(zs.distinct.size == 3 && zs == zs.sorted)
   }
 }

@@ -41,6 +41,35 @@ class CosineExprSpec extends SparkTestBase {
     assert(expr.eval(null).asInstanceOf[Double] === 1.0)
   }
 
+  test("two instances in one codegen scope compile (freshName'd locals)") {
+    // force Janino compilation of a single projection holding TWO
+    // CosineSimilarity instances: with fixed local names this throws
+    // ("Redefinition of local variable") and Spark would silently fall
+    // back to interpreted eval for the whole stage
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val t = ArrayType(FloatType, containsNull = false)
+    val a = BoundReference(0, t, nullable = false)
+    val b = BoundReference(1, t, nullable = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.functions.CosineSimilarity(a, a),
+      graft.functions.CosineSimilarity(a, b)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(3.0f, 4.0f)),
+      ArrayData.toArrayData(Array(4.0f, 3.0f)))
+    val out = proj(row)
+    assert(out.getDouble(0) === 1.0)
+    assert(math.abs(out.getDouble(1) - 24.0 / 25.0) < 1e-15)
+    // and through the DataFrame API: both columns in one projection
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+      .select(cosineNative(col("a"), col("b")).as("c1"),
+        cosineNative(col("b"), col("a")).as("c2"))
+    assert(df.collect().head.getDouble(0) === 0.0)
+  }
+
   test("native vs HOF micro-benchmark (informational)") {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
