@@ -76,7 +76,12 @@ object Bench {
       val t0 = System.nanoTime()
       run()
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } :+
+      // a near-zero clustered build on a warm machine means the on-disk
+      // copy was reused — report that explicitly so the build's TCO is
+      // self-explaining instead of run-dependent
+      ("clustered_layout_cache_hit" ->
+        (if (graft.operators.Clustering.lastEnsureWasCacheHit) 1.0 else 0.0))
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> exec(n)).toMap
@@ -112,7 +117,8 @@ object Bench {
       "shingles_materialize" -> "b_shingles",
       "dup_clusters_materialize" -> "b_clusters",
       "bucketed_tables_materialize" -> "b_bucketed",
-      "clustered_layout_materialize" -> "b_zorder")
+      "clustered_layout_materialize" -> "b_zorder",
+      "clustered_layout_cache_hit" -> "b_zorder_hit")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = fmt(best ++ buildSecs.map { case (n, s) => n -> Right(s) }, 3)
     val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"failed":$failedJson,"sf":"$sfDir"}"""
@@ -127,7 +133,14 @@ object Bench {
     }
     // sbt appends a ~75-char "[success] ..." line after us; stay well clear
     val line2 = compact(2)
-    println(if (line2.length <= 1850) line2 else compact(1))
+    val line1 = if (line2.length <= 1850) line2 else compact(1)
+    // last resort: the driver parses the final JSON line from a ~2000-char
+    // stdout tail — if even 1-dp per-query entries overflow it, drop the
+    // per-query map entirely (totals + failures still land; the full
+    // detail is in bench_detail.json and the early stdout line)
+    println(
+      if (line1.length <= 1850) line1
+      else s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -54,6 +54,10 @@ object SparkEntry {
     // path drained with an AvailableNow trigger — streaming state must
     // converge to the batch answer under the batch oracle
     "q_streaming_index" -> ((s, d) => graft.streaming.StreamingIndexer.indexAvailableNow(s, d)),
+    // build a scratch index, upsert a changed doc, return the whole index —
+    // oracle computes postings over the modified corpus: hash match proves
+    // upsert ≡ rebuild (the reference's re-index, minus its duplication bug)
+    "q_index_upsert"   -> ((s, d) => Indexer.upsertRoundTrip(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -159,6 +163,26 @@ object SparkEntry {
       |  SELECT term, doc_id, count(*) AS tf FROM flat GROUP BY term, doc_id
       |)""".stripMargin
 
+  /** [[postingsCte]] over the corpus with document 0's text amended — the
+    * oracle-side twin of the upsert round-trip's modified corpus.
+    */
+  private val upsertPostingsCte =
+    """WITH docs0 AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |         CASE WHEN doc_id = 0 THEN text || ' graftmarker' ELSE text END AS text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(string_split(lower(text), ' '),
+      |                     w -> regexp_replace(w, '[^a-z]', '', 'g')),
+      |                     w -> w <> '') AS ts
+      |  FROM docs0
+      |), flat AS (
+      |  SELECT doc_id, unnest(ts) AS term FROM toks
+      |), postings AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM flat GROUP BY term, doc_id
+      |)""".stripMargin
+
   /** Word-3-gram distinct shingle CTE (mirrors TextFunctions.wordShingles). */
   private val shingleCte =
     s"""WITH $toksCte, sh AS (
@@ -209,6 +233,10 @@ object SparkEntry {
     // mode aggregation state must equal the one-shot batch index
     "q_streaming_index" ->
       s"""$postingsCte
+         |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
+         |FROM postings ORDER BY term, doc_id""".stripMargin,
+    "q_index_upsert" ->
+      s"""$upsertPostingsCte
          |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
          |FROM postings ORDER BY term, doc_id""".stripMargin,
     "q_term_lookup" ->
@@ -675,9 +703,14 @@ object SparkEntry {
       s"""WITH cents(cent_id, c) AS (VALUES
          |  $ivfCentroidValues),
          |sim AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |         ${cosSql("e.embedding", "c.c")} AS s
-         |  FROM embeddings e CROSS JOIN cents c),
+         |  -- zero-norm guard: Spark pins a zero-norm cosine (NULL there,
+         |  -- NaN here) to -2.0 before ranking — mirror it exactly
+         |  SELECT vec_id, cent_id,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
+         |  FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           ${cosSql("e.embedding", "c.c")} AS s
+         |    FROM embeddings e CROSS JOIN cents c)),
          |assign AS (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT vec_id, cent_id,

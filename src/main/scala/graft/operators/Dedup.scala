@@ -294,28 +294,30 @@ object Dedup {
     var iter = 0
     // fixpoint detection rides INSIDE the propagation job: the min-label
     // aggregation also carries each vertex's previous label (the `own`
-    // marker picks it out of the union), and an accumulator counts rows
-    // where the label dropped while the eager checkpoint materializes the
-    // round — ONE Spark job per round, no separate convergence action.
-    // Task retries can only over-count the accumulator (never report 0
-    // changes when one happened), so convergence stays sound.
-    val changes = spark.sparkContext.longAccumulator("graft.labelChanges")
-    val noteChange = udf { (oldL: Long, newL: Long) =>
-      if (newL < oldL) changes.add(1L)
-      newL
-    }
+    // marker picks it out of the union), and a declarative `observe`
+    // metric — max(new_l < old_l) — is collected while the eager
+    // checkpoint materializes the round. ONE Spark job per round, no
+    // separate convergence action, no per-row UDF: the metric is a plain
+    // aggregate Catalyst evaluates alongside the checkpoint write, and
+    // max() is retry-idempotent so speculative tasks can't corrupt it.
     while (!converged && iter < 50) {
-      changes.reset()
+      val obs = new org.apache.spark.sql.Observation(s"graft_cc_$iter")
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("l"), lit(false).as("own"))
       val next = labels.select(col("v"), col("l"), lit(true).as("own"))
         .unionAll(viaEdges)
         .groupBy("v")
         .agg(min("l").as("new_l"), max(when(col("own"), col("l"))).as("old_l"))
-        .select(col("v"), noteChange(col("old_l"), col("new_l")).as("l"))
+        .observe(obs,
+          max(when(col("new_l") < col("old_l"), 1).otherwise(0)).as("changed"))
+        .select(col("v"), col("new_l").as("l"))
         .localCheckpoint(true)
       labels = next
-      converged = changes.value == 0L
+      // empty vertex set → metric is NULL → nothing left to converge
+      converged = obs.get.get("changed").forall {
+        case n: Number => n.intValue() == 0
+        case _ => true
+      }
       iter += 1
     }
     val sizes = labels.groupBy(col("l").as("cluster_id"))

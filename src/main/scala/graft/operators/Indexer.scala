@@ -136,6 +136,29 @@ object Indexer {
     }
   }
 
+  /** The reference's re-index semantics (SURVEY.md §7.0) as one
+    * oracle-checkable query: build a scratch index, re-submit document 0
+    * with changed text (the reference's `a+` append would now duplicate its
+    * postings — `helper_reduce.c:241`), upsert it, and return the ENTIRE
+    * resulting index. The DuckDB oracle computes postings over the
+    * already-modified corpus directly, so a hash match proves the
+    * partition-targeted upsert is equivalent to a from-scratch rebuild —
+    * no duplicates, no stale rows, untouched letters intact.
+    */
+  def upsertRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ix_")
+      .toFile.getAbsolutePath
+    writeIndex(spark, sfDir, dir)
+    val updated = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0)
+      .withColumn("text", concat(col("text"), lit(" graftmarker")))
+    upsertIntoIndex(spark, dir, updated)
+    spark.read.parquet(dir)
+      .select(col("first_letter").cast("string").as("first_letter"),
+        col("term"), col("doc_id"), col("tf"))
+      .orderBy("term", "doc_id")
+  }
+
   /** Term lookup against a MATERIALIZED index written by [[writeIndex]]:
     * the `first_letter` predicate prunes the scan to one partition
     * directory — exactly the reference's "open only `./index/<c>`"

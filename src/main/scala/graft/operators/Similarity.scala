@@ -266,9 +266,16 @@ object Similarity {
   /** Cosine of `v` against every serve centroid, as one array<double> —
     * computed in its own projection (Catalyst does not CSE higher-order
     * functions; both the argmax and the probe ranking read this array).
+    * A zero-norm embedding's cosine is NULL on Spark but NaN in DuckDB's
+    * double arithmetic, which would assign divergent cells; pinning both
+    * to −2.0 (below any real cosine) keeps assignment deterministic and
+    * engine-agreed — such vectors land in cell 0 instead of silently
+    * dropping out of the index. (The re-rank's output cosine for a
+    * zero-norm QUERY is still NULL-vs-NaN; serving assumes unit-normish
+    * query embeddings, as every upstream embedder produces.)
     */
   private def serveCellScores(v: Column): Column =
-    transform(serveCentsLit, c => cosine(v, c))
+    transform(serveCentsLit, c => coalesce(cosine(v, c), lit(-2.0)))
 
   /** Argmax over the score array, ties to the lowest cell id
     * (strictly-greater replaces — mirrored by `ORDER BY s DESC, cent_id`
@@ -278,7 +285,9 @@ object Similarity {
     aggregate(
       zip_with(scores, sequence(lit(0), lit(ServeCells - 1)),
         (s, i) => struct(s.as("s"), i.as("i"))),
-      struct(lit(-2.0).as("s"), lit(-1).as("i")),
+      // seed strictly below the −2.0 zero-norm floor so even an all-floor
+      // score array assigns cell 0 (ties keep the first/lowest id)
+      struct(lit(-3.0).as("s"), lit(-1).as("i")),
       (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc),
       acc => acc.getField("i"))
 
