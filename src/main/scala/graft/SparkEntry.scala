@@ -131,11 +131,18 @@ object SparkEntry {
     "q_value_percentiles" -> ((s, d) => Relational.valuePercentiles(s, d)),
     "q_cust_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_supp_with_ship" -> ((s, d) => Relational.suppliersWithShipments(s, d)),
+    // correlated scalar subqueries — Catalyst decorrelates to agg+join
+    "q_parts_above_avg" -> ((s, d) => Relational.partsAboveBrandAvg(s, d)),
+    // TPC-H Q7 shape: nation dimension in two roles over a 5-join chain
+    "q_nation_trade"   -> ((s, d) => Relational.nationTrade(s, d)),
     "q_bucketed_join"  -> ((s, d) => Bucketing.bucketedOrderRevenue(s, d)),
     "q_clustered_scan" -> ((s, d) => Clustering.clusteredRectRevenue(s, d)),
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
+    // the same windows produced by the watermarked streaming aggregation,
+    // drained AvailableNow — streaming window state under the batch oracle
+    "q_streaming_hourly" -> ((s, d) => graft.streaming.StreamingIndexer.hourlyRollupAvailableNow(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
     "q_type_shares"    -> ((s, d) => Events.typeShares(s, d)),
@@ -942,6 +949,37 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderstatus
         |ORDER BY o_orderkey""".stripMargin,
+    // correlated scalar subqueries, decorrelated by Catalyst on the Spark
+    // side; DuckDB runs the identical correlated form. Exact-decimal
+    // above-average test (price·n > sum — no inexact divide).
+    "q_parts_above_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        |       (SELECT COUNT(*) FROM part p2
+        |        WHERE p2.p_brand = p.p_brand) AS brand_n,
+        |       (SELECT CAST(SUM(CAST(p3.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+        |        FROM part p3
+        |        WHERE p3.p_brand = p.p_brand) AS brand_sum
+        |FROM part p
+        |WHERE CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM part p4 WHERE p4.p_brand = p.p_brand)
+        |      > (SELECT SUM(CAST(p5.p_retailprice AS DECIMAL(12,2)))
+        |         FROM part p5 WHERE p5.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_11')
+         |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_19')
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
     // Z-clustering changes the physical layout only — the oracle is the
     // same rectangle query over the plain table (ClusteringSpec asserts
     // the layout actually skips non-matching tiles; this checks the
@@ -969,6 +1007,14 @@ object SparkEntry {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // streaming drain of the same windows (no n_users: streaming
+    // aggregations cannot countDistinct) — window state must converge to
+    // the batch rollup
+    "q_streaming_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (

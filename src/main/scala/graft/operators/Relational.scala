@@ -148,6 +148,66 @@ object Relational {
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")
 
+  /** Parts priced above their brand's average — written as CORRELATED
+    * scalar subqueries on purpose: Catalyst's subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery) turns each into an aggregate +
+    * join, so the executed plan is shuffle-joins over a per-brand
+    * aggregate, never a per-row re-scan. The above-average test runs in
+    * exact decimal arithmetic (price·n > sum avoids an inexact divide);
+    * the reported brand aggregates are an exact sum and a count, so both
+    * engines hash-match bit-for-bit.
+    */
+  def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice,
+        |       (SELECT COUNT(*) FROM graft_part p2
+        |        WHERE p2.p_brand = p.p_brand) AS brand_n,
+        |       (SELECT CAST(SUM(CAST(p3.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+        |        FROM graft_part p3
+        |        WHERE p3.p_brand = p.p_brand) AS brand_sum
+        |FROM graft_part p
+        |WHERE CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM graft_part p4 WHERE p4.p_brand = p.p_brand)
+        |      > (SELECT SUM(CAST(p5.p_retailprice AS DECIMAL(12,2)))
+        |         FROM graft_part p5 WHERE p5.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** Bilateral trade volume between two nations by ship year — the TPC-H
+    * Q7 shape: lineitem→supplier→nation on one side, lineitem→orders→
+    * customer→nation on the other, with the nation dimension playing TWO
+    * roles. Only nation (25 rows) is explicitly broadcast — supplier,
+    * orders and customer grow with the corpus (fact-scale at 100 TB), so
+    * they join on their shared keys and AQE promotes them to broadcast at
+    * small SF where they fit. Revenue in exact decimal, cast to double at
+    * the edge.
+    */
+  def nationTrade(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    li.join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .where((col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_11")
+        || (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_19"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

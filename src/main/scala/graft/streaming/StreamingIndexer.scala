@@ -75,6 +75,45 @@ object StreamingIndexer {
       .orderBy("term", "doc_id")
   }
 
+  /** Watermarked streaming window aggregation as a BOUNDED, oracle-checked
+    * query — the same AvailableNow drain as [[indexAvailableNow]], applied
+    * to the canonical streaming shape (event-time tumbling windows). The
+    * events parquet stores ns timestamps, which the file streaming source
+    * reads as raw longs under the nanosAsLong flag; the µs floor-convert
+    * mirrors [[graft.sources.Tables.events]] so the oracle's hour buckets
+    * agree. n_users is absent (streaming aggregations cannot
+    * countDistinct); the oracle row checks count + exact decimal sum.
+    */
+  def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val id = runSeq.incrementAndGet()
+    val watch = Files.createTempDirectory("graft_stream_events_")
+    Files.copy(Paths.get(sfDir, "events.parquet"),
+      watch.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val table = s"graft_stream_hourly_$id"
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(watch.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table).orderBy("hour", "event_type")
+  }
+
   /** Streaming twin of [[graft.operators.Events.hourlyRollup]]: watermarked
     * event-time tumbling windows with per-type counts/sums. Late data
     * beyond the watermark is dropped; state is bounded — the shape that

@@ -33,6 +33,33 @@ class RelationalEventsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
   }
 
+  test("correlated scalar subqueries are fully decorrelated to agg+join") {
+    val q = Relational.partsAboveBrandAvg(spark, sf)
+    // Catalyst's RewriteCorrelatedScalarSubquery must leave NO subquery
+    // expression in the optimized plan — a surviving correlated subquery
+    // would re-execute per outer row, the classic scan-time scale-killer
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"correlated subquery survived optimization:\n$optimized")
+    // and the result is internally consistent: every kept part beats its
+    // brand average (price·n > sum in exact terms)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p_retailprice") * r.getAs[Long]("brand_n")
+        > r.getAs[Double]("brand_sum"))
+    }
+  }
+
+  test("nation trade: only the two requested nation pairings appear") {
+    val rows = Relational.nationTrade(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_19", "NATION_11"), ("NATION_11", "NATION_19"))))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
   test("sessionize: sessions partition events; durations respect the 30-min gap") {
     val sessions = Events.sessionize(spark, sf).collect()
     val totalEvents = Tables.events(spark, sf).count()
