@@ -126,8 +126,11 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     println(full) // early line: complete detail for anyone reading full stdout
     def compact(dp: Int): String = {
-      val qs = fmt(best ++ buildSecs.map { case (n, s) =>
-        shortKey.getOrElse(n, n) -> Right(s) }, dp)
+      // compact keys drop the uniform "q_" prefix — ~230 chars across the
+      // suite, which is the difference between per-query numbers fitting
+      // the driver's stdout tail and the no-map fallback below
+      val qs = fmt(best.map { case (n, v) => n.stripPrefix("q_") -> v } ++
+        buildSecs.map { case (n, s) => shortKey.getOrElse(n, n) -> Right(s) }, dp)
       val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$f,"sf":"$sfDir"}"""
     }

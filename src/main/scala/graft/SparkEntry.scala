@@ -137,6 +137,9 @@ object SparkEntry {
     "q_nation_trade"   -> ((s, d) => Relational.nationTrade(s, d)),
     "q_bucketed_join"  -> ((s, d) => Bucketing.bucketedOrderRevenue(s, d)),
     "q_clustered_scan" -> ((s, d) => Clustering.clusteredRectRevenue(s, d)),
+    // same rectangle served with PLANNING-time file pruning via the
+    // stats manifest (the table-format metadata layer analogue)
+    "q_pruned_scan"    -> ((s, d) => Clustering.prunedRectRevenue(s, d)),
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
@@ -985,6 +988,18 @@ object SparkEntry {
     // the layout actually skips non-matching tiles; this checks the
     // clustered copy is lossless)
     "q_clustered_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+         |                     AND TIMESTAMP '1996-06-30 23:59:59'
+         |  AND l_partkey BETWEEN 1 AND 100
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+    // identical rectangle, served through the file-stats manifest —
+    // pruning is a physical concern; the answer must not move
+    "q_pruned_scan" ->
       s"""SELECT l_returnflag, count(*) AS n_items,
          |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
          |       CAST(sum($revenueSql) AS DOUBLE) AS revenue

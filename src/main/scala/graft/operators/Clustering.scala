@@ -111,8 +111,26 @@ object Clustering {
           .write.mode("overwrite").parquet(dir.getAbsolutePath)
       } finally spark.conf.set(tsTypeKey, prev)
     }
+    // file-level stats manifest: one row of per-file min/max envelopes,
+    // collected with ONE Spark job over the written layout and stored
+    // beside it — the metadata layer a table format would keep. Rebuilt
+    // whenever the layout was rebuilt or a layout predates the manifest.
+    val mSuccess = new File(manifestDir(sfDir), "_SUCCESS")
+    if (!lastEnsureWasCacheHit ||
+        !mSuccess.exists() || mSuccess.lastModified() < success.lastModified()) {
+      spark.read.parquet(dir.getAbsolutePath)
+        .groupBy(input_file_name().as("file"))
+        .agg(
+          min("l_shipdate").as("ship_min"), max("l_shipdate").as("ship_max"),
+          min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(manifestDir(sfDir).getAbsolutePath)
+    }
     dir.getAbsolutePath
   }
+
+  private def manifestDir(sfDir: String): File =
+    new File(clusterDir(sfDir).getAbsolutePath + "_manifest")
 
   /** The clustered copy as a DataFrame. */
   def clusteredLineitem(spark: SparkSession, sfDir: String): DataFrame =
@@ -134,6 +152,32 @@ object Clustering {
     */
   private[graft] val RectLo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
   private[graft] val RectHi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
+
+  /** The rectangle query with PLANNING-time file pruning — the catalog
+    * analogue of the reference's per-letter directory names
+    * (`/root/reference/helper_reduce.c:238-242`: the file NAME encodes the
+    * key range, so serving opens one of 26 files without reading any).
+    * Row-group skipping ([[clusteredRectRevenue]]) still opens every file's
+    * footer; here the driver consults the stats manifest (one row per
+    * file — KBs at this layout's file counts, the same metadata:data ratio
+    * a table format keeps at 100 TB), keeps only files whose min/max
+    * envelope intersects the rectangle, and hands the parquet reader a
+    * file list that never mentions the rest. ClusteringSpec asserts the
+    * scan's numFiles metric drops below the layout's file count while the
+    * result stays identical.
+    */
+  def prunedRectRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureClustered(spark, sfDir)
+    val keep = spark.read.parquet(manifestDir(sfDir).getAbsolutePath)
+      .where(col("ship_max") >= lit(RectLo) && col("ship_min") <= lit(RectHi)
+        && col("pk_max") >= 1 && col("pk_min") <= 100)
+      .select("file")
+      .collect().map(_.getString(0)) // one row per file: this IS the metadata layer
+    if (keep.isEmpty)
+      rectRevenue(spark.read.parquet(dir).where(lit(false)))
+    else
+      rectRevenue(spark.read.parquet(keep.toIndexedSeq: _*))
+  }
 
   /** The same query shape over any lineitem-schema frame (shared by the
     * spec's clustered-vs-plain comparison).

@@ -69,6 +69,23 @@ class ClusteringSpec extends SparkTestBase {
     assert(rows == Seq(0L, 1L, 2L, 3L, 4L, 8L, 15L))
   }
 
+  test("manifest prunes files at planning time; result identical") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = Clustering.prunedRectRevenue(spark, sf)
+      val rows = pruned.collect().toSeq
+      val full = Clustering.clusteredRectRevenue(spark, sf).collect().toSeq
+      assert(rows == full)
+      assert(rows.nonEmpty)
+      // the scan must never even LIST the non-intersecting files — the
+      // numFiles metric is the planning-time analogue of row-group skips
+      val files = pruned.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+      assert(files > 0 && files < Clustering.NumFiles,
+        s"expected planning-time file pruning: scanned $files of ${Clustering.NumFiles}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("zValue keeps bits above 2^21 (no aliasing of distant keys)") {
     import spark.implicits._
     // with a 21-bit budget these three x values would collapse into the
