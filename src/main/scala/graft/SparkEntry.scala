@@ -140,6 +140,9 @@ object SparkEntry {
     // same rectangle served with PLANNING-time file pruning via the
     // stats manifest (the table-format metadata layer analogue)
     "q_pruned_scan"    -> ((s, d) => Clustering.prunedRectRevenue(s, d)),
+    // fragment → compact → aggregate the compacted copy; oracle aggregates
+    // the original table (rewrite losslessness under the hash check)
+    "q_compacted_scan" -> ((s, d) => Compaction.compactedRoundTrip(s, d)),
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
@@ -997,6 +1000,12 @@ object SparkEntry {
          |  AND l_partkey BETWEEN 1 AND 100
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // the compacted copy must aggregate identically to the source table
+    "q_compacted_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT doc_id) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // identical rectangle, served through the file-stats manifest —
     // pruning is a physical concern; the answer must not move
     "q_pruned_scan" ->

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Small-file compaction — the operational chore every long-lived 100 TB
   * lake needs: streaming sinks and incremental upserts leave directories
@@ -38,5 +41,31 @@ object Compaction {
     fs.rename(tmp, path)
     fs.delete(old, true)
     Result(before.length, parquetFiles.length, bytes)
+  }
+
+  /** The compaction lifecycle as one oracle-checkable query: fragment the
+    * documents corpus into 64 small files (what a streaming sink or
+    * upsert-heavy table looks like), compact the directory down with the
+    * rename-swap rewrite, and aggregate the COMPACTED copy. The oracle
+    * runs the same aggregation over the original table, so a hash match
+    * proves the shuffle-free coalesce rewrite and the two-rename swap
+    * preserved every row — compaction is a physical concern; the answer
+    * must not move.
+    */
+  def compactedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_docs_")
+    val target = dir.resolve("docs").toString
+    Tables.documents(spark, sfDir)
+      .repartition(64)
+      .write.mode("overwrite").parquet(target)
+    val r = compact(spark, target, 64L * 1024 * 1024)
+    require(r.filesAfter < r.filesBefore,
+      s"compaction did not reduce file count: $r")
+    spark.read.parquet(target)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("doc_id")).as("n_distinct"))
+      .orderBy("lang")
   }
 }
