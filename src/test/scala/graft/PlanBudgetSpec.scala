@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Shuffle-count budgets for representative queries — the scale
+  * regression net. Every ShuffleExchangeExec is a full-data exchange at
+  * 100 TB, so an operator that silently gains one (an accidental
+  * repartition, a lost broadcast, a window where an aggregate would do)
+  * is a plan regression even while answers stay correct. Budgets are the
+  * CURRENT measured counts (AQE off so the walked plan is the static
+  * one); tightening is welcome, exceeding fails.
+  */
+class PlanBudgetSpec extends SparkTestBase {
+
+  private val budgets: Map[String, Int] = Map(
+    "q_index_build"     -> 2, // (term,doc) agg + output range sort
+    "q_term_lookup"     -> 2, // agg + order
+    "q_index_serve_lookup" -> 1, // pruned scan + order only
+    "q_exact_dedup"     -> 2, // hash agg + order (window-free keeper path)
+    "q_dup_clusters"    -> 1, // serve from materialized labels
+    "q_cosine_topk"     -> 2, // broadcast queries; O(k) top-k + order
+    "q_ann_topk"        -> 2, // bucket join broadcast; top-k + order
+    "q_ivf_serve"       -> 2, // literal centroids; top-k + order
+    "q_embed_neardup"   -> 1, // broadcast batch vs corpus scan
+    "q_sessionize"      -> 2, // one user-key exchange + output order
+    "q_asof_purchase_view" -> 2, // unioned single window pass + order
+    "q_hourly_rollup"   -> 3, // countDistinct expand + agg + order
+    "q_bucketed_join"   -> 1, // exchange-free SMJ; output order only
+    "q_skew_join"       -> 2, // salted spread + order
+    "q_nation_trade"    -> 2, // fact joins collapse onto one exchange + agg/order
+    "q_clustered_scan"  -> 2, // agg + order
+    "q_pruned_scan"     -> 2, // agg + order
+    "q_stratified_sample" -> 1, // hash keep-rule is map-side; order only
+    "q_quality_score"   -> 1, // row-local scoring + order
+    "q_pii_mask"        -> 1  // row-local masking + order
+  )
+
+  budgets.foreach { case (name, budget) =>
+    test(s"$name stays within its shuffle budget ($budget)") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        val shuffles = plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+        assert(shuffles <= budget,
+          s"$name plans $shuffles shuffles, budget $budget — a new exchange " +
+            "appeared; justify it and raise the budget or remove it")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}
