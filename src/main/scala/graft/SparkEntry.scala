@@ -697,11 +697,16 @@ object SparkEntry {
          |  FROM b JOIN qb USING (tbl, bucket)
          |  WHERE b.vec_id <> qb.query_id),
          |scored AS (
-         |  SELECT c.query_id, c.vec_id,
-         |         round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
-         |  FROM cand c
-         |  JOIN embeddings e  ON e.vec_id  = c.vec_id
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+         |  -- -2.0 zero-norm floor (Spark NULL vs DuckDB NaN divergence)
+         |  SELECT query_id, vec_id,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |           round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |    FROM cand c
+         |    JOIN embeddings e  ON e.vec_id  = c.vec_id
+         |    JOIN embeddings qe ON qe.vec_id = c.query_id)),
          |r AS (SELECT query_id, vec_id, cosine,
          |             CAST(row_number() OVER (PARTITION BY query_id
          |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
@@ -741,11 +746,16 @@ object SparkEntry {
          |  FROM assign a JOIN probes p USING (cent_id)
          |  WHERE a.vec_id <> p.query_id),
          |scored AS (
-         |  SELECT c.query_id, c.vec_id,
-         |         round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
-         |  FROM cand c
-         |  JOIN embeddings e  ON e.vec_id  = c.vec_id
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+         |  -- -2.0 zero-norm floor (Spark NULL vs DuckDB NaN divergence)
+         |  SELECT query_id, vec_id,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |           round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |    FROM cand c
+         |    JOIN embeddings e  ON e.vec_id  = c.vec_id
+         |    JOIN embeddings qe ON qe.vec_id = c.query_id)),
          |r AS (SELECT query_id, vec_id, cosine,
          |             CAST(row_number() OVER (PARTITION BY query_id
          |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
@@ -821,9 +831,14 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
          |           FROM embeddings WHERE vec_id < 10),
          |j AS (
-         |  SELECT q.query_id, e.vec_id,
-         |         round(${cosSql("q.q_emb", "e.embedding")}, 6) AS cosine
-         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |  -- -2.0 zero-norm floor (Spark NULL vs DuckDB NaN divergence)
+         |  SELECT query_id, vec_id,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           round(${cosSql("q.q_emb", "e.embedding")}, 6) AS cosine
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)),
          |r AS (SELECT query_id, vec_id, cosine,
          |             CAST(row_number() OVER (PARTITION BY query_id
          |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk

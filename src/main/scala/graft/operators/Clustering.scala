@@ -56,13 +56,26 @@ object Clustering {
       acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
     }
 
-  /** Bit-interleave two non-negative integer columns into a Z-value: bit i
-    * of `x` lands at position 2i, bit i of `y` at 2i+1. Full 31-bit range
-    * per dimension (bit 30 of y lands at position 61), so no scale factor
-    * this library can meet aliases distant keys into the same Z-tile.
+  /** Bit-interleave two non-negative sub-2^31 integer columns into a
+    * Z-value: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
+    * Inputs wider than 31 bits must be range-normalized first (see
+    * [[normShift]]) — a raw cast would wrap negative and scramble the
+    * layout.
     */
   private[graft] def zValue(x: Column, y: Column): Column =
     spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Right-shift needed to fit a key range into 31 bits. Normalizing a key
+    * as `(k − min) >> shift` preserves order exactly, so wide-ranged keys
+    * (partkey = 200k·SF exceeds 2^31 around SF 10k) COARSEN the Z-tiling
+    * instead of wrapping into aliased tiles: adjacent keys may share a
+    * tile, distant keys never swap order. Shift is derived from column
+    * stats at write time; 0 for every range below 2^31.
+    */
+  private[graft] def normShift(range: Long): Int = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(range, 1L))
+    math.max(0, bits - 31)
+  }
 
   /** Day offset of l_shipdate from the corpus epoch (non-negative). */
   private def shipDays: Column =
@@ -102,9 +115,22 @@ object Clustering {
       val prev = spark.conf.get(tsTypeKey)
       spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS") // INT96 writes no usable stats
       try {
-        Tables.lineitem(spark, sfDir)
+        val src = Tables.lineitem(spark, sfDir)
           .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
-          .withColumn("zv", zValue(shipDays, col("l_partkey").cast("int")))
+        // range-normalize both Z dimensions from column stats (one tiny
+        // min/max scan): order-preserving (k − min) >> shift keeps every
+        // key inside zValue's 31-bit budget at ANY scale factor — wide
+        // ranges coarsen the tiling, they never alias (see normShift)
+        val st = src.agg(
+          min(shipDays).as("sd_min"), max(shipDays).as("sd_max"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max")
+        ).head()
+        val sdShift = normShift(st.getAs[Int]("sd_max").toLong - st.getAs[Int]("sd_min"))
+        val pkShift = normShift(st.getAs[Long]("pk_max") - st.getAs[Long]("pk_min"))
+        src
+          .withColumn("zv", zValue(
+            shiftright((shipDays - lit(st.getAs[Int]("sd_min"))).cast("long"), sdShift),
+            shiftright((col("l_partkey") - lit(st.getAs[Long]("pk_min"))).cast("long"), pkShift)))
           .repartitionByRange(NumFiles, col("zv"))
           .sortWithinPartitions("zv")
           .drop("zv")

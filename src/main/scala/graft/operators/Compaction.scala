@@ -52,8 +52,12 @@ object Compaction {
     * preserved every row — compaction is a physical concern; the answer
     * must not move.
     */
+  private val scratch = new graft.util.ScratchSlot
+
   def compactedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    scratch.retire() // previous run's fragment+compact dir, consumed by now
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_docs_")
+    scratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
     val target = dir.resolve("docs").toString
     Tables.documents(spark, sfDir)
       .repartition(64)

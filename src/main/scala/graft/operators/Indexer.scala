@@ -145,9 +145,13 @@ object Indexer {
     * partition-targeted upsert is equivalent to a from-scratch rebuild —
     * no duplicates, no stale rows, untouched letters intact.
     */
+  private val upsertScratch = new graft.util.ScratchSlot
+
   def upsertRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    upsertScratch.retire() // previous run's scratch index, consumed by now
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ix_")
       .toFile.getAbsolutePath
+    upsertScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
     writeIndex(spark, sfDir, dir)
     val updated = Tables.documents(spark, sfDir)
       .filter(col("doc_id") === 0)

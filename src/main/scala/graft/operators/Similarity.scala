@@ -54,8 +54,10 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       // native codegen'd Expression — bit-identical to VectorFunctions.cosine
-      // (same double arithmetic) but a zero-allocation primitive loop
-      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
+      // (same double arithmetic) but a zero-allocation primitive loop;
+      // -2.0 zero-norm floor mirrored in the oracle (NULL here vs NaN there)
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col("embedding")), 6), lit(-2.0)))
       .select("query_id", "vec_id", "cosine")
     topKPerQuery(scored, k)
   }
@@ -131,7 +133,9 @@ object Similarity {
         col("tbl"), col("bucket"))
     val scored = emb.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
+      // -2.0 zero-norm floor, mirrored in the oracle (NULL here vs NaN there)
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col("embedding")), 6), lit(-2.0)))
       .select("query_id", "vec_id", "cosine")
     topKPerQuery(scored, k)
   }
@@ -232,7 +236,9 @@ object Similarity {
     // query (beyond the k-means rounds) is the O(k)-per-query top-k
     val scored = assigned.join(broadcast(probes), "cent_id")
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
+      // same -2.0 zero-norm floor as the serve path, for rank consistency
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col("embedding")), 6), lit(-2.0)))
       .select(col("q_id").as("query_id"), col("vec_id"), col("cosine"))
     topKPerQuery(scored, k)
   }
@@ -315,7 +321,12 @@ object Similarity {
           x => x.getField("i")), 1, nprobe)).as("cent_id"))
     val scored = assigned.join(broadcast(probes), "cent_id")
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosineNative(col("q_emb"), col("embedding")), 6))
+      // same zero-norm floor as the assignment phase: the guard above
+      // keeps zero-norm corpus vectors IN the index (cell 0), so the
+      // re-rank must pin their cosine too — Spark's NULL would drop them
+      // from top-k while DuckDB's NaN sorts FIRST under ORDER BY DESC
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col("embedding")), 6), lit(-2.0)))
       .select(col("q_id").as("query_id"), col("vec_id"), col("cosine"))
     topKPerQuery(scored, k)
   }

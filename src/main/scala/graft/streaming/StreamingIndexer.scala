@@ -41,6 +41,36 @@ object StreamingIndexer {
       .start()
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val indexScratch = new graft.util.ScratchSlot
+  private val hourlyScratch = new graft.util.ScratchSlot
+
+  /** Stage one parquet file into a fresh watched directory, drain
+    * `mkStream(watchDir)` into a memory table with an AvailableNow
+    * trigger, and return the table. Scratch (staged copy + memory table)
+    * from the PREVIOUS invocation is disposed first — see
+    * [[graft.util.ScratchSlot]].
+    */
+  private def drainToTable(spark: SparkSession, sfDir: String, file: String,
+                           prefix: String, slot: graft.util.ScratchSlot)
+                          (mkStream: String => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    slot.retire()
+    val watch = Files.createTempDirectory(s"graft_${prefix}_")
+    Files.copy(Paths.get(sfDir, file),
+      watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
+    val table = s"graft_${prefix}_${runSeq.incrementAndGet()}"
+    val q = mkStream(watch.toString).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    slot.defer(
+      () => { spark.catalog.dropTempView(table); () },
+      () => graft.util.Scratch.deleteRecursively(watch))
+    spark.table(table)
+  }
 
   /** The full streaming index lifecycle as a BOUNDED, oracle-checkable
     * query: stage the corpus into a watched directory, drain it with an
@@ -55,63 +85,48 @@ object StreamingIndexer {
     * runs unbounded with micro-batches; boundedness here comes only from
     * the trigger, not from any change to the streaming plan or state.
     */
-  def indexAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val id = runSeq.incrementAndGet()
-    val watch = Files.createTempDirectory("graft_stream_docs_")
-    Files.copy(Paths.get(sfDir, "documents.parquet"),
-      watch.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val table = s"graft_stream_index_$id"
-    val q = postingsStream(spark, watch.toString).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(table)
+  def indexAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark, sfDir, "documents.parquet", "stream_index",
+      indexScratch)(postingsStream(spark, _))
       .select(substring(col("term"), 1, 1).as("first_letter"),
         col("term"), col("doc_id"), col("tf"))
       .orderBy("term", "doc_id")
-  }
 
-  /** Watermarked streaming window aggregation as a BOUNDED, oracle-checked
-    * query — the same AvailableNow drain as [[indexAvailableNow]], applied
-    * to the canonical streaming shape (event-time tumbling windows). The
-    * events parquet stores ns timestamps, which the file streaming source
-    * reads as raw longs under the nanosAsLong flag; the µs floor-convert
-    * mirrors [[graft.sources.Tables.events]] so the oracle's hour buckets
-    * agree. n_users is absent (streaming aggregations cannot
-    * countDistinct); the oracle row checks count + exact decimal sum.
+  /** THE watermarked hourly window aggregation — single definition shared
+    * by the unbounded spec-facing stream ([[hourlyRollupStream]]) and the
+    * oracle-checked AvailableNow drain ([[hourlyRollupAvailableNow]]), so
+    * window/watermark/sum semantics cannot drift between them. Sum is
+    * exact decimal cast to double (the oracle contract); n_users is absent
+    * because streaming aggregations cannot countDistinct.
     */
-  def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val id = runSeq.incrementAndGet()
-    val watch = Files.createTempDirectory("graft_stream_events_")
-    Files.copy(Paths.get(sfDir, "events.parquet"),
-      watch.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    val table = s"graft_stream_hourly_$id"
-    val q = spark.readStream
-      .schema(schema)
-      .parquet(watch.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "2 hours")
+  private def hourlyWindows(src: DataFrame): DataFrame =
+    src.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Watermarked streaming window aggregation as a BOUNDED, oracle-checked
+    * query — the same AvailableNow drain as [[indexAvailableNow]], applied
+    * to the canonical streaming shape. The events parquet stores ns
+    * timestamps, which the file streaming source reads as raw longs under
+    * the nanosAsLong flag; the µs floor-convert mirrors
+    * [[graft.sources.Tables.events]] so the oracle's hour buckets agree.
+    */
+  def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    drainToTable(spark, sfDir, "events.parquet", "stream_hourly",
+      hourlyScratch) { watch =>
+        hourlyWindows(spark.readStream
+          .schema(schema)
+          .parquet(watch)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      }
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(table).orderBy("hour", "event_type")
+      .orderBy("hour", "event_type")
   }
 
   /** Streaming twin of [[graft.operators.Events.hourlyRollup]]: watermarked
@@ -122,14 +137,9 @@ object StreamingIndexer {
   def hourlyRollupStream(spark: SparkSession, watchDir: String): DataFrame = {
     val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream
+    hourlyWindows(spark.readStream
       .schema(schema)
-      .parquet(watchDir)
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("n"), col("total_value"))
+      .parquet(watchDir))
   }
 
   /** Run the streaming hourly rollup into memory (complete mode for test

@@ -1,0 +1,40 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.AtomicReference
+
+/** Deferred cleanup for per-execution scratch artifacts (staged corpus
+  * dirs, scratch indexes, memory-sink tables) of the round-trip queries.
+  *
+  * A round-trip query must leave its artifacts alive until the CALLER has
+  * consumed the returned (lazy) DataFrame, so eager deletion is wrong; but
+  * never deleting leaks a corpus copy and a pinned memory table per
+  * execution, and the bench alone executes every query at least twice.
+  * The compromise: each call site keeps ONE generation of scratch —
+  * `retire()` at the start of an invocation disposes the previous
+  * generation (consumed by then; invocations of one query are sequential),
+  * `defer(...)` registers the current one.
+  */
+final class ScratchSlot {
+  private val pending = new AtomicReference[List[() => Unit]](Nil)
+
+  /** Dispose the previous generation's artifacts (best-effort). */
+  def retire(): Unit =
+    pending.getAndSet(Nil).foreach(c => try c() catch { case _: Throwable => () })
+
+  /** Register the current generation's cleanups for the next retire(). */
+  def defer(cleanups: (() => Unit)*): Unit = pending.set(cleanups.toList)
+}
+
+object Scratch {
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => try Files.delete(f) catch { case _: Throwable => () })
+      finally walk.close()
+    }
+
+  def deleteRecursively(dir: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(dir))
+}

@@ -86,6 +86,19 @@ class ClusteringSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("normShift fits any key range into the 31-bit budget, order-preserving") {
+    assert(Clustering.normShift(0L) === 0)
+    assert(Clustering.normShift((1L << 31) - 1) === 0)
+    assert(Clustering.normShift(1L << 31) === 1)
+    // partkey at SF 100k: 200k·100k = 2e10 → needs 35 bits → shift 4
+    assert(Clustering.normShift(20000000000L) === 4)
+    val ks = Seq(0L, 5L, 1L << 33, (1L << 35) + 7)
+    val s = Clustering.normShift(ks.max)
+    val shifted = ks.map(_ >> s)
+    assert(shifted === shifted.sorted)
+    assert(shifted.max < (1L << 31))
+  }
+
   test("zValue keeps bits above 2^21 (no aliasing of distant keys)") {
     import spark.implicits._
     // with a 21-bit budget these three x values would collapse into the
