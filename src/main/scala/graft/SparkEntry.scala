@@ -86,6 +86,10 @@ object SparkEntry {
     "q_doc_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(s, d)),
     "q_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    // decontamination: per-doc shingle overlap vs a held-out benchmark set
+    "q_contamination"  -> ((s, d) => TextAnalysis.contamination(s, d, 10)),
+    // perplexity-style quality signal under the corpus unigram LM
+    "q_surprisal"      -> ((s, d) => TextAnalysis.unigramSurprisal(s, d)),
     "q_token_counts"   -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_rolling_fp"     -> ((s, d) => TextAnalysis.rollingFingerprints(s, d)),
@@ -425,6 +429,31 @@ object SparkEntry {
          |       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / nullif(len(ts), 0), 4) AS avg_token_len,
          |       (len(ts) >= 10 AND CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / len(ts) < 0.5) AS keep
          |FROM toks ORDER BY doc_id""".stripMargin,
+    // decontamination: LEFT JOIN count of benchmark-shared shingles per
+    // candidate doc; single exact division → deterministic at 6 dp
+    "q_contamination" ->
+      s"""$shingleCte,
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_contaminated
+         |  FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+         |  WHERE s.doc_id >= 10 GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_contaminated,
+         |       round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination
+         |FROM per ORDER BY doc_id""".stripMargin,
+    // perplexity-style signal: mean -ln(unigram prob) per doc; double avg
+    // rounded to 4 dp (the established cross-engine FP margin)
+    "q_surprisal" ->
+      s"""WITH $toksCte, flat AS (
+         |  SELECT doc_id, unnest(ts) AS term FROM toks
+         |), freq AS (
+         |  SELECT term, count(*) AS cnt FROM flat GROUP BY term
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_surprisal
+         |FROM flat JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(list_transform(string_split(lower(text), ' '),

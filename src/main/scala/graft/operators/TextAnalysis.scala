@@ -320,4 +320,51 @@ object TextAnalysis {
       .filter(col("dist").between(1, maxDist))
       .orderBy("term_a", "term_b")
   }
+
+  /** Benchmark-contamination check — THE decontamination step of a
+    * training-data pipeline: for every candidate document, the fraction of
+    * its word-3-gram shingles that also appear in a held-out benchmark set
+    * (here docs 0..nBench-1). Reuses the materialized shingle relation
+    * (one tokenize ever, shared with the dedup family); the benchmark
+    * shingle set is bounded by the benchmark suite's size, so it
+    * broadcasts — the corpus side is one scan + one groupBy(doc_id), no
+    * shuffle of shingle strings against each other. Flagging threshold is
+    * the caller's policy; this reports the evidence.
+    */
+  def contamination(spark: SparkSession, sfDir: String, nBench: Int): DataFrame = {
+    val sh = Dedup.shingleIndex(spark, sfDir)
+    val bench = sh.filter(col("doc_id") < nBench).select("sh").distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") >= nBench)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram surprisal per document — the perplexity-style quality signal
+    * (documents whose tokens are uniformly common score low; gibberish and
+    * boilerplate-free rare text scores high). The language model is the
+    * corpus's own unigram distribution: one term-count aggregation, joined
+    * back to the token stream on term (the vocabulary is corpus-scale, so
+    * this is a plain shuffle join, not a broadcast), with the corpus total
+    * riding along as a broadcast 1-row aggregate. avg is rounded to 4 dp —
+    * the established cross-engine FP-margin for double averages.
+    */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("n_total"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("n_total"))), 4)
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
 }
