@@ -90,6 +90,8 @@ object SparkEntry {
     "q_contamination"  -> ((s, d) => TextAnalysis.contamination(s, d, 10)),
     // perplexity-style quality signal under the corpus unigram LM
     "q_surprisal"      -> ((s, d) => TextAnalysis.unigramSurprisal(s, d)),
+    // Gopher-style repetition filter signals (row-local HOF math)
+    "q_repetition"     -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "q_token_counts"   -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_rolling_fp"     -> ((s, d) => TextAnalysis.rollingFingerprints(s, d)),
@@ -454,6 +456,21 @@ object SparkEntry {
          |       round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_surprisal
          |FROM flat JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // repetition signals: duplicate-bigram and distinct-token ratios,
+    // exact integer divisions → deterministic at 6 dp
+    "q_repetition" ->
+      s"""WITH $toksCte, b AS (
+         |  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+         |         CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
+         |         list_transform(range(1, len(ts)),
+         |                        i -> ts[i] || ' ' || ts[i+1]) AS bg
+         |  FROM toks WHERE len(ts) >= 2)
+         |SELECT doc_id, n_tokens, n_distinct_tokens,
+         |       round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+         |         AS dup_bigram_ratio,
+         |       round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6)
+         |         AS distinct_token_ratio
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(list_transform(string_split(lower(text), ' '),

@@ -345,6 +345,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition statistics per document — the Gopher-style repetition
+    * filter signals: the fraction of duplicated word-bigrams and the
+    * distinct-token ratio. Heavily templated/boilerplate text shows a high
+    * duplicate-bigram fraction long before exact dedup would catch it.
+    * Entirely row-local higher-order-function math (bigrams built by
+    * index-zipping the token array) — no shuffle, streams at any scale.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("n_tokens", size(col("ts")))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("bigrams", transform(sequence(lit(1), col("n_tokens") - 1),
+        i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct_tokens"),
+        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+          / size(col("bigrams")), 6).as("dup_bigram_ratio"),
+        round(size(array_distinct(col("ts"))).cast("double")
+          / col("n_tokens"), 6).as("distinct_token_ratio"))
+      .orderBy("doc_id")
+
   /** Unigram surprisal per document — the perplexity-style quality signal
     * (documents whose tokens are uniformly common score low; gibberish and
     * boilerplate-free rare text scores high). The language model is the
