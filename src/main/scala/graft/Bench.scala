@@ -79,11 +79,15 @@ object Bench {
     }
     // a near-zero clustered build on a warm machine means the on-disk copy
     // was reused — report that explicitly so the build's TCO is
-    // self-explaining. A FLAG, not seconds: shown in the queries map but
-    // never summed into the total
-    val buildFlags: Seq[(String, Double)] = Seq(
-      "clustered_layout_cache_hit" ->
-        (if (graft.operators.Clustering.lastEnsureWasCacheHit) 1.0 else 0.0))
+    // self-explaining. A FLAG in its own top-level "cache_hits" object: a
+    // consumer summing/averaging the queries map must never read it as a
+    // 1-second entry
+    val cacheHits = Seq(
+      "clustered_layout" ->
+        (if (graft.operators.Clustering.lastEnsureWasCacheHit) 1 else 0))
+    val cacheHitsJson =
+      cacheHits.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> exec(n)).toMap
@@ -119,12 +123,11 @@ object Bench {
       "shingles_materialize" -> "b_shingles",
       "dup_clusters_materialize" -> "b_clusters",
       "bucketed_tables_materialize" -> "b_bucketed",
-      "clustered_layout_materialize" -> "b_zorder",
-      "clustered_layout_cache_hit" -> "b_zorder_hit")
+      "clustered_layout_materialize" -> "b_zorder")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullQs = fmt(best ++ (buildSecs ++ buildFlags).map {
+    val fullQs = fmt(best ++ buildSecs.map {
       case (n, s) => n -> Right(s) }, 3)
-    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (full + "\n").getBytes("UTF-8"))
     println(full) // early line: complete detail for anyone reading full stdout
@@ -133,10 +136,10 @@ object Bench {
       // suite, which is the difference between per-query numbers fitting
       // the driver's stdout tail and the no-map fallback below
       val qs = fmt(best.map { case (n, v) => n.stripPrefix("q_") -> v } ++
-        (buildSecs ++ buildFlags).map { case (n, s) =>
+        buildSecs.map { case (n, s) =>
           shortKey.getOrElse(n, n) -> Right(s) }, dp)
       val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$f,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"cache_hits":$cacheHitsJson$f,"sf":"$sfDir"}"""
     }
     // sbt appends a ~75-char "[success] ..." line after us; stay well clear
     val line2 = compact(2)
@@ -147,7 +150,7 @@ object Bench {
     // detail is in bench_detail.json and the early stdout line)
     println(
       if (line1.length <= 1850) line1
-      else s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}""")
+      else s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":{},"cache_hits":$cacheHitsJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

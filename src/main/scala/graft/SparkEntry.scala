@@ -112,6 +112,10 @@ object SparkEntry {
     "q_pseudonym_join" -> ((s, d) => Privacy.ordersByPseudonym(s, d)),
     // — dedup —
     "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
+    // the SAME dedup reduction (keeper = min id, group_size) computed by
+    // streaming state and drained with AvailableNow — arrival-order-proof,
+    // so the batch oracle applies bit-for-bit
+    "q_streaming_dedup" -> ((s, d) => graft.streaming.StreamingDedup.dedupAvailableNow(s, d)),
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
@@ -632,6 +636,13 @@ object SparkEntry {
         |FROM a ORDER BY pseudo_key""".stripMargin,
     // — dedup —
     "q_exact_dedup" ->
+      """WITH f AS (SELECT doc_id, sha256(text) AS fp FROM documents),
+        |g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keeper FROM f GROUP BY fp)
+        |SELECT keeper AS doc_id, fp, CAST(group_size AS BIGINT) AS group_size
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // streaming drain of the same dedup reduction — identical oracle: the
+    // final aggregation state must equal the batch keeper/group_size table
+    "q_streaming_dedup" ->
       """WITH f AS (SELECT doc_id, sha256(text) AS fp FROM documents),
         |g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keeper FROM f GROUP BY fp)
         |SELECT keeper AS doc_id, fp, CAST(group_size AS BIGINT) AS group_size

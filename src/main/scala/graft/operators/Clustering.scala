@@ -81,9 +81,24 @@ object Clustering {
   private def shipDays: Column =
     datediff(col("l_shipdate"), to_date(lit("1992-01-01")))
 
+  /** On-disk layout format version, embedded in the cache directory name.
+    * BUMP THIS whenever the written format changes (column types, Z bit
+    * budget, rectangle-relevant encoding): the mtime staleness check only
+    * sees source-data changes, so without a version a machine holding a
+    * pre-change copy in java.io.tmpdir would keep serving the old layout.
+    * v2 = LTZ-micros shipdate + range-normalized 31-bit Morton Z.
+    */
+  private val LayoutVersion = 2
+
   private def clusterDir(sfDir: String): File =
     new File(System.getProperty("java.io.tmpdir"),
-      "graft_lineitem_z_" + Integer.toHexString(sfDir.hashCode))
+      s"graft_lineitem_z_v${LayoutVersion}_" + Integer.toHexString(sfDir.hashCode))
+
+  /** Newest lastModified anywhere under `p` (p itself for a plain file). */
+  private def newestMtime(p: File): Long = {
+    val kids = Option(p.listFiles()).getOrElse(Array.empty[File])
+    (p.lastModified() +: kids.map(newestMtime)).max
+  }
 
   /** True when [[ensureClustered]] found a fresh on-disk copy and skipped
     * the build — lets the bench report cache-hit vs real build honestly.
@@ -100,7 +115,9 @@ object Clustering {
   def ensureClustered(spark: SparkSession, sfDir: String): String = {
     val dir = clusterDir(sfDir)
     val success = new File(dir, "_SUCCESS")
-    val srcMtime = new File(sfDir, "lineitem.parquet").lastModified()
+    // newest mtime anywhere under the source path: a multi-file parquet
+    // directory rewritten in place need not bump the directory's own mtime
+    val srcMtime = newestMtime(new File(sfDir, "lineitem.parquet"))
     lastEnsureWasCacheHit = success.exists() && success.lastModified() >= srcMtime
     if (!lastEnsureWasCacheHit) {
       // The source parquet stores shipdate with isAdjustedToUTC=false, which

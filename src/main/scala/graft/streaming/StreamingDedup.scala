@@ -57,4 +57,35 @@ object StreamingDedup {
       .format("memory")
       .queryName(tableName)
       .start()
+
+  private val drainScratch = new graft.util.ScratchSlot
+
+  /** The streaming dedup lifecycle as a BOUNDED, oracle-checkable query —
+    * the same AvailableNow drain as
+    * [[StreamingIndexer.indexAvailableNow]], applied to dedup-at-ingest.
+    *
+    * [[dedupStream]]'s `dropDuplicates` keeps the FIRST ARRIVAL per
+    * fingerprint, which depends on micro-batch split order — inherently
+    * non-reproducible, so it stays spec-only. The driver-visible row
+    * instead runs the streaming aggregation `min(doc_id), count(*)` per
+    * fingerprint: the identical deterministic reduction the batch
+    * [[graft.operators.Dedup.exactDedup]] computes (keeper = min id,
+    * group_size = duplicates absorbed), so the drained final state matches
+    * the batch oracle bit-for-bit no matter how arrivals interleave. Same
+    * state-store footprint as dropDuplicates (one fingerprint plus two
+    * longs per distinct document, hash-partitioned across executors).
+    */
+  def dedupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    StreamingIndexer.drainToTable(spark, sfDir, "documents.parquet",
+      "stream_dedup", drainScratch) { watch =>
+        spark.readStream
+          .schema(DocSchema)
+          .parquet(watch)
+          .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("group_size"))
+      }
+      .select("doc_id", "fp", "group_size")
+      .orderBy("doc_id")
 }

@@ -50,9 +50,10 @@ object StreamingIndexer {
     * from the PREVIOUS invocation is disposed first — see
     * [[graft.util.ScratchSlot]].
     */
-  private def drainToTable(spark: SparkSession, sfDir: String, file: String,
-                           prefix: String, slot: graft.util.ScratchSlot)
-                          (mkStream: String => DataFrame): DataFrame = {
+  private[streaming] def drainToTable(
+      spark: SparkSession, sfDir: String, file: String,
+      prefix: String, slot: graft.util.ScratchSlot)
+      (mkStream: String => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     slot.retire()
     val watch = Files.createTempDirectory(s"graft_${prefix}_")

@@ -16,14 +16,35 @@ import java.util.concurrent.atomic.AtomicReference
   * `defer(...)` registers the current one.
   */
 final class ScratchSlot {
+  ScratchSlot.register(this)
+
   private val pending = new AtomicReference[List[() => Unit]](Nil)
 
   /** Dispose the previous generation's artifacts (best-effort). */
   def retire(): Unit =
     pending.getAndSet(Nil).foreach(c => try c() catch { case _: Throwable => () })
 
-  /** Register the current generation's cleanups for the next retire(). */
-  def defer(cleanups: (() => Unit)*): Unit = pending.set(cleanups.toList)
+  /** Register the current generation's cleanups for the next retire().
+    * Accumulates: a call site deferring twice in one invocation keeps both
+    * batches (plain `set` would silently drop — never run — the first).
+    */
+  def defer(cleanups: (() => Unit)*): Unit = {
+    pending.updateAndGet(prev => cleanups.toList ::: prev)
+    ()
+  }
+}
+
+object ScratchSlot {
+  // Retire every slot's final generation at JVM exit: without this each
+  // process leaves exactly one scratch dir per call site behind, and
+  // java.io.tmpdir grows monotonically across bench/verify/test runs.
+  // Slots are static singletons in their operators, so the registry stays
+  // small. Cleanups are best-effort (retire swallows per-cleanup errors —
+  // e.g. a memory-table drop after the SparkContext already stopped).
+  private val slots = new java.util.concurrent.ConcurrentLinkedQueue[ScratchSlot]()
+  private[util] def register(s: ScratchSlot): Unit = { slots.add(s); () }
+  Runtime.getRuntime.addShutdownHook(new Thread(
+    () => slots.forEach(_.retire()), "graft-scratch-retire"))
 }
 
 object Scratch {

@@ -60,6 +60,15 @@ class ClusteringSpec extends SparkTestBase {
     assert(clustered.nonEmpty)
   }
 
+  test("layout dir embeds the format version (stale pre-change copies miss)") {
+    // the mtime staleness check only sees SOURCE changes; a format change
+    // (column encoding, Z bit budget) must change the cache dir name so a
+    // machine holding a pre-change /tmp copy rebuilds instead of serving it
+    val dir = new java.io.File(Clustering.ensureClustered(spark, sf))
+    assert(dir.getName.matches("graft_lineitem_z_v\\d+_\\p{XDigit}+"),
+      s"expected a versioned layout dir name, got: ${dir.getName}")
+  }
+
   test("zValue interleaves bits (locality: nearby points share prefixes)") {
     import spark.implicits._
     val rows = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (3, 3))

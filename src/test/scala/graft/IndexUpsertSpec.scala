@@ -7,16 +7,28 @@ import graft.operators.Indexer
 /** Incremental index maintenance: upsert == full rebuild, and untouched
   * letter partitions are not rewritten.
   */
-class IndexUpsertSpec extends SparkTestBase {
+class IndexUpsertSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private def writeCorpus(dir: String, docs: Seq[(Long, String)]): Unit =
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
+  private val scratchDirs = scala.collection.mutable.ListBuffer.empty[String]
+  private def tempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    scratchDirs += d
+    d
+  }
+  override def afterAll(): Unit = {
+    scratchDirs.foreach(graft.util.Scratch.deleteRecursively)
+    super.afterAll()
+  }
+
   test("upsertIntoIndex rewrites only affected letter partitions, result == rebuild") {
-    val corpusDir = Files.createTempDirectory("graft_up_corpus").toString
-    val indexDir = Files.createTempDirectory("graft_up_index").toString + "/idx"
+    val corpusDir = tempDir("graft_up_corpus")
+    val indexDir = tempDir("graft_up_index") + "/idx"
     val v1 = Seq(1L -> "apple avocado apple", 2L -> "banana berry", 3L -> "cherry cherry")
     writeCorpus(corpusDir, v1)
     Indexer.writeIndex(spark, corpusDir, indexDir)
@@ -33,7 +45,7 @@ class IndexUpsertSpec extends SparkTestBase {
     val got = spark.read.parquet(indexDir)
       .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
     val v2 = Seq(1L -> "apple avocado apple", 2L -> "banana berry", 3L -> "date")
-    val rebuildDir = Files.createTempDirectory("graft_up_corpus2").toString
+    val rebuildDir = tempDir("graft_up_corpus2")
     writeCorpus(rebuildDir, v2)
     val expected = Indexer.postings(spark, rebuildDir)
       .as[(String, Long, Long)].collect().toSet

@@ -42,12 +42,17 @@ class RelationalEventsSpec extends SparkTestBase {
     assert(!optimized.contains("scalar-subquery"),
       s"correlated subquery survived optimization:\n$optimized")
     // and the result is internally consistent: every kept part beats its
-    // brand average (price·n > sum in exact terms)
+    // brand average. The query's WHERE compares exact DECIMAL(12,2); a
+    // double-arithmetic re-check could flake right at the boundary, so
+    // round both sides back to scale-2 BigDecimal (the doubles are exact
+    // images of decimal(12,2) values, so the rounding recovers them)
     val rows = q.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Double]("p_retailprice") * r.getAs[Long]("brand_n")
-        > r.getAs[Double]("brand_sum"))
+      def dec2(d: Double) =
+        BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      assert(dec2(r.getAs[Double]("p_retailprice")) * r.getAs[Long]("brand_n")
+        > dec2(r.getAs[Double]("brand_sum")))
     }
   }
 

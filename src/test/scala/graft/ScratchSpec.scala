@@ -17,25 +17,51 @@ class ScratchSpec extends SparkTestBase {
       .count(f => f.isDirectory && f.getName.startsWith(prefix))
   }
 
+  test("defer accumulates within a generation; retire runs every batch") {
+    val slot = new graft.util.ScratchSlot
+    var ran = Set.empty[Int]
+    slot.defer(() => ran += 1)
+    slot.defer(() => ran += 2) // second defer in the same generation
+    slot.retire()
+    assert(ran === Set(1, 2), "a second defer must not drop the first batch")
+    slot.retire() // generation already disposed: nothing runs twice
+    assert(ran === Set(1, 2))
+  }
+
+  /** The one-generation invariant, stated so it holds regardless of what
+    * OTHER processes left in java.io.tmpdir: the first run may stage one
+    * new dir; every subsequent run must retire its predecessor before
+    * staging (no net growth between consecutive runs).
+    */
+  private def assertOneGeneration(prefix: String)(run: => Unit): Unit = {
+    val before = tmpDirCount(prefix)
+    run
+    val afterOne = tmpDirCount(prefix)
+    run
+    val afterTwo = tmpDirCount(prefix)
+    assert(afterOne <= before + 1,
+      s"first run staged ${afterOne - before} $prefix dirs, expected <= 1")
+    assert(afterTwo <= afterOne,
+      s"second run grew $prefix dirs $afterOne -> $afterTwo: " +
+        "previous generation was not retired")
+  }
+
   test("compaction round-trip keeps at most one scratch generation") {
-    val before = tmpDirCount("graft_compact_docs_")
-    Compaction.compactedRoundTrip(spark, sf).collect()
-    Compaction.compactedRoundTrip(spark, sf).collect()
-    assert(tmpDirCount("graft_compact_docs_") <= math.max(before, 1))
+    assertOneGeneration("graft_compact_docs_") {
+      Compaction.compactedRoundTrip(spark, sf).collect()
+    }
   }
 
   test("upsert round-trip keeps at most one scratch index") {
-    val before = tmpDirCount("graft_upsert_ix_")
-    Indexer.upsertRoundTrip(spark, sf).collect()
-    Indexer.upsertRoundTrip(spark, sf).collect()
-    assert(tmpDirCount("graft_upsert_ix_") <= math.max(before, 1))
+    assertOneGeneration("graft_upsert_ix_") {
+      Indexer.upsertRoundTrip(spark, sf).collect()
+    }
   }
 
   test("streaming drain drops the previous staging dir and memory table") {
-    val before = tmpDirCount("graft_stream_index_")
-    StreamingIndexer.indexAvailableNow(spark, sf).collect()
-    StreamingIndexer.indexAvailableNow(spark, sf).collect()
-    assert(tmpDirCount("graft_stream_index_") <= math.max(before, 1))
+    assertOneGeneration("graft_stream_index_") {
+      StreamingIndexer.indexAvailableNow(spark, sf).collect()
+    }
     val views = spark.catalog.listTables().collect()
       .map(_.name).count(_.startsWith("graft_stream_index_"))
     assert(views <= 1, s"expected at most one live memory table, got $views")

@@ -7,8 +7,17 @@ import graft.streaming.StreamingDedup
 class StreamingDedupSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("AvailableNow drain state equals the batch exact-dedup answer") {
+    val streamed = StreamingDedup.dedupAvailableNow(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = graft.operators.Dedup.exactDedup(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("dedup-at-ingest keeps one arrival per distinct text across batches") {
-    val watch = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val watch = java.nio.file.Files.createTempDirectory("graft_stream_dedup_spec").toString
     val docs = graft.sources.Tables.documents(spark, sf)
     docs.write.mode("overwrite").parquet(watch)
 
@@ -37,6 +46,9 @@ class StreamingDedupSpec extends SparkTestBase {
         .as[String].collect().toSet
       assert(allFps.subsetOf(keptFps))
       assert(out.select("fp").distinct().count() === out.count())
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.util.Scratch.deleteRecursively(watch)
+    }
   }
 }
