@@ -98,6 +98,10 @@ object SparkEntry {
     "q_chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(s, d, 50, 10)),
     "q_langid"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_bigram_counts"  -> ((s, d) => TextAnalysis.ngramCounts(s, d, 2, 20)),
+    // bigram conditional LM: P(w2|w1) over the most frequent pairs
+    "q_bigram_lm"      -> ((s, d) => TextAnalysis.bigramLm(s, d, 20)),
+    // per-doc share of corpus-common shingles (boilerplate detector)
+    "q_boilerplate"    -> ((s, d) => TextAnalysis.boilerplateRatio(s, d)),
     "q_typo_pairs"     -> ((s, d) => TextAnalysis.typoPairs(s, d, 2)),
     "q_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d, 64)),
     "q_hash_features"  -> ((s, d) => TextAnalysis.hashingTrickFeatures(s, d, 16)),
@@ -130,6 +134,8 @@ object SparkEntry {
     "q_ivf_serve"      -> ((s, d) => Similarity.ivfServeTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     "q_embed_neardup"  -> ((s, d) => Similarity.embedNearDupPairs(s, d, 100, 0.3)),
+    // SemDeDup: per-cell min-id-keeper semantic dedup on fixed centroids
+    "q_semdedup"       -> ((s, d) => Similarity.semDedup(s, d, 0.3)),
     "q_quantize_embed" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
@@ -549,6 +555,35 @@ object SparkEntry {
          |  FROM toks, unnest(range(1, len(ts))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // bigram LM: both engines divide the identical bigram/marginal longs
+    // in double, so P(w2|w1) is bit-exact without rounding
+    "q_bigram_lm" ->
+      s"""WITH $toksCte, g AS (
+         |  SELECT ts[i] AS w1, ts[i+1] AS w2
+         |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+         |), c2 AS (SELECT w1, w2, count(*) AS n FROM g GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(n) AS n1 FROM c2 GROUP BY w1)
+         |SELECT c2.w1, c2.w2, CAST(c2.n AS BIGINT) AS n,
+         |       CAST(c2.n AS DOUBLE) / CAST(c1.n1 AS DOUBLE) AS p
+         |FROM c2 JOIN c1 USING (w1)
+         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    // boilerplate ratio: df threshold uses floor() on both engines (bare
+    // integer division is double in both, and DuckDB's double→int cast
+    // rounds while Spark's truncates)
+    "q_boilerplate" ->
+      s"""$shingleCte,
+         |thr AS (SELECT greatest(3, CAST(floor(count(*) / 200.0) AS BIGINT)) AS min_df
+         |        FROM documents),
+         |common AS (
+         |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh), thr
+         |  WHERE df >= min_df),
+         |nb AS (SELECT doc_id, count(*) AS n_boiler
+         |       FROM sh JOIN common USING (sh) GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(s.n_sh AS BIGINT) AS n_sh,
+         |       CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+         |       round(CAST(coalesce(nb.n_boiler, 0) AS DOUBLE)
+         |             / CAST(s.n_sh AS DOUBLE), 6) AS boiler_ratio
+         |FROM sizes s LEFT JOIN nb USING (doc_id) ORDER BY doc_id""".stripMargin,
     // hashing-trick featurization: integer polynomial hash mod k — exact
     "q_hash_features" ->
       s"""WITH $toksCte
@@ -819,6 +854,40 @@ object SparkEntry {
          |      FROM scored)
          |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    // q_semdedup: same fixed-centroid assignment as q_ivf_serve, then the
+    // min-id-keeper dominance rule inside each cell; all doubles bit-exact
+    // from embedded literals, zero-norm cosines pinned to -2.0 on both
+    // engines (Spark NULL vs DuckDB NaN)
+    "q_semdedup" ->
+      s"""WITH cents(cent_id, c) AS (VALUES
+         |  $ivfCentroidValues),
+         |sim AS (
+         |  SELECT vec_id, cent_id,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
+         |  FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           ${cosSql("e.embedding", "c.c")} AS s
+         |    FROM embeddings e CROSS JOIN cents c)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |scored AS (
+         |  SELECT b.vec_id AS vec_id,
+         |         round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cc
+         |  FROM assign a JOIN assign b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |dom AS (
+         |  SELECT DISTINCT vec_id FROM scored
+         |  WHERE (CASE WHEN cc IS NULL OR isnan(cc) THEN -2.0 ELSE cc END) >= 0.3)
+         |SELECT a.vec_id, a.cent_id
+         |FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL
+         |ORDER BY a.vec_id""".stripMargin,
     // q_ivf_topk: data-dependent k-means centroids — not reproducible in
     // static DuckDB SQL; rows-only check + ScalaTest recall spec.
     // q_simhash IS oracle-checkable since the token hash is a two-modulus

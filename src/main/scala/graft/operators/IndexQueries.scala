@@ -108,14 +108,22 @@ object IndexQueries {
     val p = spark.read.parquet(MaterializedIndex.ensure(spark, sfDir))
       .select(col("term"), col("doc_id"), col("tf"))
       .repartition(col("term"))
+    // doc_id is the documents PK: a plain count(*) IS the distinct count,
+    // without the distinct's extra doc_id exchange
     val n = graft.sources.Tables.documents(spark, sfDir)
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val df = p.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val weights = p.join(df, "term").crossJoin(broadcast(n))
+      .agg(count(lit(1)).as("n_docs"))
+    // df as a window over p's existing term partitioning: postings rows
+    // are unique (term, doc_id) by construction, so count-per-term is the
+    // document frequency — and the window RIDES the repartition(term)
+    // exchange instead of re-scanning + re-shuffling the postings into a
+    // separate aggregate (that second postings exchange was the single
+    // biggest avoidable data movement in this plan)
+    val weights = p
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
       .filter(col("df") * 10 <= col("n_docs") * 9)
       .select(col("term"), col("doc_id"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
-      .repartition(col("term"))
     val norms = weights.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val qw = weights.filter(col("doc_id") < nQueryDocs)
@@ -162,19 +170,31 @@ object IndexQueries {
   def bm25TopK(spark: SparkSession, sfDir: String, terms: Seq[String],
                k: Int): DataFrame = {
     val post = MaterializedIndex.postings(spark, sfDir)
-    val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // the explicit isNotNull mirrors the null filter the doc_id join pushes
+    // into ITS dl branch — with both branches byte-identical, ReuseExchange
+    // shares ONE per-doc aggregation between the join and the stats scalar
+    // instead of shuffling the postings by doc_id twice (doc_id is never
+    // null in the index, so the filter is semantically free)
+    val dl = post.filter(col("doc_id").isNotNull)
+      .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).as("n_docs"))
     val qpost = post.filter(col("term").isin(terms: _*))
-    val dfreq = qpost.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // postings rows are unique (term, doc_id): count(*) IS the document
+    // frequency. One row per query term → always broadcast-safe, so the
+    // df join costs no exchange of the posting lists
+    val dfreq = qpost.groupBy("term").agg(count(lit(1)).as("df"))
     qpost
-      .join(dfreq, "term")
-      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      // big relation LAST: dl keeps the doc_id hash partitioning of its
+      // aggregation, the scored query postings are the side that moves,
+      // and the final per-doc sum rides the join's output partitioning —
+      // no exchange in this plan ever moves the full dl relation again
+      .join(dl, "doc_id")
       // constants written exactly as in the oracle SQL (k1=1.2, b=0.75,
       // k1+1 as the literal 2.2) so both engines fold identical doubles
       .withColumn("s",

@@ -199,22 +199,25 @@ object Indexer {
       .orderBy(desc("total_tf"), col("doc_id"))
 
   /** tf-idf ranking, top-k documents per term (SURVEY.md §2.1).
-    * idf = ln(N / df); the df side is a groupBy on term only, joined back.
-    * Both branches read the MATERIALIZED index (one tokenize ever, two
-    * cheap postings scans — see [[MaterializedIndex.postings]]).
-    * Scores rounded so the DuckDB oracle hash-matches bit-for-bit.
-    * The per-term window is rank-limit-pushed by Spark 4's
-    * WindowGroupLimit (partial top-k before the shuffle).
+    * idf = ln(N / df). Postings rows are unique (term, doc_id) by
+    * construction, so df is a COUNT WINDOW over the same term partitioning
+    * the ranking window needs anyway: one exchange of the postings serves
+    * df computation AND ranking (the former groupBy+join-back spent a
+    * second full postings shuffle on what the window gets for free).
+    * Reads the MATERIALIZED index (one tokenize ever — see
+    * [[MaterializedIndex.postings]]). Scores rounded so the DuckDB oracle
+    * hash-matches bit-for-bit. The rank window is rank-limit-pushed by
+    * Spark 4's WindowGroupLimit (partial top-k before the shuffle).
     */
   def tfIdfTopK(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val p = MaterializedIndex.postings(spark, sfDir)
-    // corpus size as a broadcast 1-row aggregate, not a driver-side action —
-    // keeps the whole plan lazy/distributed
+    // corpus size as a broadcast 1-row aggregate, not a driver-side
+    // action — doc_id is the documents PK, so count(*) IS the distinct
+    // count without the distinct's extra exchange
     val n = Tables.documents(spark, sfDir)
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val df = p.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("term")).orderBy(desc("tf_idf"), col("doc_id"))
-    p.join(df, "term")
+    p.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("tf_idf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))

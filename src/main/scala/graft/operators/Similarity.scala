@@ -355,6 +355,42 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): confine the quadratic near-dup search to
+    * embedding-space clusters. Every vector is assigned to its nearest
+    * fixed centroid (the serve-table pattern of [[ivfServeTopK]] — a pure
+    * projection against broadcast literals, the corpus never shuffles for
+    * assignment); inside each cell, a vector is dropped when its cosine
+    * to ANY lower-id cell-mate reaches `tau` (the same deterministic
+    * min-id-keeper rule as exact dedup). Survivors are returned; by
+    * construction no two survivors in a cell are ≥ tau similar — if they
+    * were, the higher id would have been dominated.
+    *
+    * Scale posture: the pairwise step is per-cell — that is SemDeDup's
+    * entire point. Production sizes the centroid table with the corpus
+    * (k ≈ N / target-cell-size, trained offline like the serve
+    * centroids), so self-join key cardinality grows with data and no
+    * cell outgrows an executor; the 8-cell fixed table here mirrors the
+    * q_ivf_serve artifact and keeps the oracle bit-exact.
+    */
+  def semDedup(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+    val assigned = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        argmaxCell(serveCellScores(col("embedding"))).as("cent_id"))
+    val lower = assigned
+      .select(col("cent_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+    val dominated = assigned.join(lower, "cent_id")
+      .where(col("a_id") < col("vec_id") &&
+        // zero-norm floor, as in the serve path: engine-agreed -2.0
+        coalesce(round(cosineNative(col("a_emb"), col("embedding")), 6),
+          lit(-2.0)) >= tau)
+      .select("vec_id").distinct()
+    assigned.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cent_id"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label embedding statistics: count + mean L2 norm. */
   def embedStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)

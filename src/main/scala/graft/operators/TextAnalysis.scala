@@ -390,4 +390,60 @@ object TextAnalysis {
           .as("avg_surprisal"))
       .orderBy("doc_id")
   }
+
+  /** Bigram conditional language model: P(w2|w1) = c(w1 w2) / Σ_w c(w1 w)
+    * for the corpus's `topK` most frequent adjacent-token pairs — the
+    * 2-gram step up from [[unigramSurprisal]]'s unigram LM, and the table
+    * an n-gram quality scorer reads. One tokenize pass emits the pair
+    * relation; the (w1, w2) counts shuffle once, and the w1 marginal is a
+    * window over that compact count table (re-partitions counts by w1,
+    * never re-scans the corpus). Final top-k is a TakeOrdered, no extra
+    * exchange; ties break on (w1, w2) so the cut is deterministic.
+    */
+  def bigramLm(spark: SparkSession, sfDir: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(shinglesOfTokens(col("ts"), 2)).as("gram"))
+      // tokens are [a-z]-only, so the single space is an unambiguous split
+      .select(substring_index(col("gram"), " ", 1).as("w1"),
+        substring_index(col("gram"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("w1")).cast("double"))
+      .orderBy(desc("n"), col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Boilerplate signal (the header/footer/navigation detector of a web
+    * corpus pipeline): share of each document's distinct 3-gram shingles
+    * that are corpus-common. A shingle is "common" when its document
+    * frequency reaches max(3, floor(n_docs/200)) — relative to corpus
+    * size, so the cut means the same thing at any SF. Reads the
+    * materialized shingle relation ([[Dedup.ensureShingles]] — built once,
+    * shared with the dedup family), so no re-tokenize: every step is a
+    * two-column shuffle over (doc_id, shingle).
+    */
+  def boilerplateRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = spark.read.parquet(Dedup.ensureShingles(spark, sfDir))
+    // corpus-relative df threshold as a 1-row broadcast, not a collect:
+    // floor() on both engines (a bare long/int division is double in both,
+    // and DuckDB's double→int cast rounds while Spark's truncates)
+    val thr = Tables.documents(spark, sfDir)
+      .agg(greatest(lit(3L),
+        floor(count(lit(1)) / 200).cast("long")).as("min_df"))
+    val common = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(thr))
+      .where(col("df") >= col("min_df"))
+      .select("sh")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val boiler = sh.join(common, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_sh").cast("double"), 6).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -32,7 +32,17 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_pruned_scan"     -> 2, // agg + order
     "q_stratified_sample" -> 1, // hash keep-rule is map-side; order only
     "q_quality_score"   -> 1, // row-local scoring + order
-    "q_pii_mask"        -> 1  // row-local masking + order
+    "q_pii_mask"        -> 1, // row-local masking + order
+    // the audited 5+-shuffle queries: counts pinned after the round-6 df-
+    // via-window rewrites (window rides the term exchange; the former
+    // groupBy+join-back paid a second full postings shuffle)
+    "q_doc_similarity"  -> 8, // weights×3 consumers + dots/norms aggs + window + order
+    "q_funnel"          -> 7, // 3 DISJOINT event-subset exchanges (≈ one full pass) + 3 one-row counts + order
+    "q_bm25_topk"       -> 5, // dl agg (partially reused) + stats + tiny dfreq + score agg; query-term postings never shuffle
+    "q_tfidf_topk"      -> 3, // ONE postings exchange serves df window + rank window; n_docs + order
+    "q_bigram_lm"       -> 2, // pair-count agg + w1-marginal window
+    "q_boilerplate"     -> 5, // df agg + threshold broadcast + per-doc aggs + join + order
+    "q_semdedup"        -> 3  // cell self-join + dominated distinct + anti join
   )
 
   budgets.foreach { case (name, budget) =>

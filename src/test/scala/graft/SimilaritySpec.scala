@@ -66,4 +66,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_._2).sum === 500L)
     got.foreach { case (_, _, avgNorm) => assert(avgNorm > 0) }
   }
+
+  test("semDedup: survivors are pairwise-dissimilar within a cell; " +
+       "every dropped vector has a lower-id dominator") {
+    val tau = 0.3
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val kept = Similarity.semDedup(spark, sf, tau)
+      .as[(Long, Int)].collect()
+    assert(kept.nonEmpty && kept.length < all.size,
+      s"expected a non-degenerate split, kept ${kept.length} of ${all.size}")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) -2.0
+      else BigDecimal(dot / d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // survivors: no same-cell pair reaches tau (the dominance rule's
+    // guaranteed post-condition)
+    for {
+      Seq((ia, ca), (ib, cb)) <- kept.sortBy(_._1).toSeq.combinations(2)
+      if ca == cb
+    } assert(cos(all(ia), all(ib)) < tau,
+      s"surviving pair $ia/$ib in cell $ca is >= $tau similar")
+    // dropped: a same-cell lower-id dominator implies in particular SOME
+    // lower-id vector within tau — check that necessary condition (cell
+    // assignment itself is the oracle-checked half)
+    val keptIds = kept.map(_._1).toSet
+    all.keys.filterNot(keptIds).foreach { dropped =>
+      val hasDominator = all.keys.exists(o => o < dropped &&
+        cos(all(o), all(dropped)) >= tau)
+      assert(hasDominator, s"vector $dropped dropped without a dominator")
+    }
+  }
 }

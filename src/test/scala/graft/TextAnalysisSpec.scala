@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Semantics of the corpus-analysis operators that feed curation:
+  * the bigram LM's probabilities and the boilerplate-shingle ratio.
+  */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bigramLm: p is the conditional c(w1 w2)/c(w1 ·), counts consistent") {
+    val rows = TextAnalysis.bigramLm(spark, sf, 20)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.length === 20)
+    // recompute the w1 marginals from the FULL bigram relation (not just
+    // the returned top-k) and check each returned p against it
+    val allGrams = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+      .select(explode(
+        graft.functions.TextFunctions.shinglesOfTokens(col("ts"), 2)).as("g"))
+      .as[String].collect()
+    val pairCount = allGrams.groupBy(identity).view.mapValues(_.length.toLong)
+    val w1Count = allGrams.map(_.split(" ")(0))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    rows.foreach { case (w1, w2, n, p) =>
+      assert(n === pairCount(s"$w1 $w2"))
+      assert(p === n.toDouble / w1Count(w1).toDouble)
+      assert(p > 0 && p <= 1)
+    }
+    // top-k really is the k most frequent bigrams
+    val kthN = rows.map(_._3).min
+    val above = pairCount.values.count(_ > kthN)
+    assert(above <= 20)
+  }
+
+  test("boilerplate: ratio bounded, counts consistent, threshold bites") {
+    val rows = TextAnalysis.boilerplateRatio(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nSh, nBoiler, ratio) =>
+      assert(nBoiler >= 0 && nBoiler <= nSh)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // non-degenerate both ways: some docs contain common shingles, and
+    // the threshold excludes some (not every shingle is "boilerplate")
+    assert(rows.exists(_._3 > 0), "no doc has any corpus-common shingle")
+    assert(rows.exists(r => r._3 < r._2),
+      "every shingle counted as boilerplate — threshold not biting")
+  }
+}
