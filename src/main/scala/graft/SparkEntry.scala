@@ -100,6 +100,8 @@ object SparkEntry {
     "q_bigram_counts"  -> ((s, d) => TextAnalysis.ngramCounts(s, d, 2, 20)),
     // bigram conditional LM: P(w2|w1) over the most frequent pairs
     "q_bigram_lm"      -> ((s, d) => TextAnalysis.bigramLm(s, d, 20)),
+    // BPE training, iteration 1: weighted char-pair counts over the vocab
+    "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairCounts(s, d, 20)),
     // per-doc share of corpus-common shingles (boilerplate detector)
     "q_boilerplate"    -> ((s, d) => TextAnalysis.boilerplateRatio(s, d)),
     "q_typo_pairs"     -> ((s, d) => TextAnalysis.typoPairs(s, d, 2)),
@@ -165,6 +167,9 @@ object SparkEntry {
     // the same windows produced by the watermarked streaming aggregation,
     // drained AvailableNow — streaming window state under the batch oracle
     "q_streaming_hourly" -> ((s, d) => graft.streaming.StreamingIndexer.hourlyRollupAvailableNow(s, d)),
+    // stream-static enrichment join drained AvailableNow — the per-batch
+    // broadcast dim join + rollup state under the batch oracle
+    "q_streaming_enrich" -> ((s, d) => graft.streaming.StreamingIndexer.enrichedSegmentRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
     "q_type_shares"    -> ((s, d) => Events.typeShares(s, d)),
@@ -567,6 +572,18 @@ object SparkEntry {
          |       CAST(c2.n AS DOUBLE) / CAST(c1.n1 AS DOUBLE) AS p
          |FROM c2 JOIN c1 USING (w1)
          |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    // BPE pair counts: substr(term, i, 2) walks adjacent char pairs of
+    // each distinct term, weighted by the term's corpus count
+    "q_bpe_pairs" ->
+      s"""WITH $toksCte, tok AS (
+         |  SELECT t AS term, count(*) AS cnt
+         |  FROM toks, unnest(ts) AS u(t) GROUP BY t
+         |), pairs AS (
+         |  SELECT substr(term, i, 2) AS pair, cnt
+         |  FROM tok, unnest(range(1, len(term))) AS r(i)
+         |  WHERE len(term) >= 2)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // boilerplate ratio: df threshold uses floor() on both engines (bare
     // integer division is double in both, and DuckDB's double→int cast
     // rounds while Spark's truncates)
@@ -1181,6 +1198,13 @@ object SparkEntry {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // stream-static enrichment drain — batch join+rollup oracle: the
+    // drained aggregation state must equal the static join's answer
+    "q_streaming_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events

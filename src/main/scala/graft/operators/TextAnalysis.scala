@@ -415,6 +415,28 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** First iteration of BPE tokenizer training (Sennrich et al. 2016):
+    * adjacent character-pair frequencies over the corpus vocabulary,
+    * weighted by term occurrence counts — the statistic whose argmax IS
+    * the first merge rule. Computed on the AGGREGATED vocabulary (one row
+    * per distinct term with its corpus count), so the per-character
+    * explode touches |vocab| short strings, not the corpus: exactly how a
+    * production tokenizer trainer runs its count phase at 100 TB (count
+    * words once, then iterate merges over the weighted vocabulary).
+    * Top-`topK` pairs, deterministic tie order.
+    */
+  def bpePairCounts(spark: SparkSession, sfDir: String, topK: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(length(col("term")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("term")) - 1),
+        i => col("term").substr(i, lit(2)))).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(topK)
+
   /** Boilerplate signal (the header/footer/navigation detector of a web
     * corpus pipeline): share of each document's distinct 3-gram shingles
     * that are corpus-common. A shingle is "common" when its document

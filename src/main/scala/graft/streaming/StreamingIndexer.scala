@@ -130,6 +130,39 @@ object StreamingIndexer {
       .orderBy("hour", "event_type")
   }
 
+  private val enrichScratch = new graft.util.ScratchSlot
+
+  /** STREAM-STATIC enrichment as a BOUNDED, oracle-checkable query: the
+    * canonical "enrich a fact stream with a dimension table" shape — an
+    * event stream joined per micro-batch against the static customer
+    * dimension (broadcast: the dimension is re-read each batch, so a
+    * slowly-changing dim is always served fresh; no join state is kept,
+    * unlike a stream-stream join), then rolled up per (segment, type).
+    * The final aggregation state after an AvailableNow drain is a pure
+    * function of the data — batch-split-proof — so the batch join+rollup
+    * oracle checks it bit-for-bit.
+    */
+  def enrichedSegmentRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    drainToTable(spark, sfDir, "events.parquet", "stream_enrich",
+      enrichScratch) { watch =>
+        spark.readStream
+          .schema(schema)
+          .parquet(watch)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(14,2)")).cast("double")
+              .as("total_value"))
+      }
+      .select(col("c_mktsegment").as("segment"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("segment", "event_type")
+  }
+
   /** Streaming twin of [[graft.operators.Events.hourlyRollup]]: watermarked
     * event-time tumbling windows with per-type counts/sums. Late data
     * beyond the watermark is dropped; state is bounded — the shape that

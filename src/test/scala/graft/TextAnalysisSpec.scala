@@ -35,6 +35,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(above <= 20)
   }
 
+  test("bpePairCounts equals a driver-side recount of weighted char pairs") {
+    val rows = TextAnalysis.bpePairCounts(spark, sf, 20)
+      .as[(String, Long)].collect()
+    assert(rows.length === 20)
+    val termCounts = graft.sources.Tables.documents(spark, sf)
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .as[String].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val pairCounts = termCounts.toSeq
+      .flatMap { case (t, c) => t.sliding(2).filter(_.length == 2).map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (p, n) => assert(n === pairCounts(p)) }
+    assert(rows.map(_._2).sliding(2).forall(s => s.head >= s.last))
+  }
+
   test("boilerplate: ratio bounded, counts consistent, threshold bites") {
     val rows = TextAnalysis.boilerplateRatio(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
