@@ -68,6 +68,9 @@ object SparkEntry {
     "q_index_serve_phrase" -> ((s, d) => MaterializedIndex.servePhrase(s, d, "key order")),
     "q_bm25_topk"      -> ((s, d) => IndexQueries.bm25TopK(s, d, Seq("scan", "join", "filter"), 10)),
     "q_tfidf_topk"     -> ((s, d) => Indexer.tfIdfTopK(s, d, 5)),
+    // hybrid keyword+vector retrieval fused with RRF
+    "q_hybrid_rrf"     -> ((s, d) =>
+      IndexQueries.hybridRRF(s, d, Seq("scan", "join", "filter"), 0, 50, 10)),
     "q_vocab_stats"    -> ((s, d) => Indexer.vocabStats(s, d)),
     "q_phrase_search"  -> ((s, d) => IndexQueries.phraseSearch(s, d, "key order")),
     "q_top_terms_per_doc" -> ((s, d) => IndexQueries.topTermsPerDoc(s, d, 3)),
@@ -332,6 +335,44 @@ object SparkEntry {
          |SELECT doc_id, round(sum(s), 6) AS score
          |FROM scored GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // hybrid RRF: both legs reuse the exact oracle logic of q_bm25_topk
+    // and q_cosine_topk (rank windows over the same rounded scores), so
+    // the fusion is integer-rank + identical-double arithmetic throughout
+    "q_hybrid_rrf" ->
+      s"""$postingsCte, dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |         CAST(count(*) AS BIGINT) AS n_docs FROM dl
+         |), qp AS (
+         |  SELECT term, doc_id, tf FROM postings
+         |  WHERE term IN ('scan', 'join', 'filter')
+         |), dfreq AS (
+         |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qp GROUP BY term
+         |), sc AS (
+         |  SELECT qp.doc_id,
+         |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |         tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+         |  FROM qp JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+         |), bm AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_bm
+         |  FROM (SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id)
+         |  ORDER BY r_bm LIMIT 50
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id = 0
+         |), cj AS (
+         |  SELECT vec_id, CASE WHEN c IS NULL OR isnan(c) THEN -2.0 ELSE c END AS cosine
+         |  FROM (SELECT e.vec_id, round(${cosSql("q.q_emb", "e.embedding")}, 6) AS c
+         |        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         |), cos AS (
+         |  SELECT vec_id AS doc_id,
+         |         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS r_cos
+         |  FROM cj ORDER BY r_cos LIMIT 50
+         |)
+         |SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id, r_bm, r_cos,
+         |       round(COALESCE(1.0/(60 + r_bm), 0.0) + COALESCE(1.0/(60 + r_cos), 0.0), 6) AS rrf
+         |FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // served-from-positional-index phrase search must equal the corpus
     // scan — same oracle
     "q_index_serve_phrase" ->

@@ -207,6 +207,38 @@ object IndexQueries {
       .limit(k)
   }
 
+  /** Hybrid retrieval: the keyword ranking ([[bm25TopK]]) and the vector
+    * ranking ([[Similarity.cosineTopK]], doc_id ≡ vec_id in this corpus)
+    * fused with Reciprocal Rank Fusion (Cormack et al., SIGIR 2009):
+    * rrf(d) = Σᵢ 1/(60 + rankᵢ(d)) over the lists that contain d — the
+    * standard score-free fusion every hybrid (keyword+vector) search
+    * stack ships, robust to the two scorers' incomparable scales.
+    *
+    * Scale posture: each leg is the already-audited top-`perList`
+    * pipeline (work ∝ posting lists / corpus scan, exchanges O(k)); the
+    * fusion itself touches ≤ 2·perList rows — rank windows and the
+    * full-outer join are k-bounded, never corpus-bounded.
+    */
+  def hybridRRF(spark: SparkSession, sfDir: String, terms: Seq[String],
+                queryVec: Int, perList: Int, k: Int): DataFrame = {
+    // global window over the ≤ perList BM25 survivors (k-bounded by the
+    // limit below it, so the single-partition window is O(k))
+    val wBm = Window.orderBy(desc("score"), col("doc_id"))
+    val bm = bm25TopK(spark, sfDir, terms, perList)
+      .withColumn("r_bm", row_number().over(wBm))
+      .select(col("doc_id"), col("r_bm"))
+    val cos = Similarity.cosineTopK(spark, sfDir, queryVec + 1, perList)
+      .filter(col("query_id") === queryVec)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("r_cos"))
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm"), col("r_cos"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(k)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over the corpus shingle
     * set — the mergeable cardinality sketch whose estimate, unlike HLL's,
     * is a pure deterministic function of the data: hash every distinct

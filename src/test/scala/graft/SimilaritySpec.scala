@@ -67,6 +67,25 @@ class SimilaritySpec extends SparkTestBase {
     got.foreach { case (_, _, avgNorm) => assert(avgNorm > 0) }
   }
 
+  test("hybridRRF fuses ranks by the RRF formula, at least one leg each") {
+    val fused = graft.operators.IndexQueries
+      .hybridRRF(spark, sf, Seq("scan", "join", "filter"), 0, 50, 10)
+      .collect()
+    assert(fused.length === 10)
+    fused.foreach { r =>
+      val rb = Option(r.get(r.fieldIndex("r_bm"))).map(_.asInstanceOf[Int])
+      val rc = Option(r.get(r.fieldIndex("r_cos"))).map(_.asInstanceOf[Int])
+      assert(rb.nonEmpty || rc.nonEmpty, "fused row from neither list")
+      val want = BigDecimal(
+        rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rc.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") === want)
+    }
+    val scores = fused.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores.sliding(2).forall(s => s.head >= s.last))
+  }
+
   test("semDedup: survivors are pairwise-dissimilar within a cell; " +
        "every dropped vector has a lower-id dominator") {
     val tau = 0.3
