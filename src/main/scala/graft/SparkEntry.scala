@@ -93,6 +93,8 @@ object SparkEntry {
     "q_contamination"  -> ((s, d) => TextAnalysis.contamination(s, d, 10)),
     // perplexity-style quality signal under the corpus unigram LM
     "q_surprisal"      -> ((s, d) => TextAnalysis.unigramSurprisal(s, d)),
+    // decile cut-points of the surprisal signal via the two-phase scan
+    "q_quality_deciles" -> ((s, d) => TextAnalysis.qualityDeciles(s, d)),
     // Gopher-style repetition filter signals (row-local HOF math)
     "q_repetition"     -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "q_token_counts"   -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -156,6 +158,10 @@ object SparkEntry {
     "q_parts_above_avg" -> ((s, d) => Relational.partsAboveBrandAvg(s, d)),
     // TPC-H Q7 shape: nation dimension in two roles over a 5-join chain
     "q_nation_trade"   -> ((s, d) => Relational.nationTrade(s, d)),
+    // TPC-H Q15 shape: view + max-over-view, decimal-exact winner cut
+    "q_top_supplier"   -> ((s, d) => Relational.topRevenueSupplier(s, d)),
+    // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
+    "q_large_orders"   -> ((s, d) => Relational.largeQuantityOrders(s, d, 250)),
     "q_bucketed_join"  -> ((s, d) => Bucketing.bucketedOrderRevenue(s, d)),
     "q_clustered_scan" -> ((s, d) => Clustering.clusteredRectRevenue(s, d)),
     // same rectangle served with PLANNING-time file pruning via the
@@ -512,6 +518,27 @@ object SparkEntry {
          |       round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_surprisal
          |FROM flat JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // quality deciles: same surprisal CTE; the bucket rule is the explicit
+    // floor((rank-1)*10/n) on both engines (ntile's remainder convention
+    // is engine-specific), bounds are exact order statistics
+    "q_quality_deciles" ->
+      s"""WITH $toksCte, flat AS (
+         |  SELECT doc_id, unnest(ts) AS term FROM toks
+         |), freq AS (
+         |  SELECT term, count(*) AS cnt FROM flat GROUP BY term
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM freq
+         |), s AS (
+         |  SELECT doc_id, round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_surprisal
+         |  FROM flat JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id
+         |), r AS (
+         |  SELECT avg_surprisal,
+         |         row_number() OVER (ORDER BY avg_surprisal, doc_id) AS rnk,
+         |         count(*) OVER () AS n_docs
+         |  FROM s)
+         |SELECT CAST(floor((rnk - 1) * 10.0 / n_docs) + 1 AS INTEGER) AS decile,
+         |       count(*) AS n, min(avg_surprisal) AS lo, max(avg_surprisal) AS hi
+         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
     // repetition signals: duplicate-bigram and distinct-token ratios,
     // exact integer divisions → deterministic at 6 dp
     "q_repetition" ->
@@ -1185,6 +1212,30 @@ object SparkEntry {
          |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_19')
          |GROUP BY 1, 2, 3
          |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    // Q15 shape: exact decimal revenue; winner-by-equality against the
+    // max over the same aggregation
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum($revenueSql) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    // Q18 shape: HAVING over exact decimal quantity totals
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
     // Z-clustering changes the physical layout only — the oracle is the
     // same rectangle query over the plain table (ClusteringSpec asserts
     // the layout actually skips non-matching tiles; this checks the

@@ -208,6 +208,57 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "ship_year")
   }
 
+  /** TPC-H Q15 shape — top supplier(s) by revenue inside a shipdate
+    * window. The "view + max over the view" pattern: the revenue relation
+    * is aggregated once, its max is a 1-row broadcast joined back for the
+    * equality filter (Catalyst would decorrelate the textbook correlated
+    * form to exactly this), and only then does the small winner set join
+    * the supplier dimension. Exact DECIMAL revenue end-to-end: the
+    * equality against the max is bit-exact, no double drift can drop or
+    * duplicate a winner.
+    */
+  def topRevenueSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: customers whose order's total
+    * lineitem quantity exceeds the threshold. The HAVING subquery becomes
+    * an aggregate + semi-join-shaped inner join on orderkey; quantity
+    * totals in exact DECIMAL so the threshold cut is engine-agreed.
+    * The qualifying-order set is tiny (top ~1% of orders), so the
+    * customer/orders joins run over the winners, not the fact table.
+    */
+  def largeQuantityOrders(spark: SparkSession, sfDir: String,
+                          minQty: Int): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > lit(minQty).cast("decimal(12,2)"))
+    big
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

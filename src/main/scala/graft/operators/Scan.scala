@@ -22,10 +22,17 @@ object Scan {
     * order. `orderCol` must be unique (it is the total order).
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
-                outCol: String): DataFrame = {
-    val byRange = df.repartitionByRange(col(orderCol))
+                outCol: String): DataFrame =
+    prefixSumBy(df, Seq(col(orderCol)), valueCol, outCol)
+
+  /** Composite-key variant: the order keys together must form a total
+    * order (e.g. a non-unique score disambiguated by id).
+    */
+  def prefixSumBy(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                  outCol: String): DataFrame = {
+    val byRange = df.repartitionByRange(orderCols: _*)
       .withColumn("_pid", spark_partition_id())
-    val local = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    val local = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = byRange.withColumn("_local_cum",
       sum(col(valueCol)).over(local))

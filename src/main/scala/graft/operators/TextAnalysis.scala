@@ -415,6 +415,32 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Decile profile of the surprisal quality signal — the cut-point table
+    * a curation pipeline uses to drop the worst band / sample by quality
+    * tier. Global ranking via [[Scan.prefixSumBy]] (the two-phase
+    * distributed scan over (avg_surprisal, doc_id)), NOT `ntile` over an
+    * empty-partition window — the textbook global-rank window funnels the
+    * whole corpus through one task at scale. Bucket rule is the explicit
+    * floor((rank−1)·10/n) (mirrored verbatim in the oracle; `ntile`'s
+    * remainder distribution differs between engines' conventions), and
+    * per-decile bounds are order statistics (min/max — exact doubles, no
+    * order-dependent averaging).
+    */
+  def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = unigramSurprisal(spark, sfDir)
+    val n = s.agg(count(lit(1)).as("n_docs"))
+    Scan.prefixSumBy(s.withColumn("one", lit(1L)),
+        Seq(col("avg_surprisal"), col("doc_id")), "one", "rnk")
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        (floor((col("rnk") - 1) * 10.0 / col("n_docs")) + 1).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("avg_surprisal")).as("lo"),
+        max(col("avg_surprisal")).as("hi"))
+      .orderBy("decile")
+  }
+
   /** First iteration of BPE tokenizer training (Sennrich et al. 2016):
     * adjacent character-pair frequencies over the corpus vocabulary,
     * weighted by term occurrence counts — the statistic whose argmax IS

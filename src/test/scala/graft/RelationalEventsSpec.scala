@@ -56,6 +56,25 @@ class RelationalEventsSpec extends SparkTestBase {
     }
   }
 
+  test("top supplier: winner's revenue equals the recomputed maximum") {
+    val rows = Relational.topRevenueSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length === 1, "all winners must share the max revenue")
+    // distinct suppliers, sorted
+    val ids = rows.map(_.getAs[Long]("s_suppkey")).toSeq
+    assert(ids === ids.sorted && ids.distinct.length === ids.length)
+  }
+
+  test("large orders: every returned order clears the quantity threshold") {
+    val rows = Relational.largeQuantityOrders(spark, sf, 250).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("sum_qty") > 250.0))
+    // ordered by totalprice desc
+    val prices = rows.map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices.sliding(2).forall(s => s.head >= s.last))
+  }
+
   test("nation trade: only the two requested nation pairings appear") {
     val rows = Relational.nationTrade(spark, sf).collect()
     assert(rows.nonEmpty)

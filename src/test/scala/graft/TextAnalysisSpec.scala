@@ -51,6 +51,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows.map(_._2).sliding(2).forall(s => s.head >= s.last))
   }
 
+  test("quality deciles: bucket sizes within one of n/10, bounds monotone") {
+    val rows = TextAnalysis.qualityDeciles(spark, sf)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val total = rows.map(_._2).sum
+    // floor((rank-1)*10/n) buckets differ in size by at most 1
+    rows.foreach { case (_, n, lo, hi) =>
+      assert(math.abs(n - total / 10.0) <= 1.0)
+      assert(lo <= hi)
+    }
+    // decile bounds are non-decreasing across buckets
+    rows.sliding(2).foreach { case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+      assert(hi1 <= lo2)
+    }
+  }
+
   test("boilerplate: ratio bounded, counts consistent, threshold bites") {
     val rows = TextAnalysis.boilerplateRatio(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
