@@ -170,6 +170,8 @@ object SparkEntry {
     // fragment → compact → aggregate the compacted copy; oracle aggregates
     // the original table (rewrite losslessness under the hash check)
     "q_compacted_scan" -> ((s, d) => Compaction.compactedRoundTrip(s, d)),
+    // corpus staged to ORC and read back — format interchange is lossless
+    "q_orc_roundtrip"  -> ((s, d) => Formats.orcRoundTrip(s, d)),
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
@@ -1255,6 +1257,13 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       count(DISTINCT doc_id) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the ORC interchange copy must aggregate identically to the source
+    "q_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_text_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // identical rectangle, served through the file-stats manifest —
     // pruning is a physical concern; the answer must not move

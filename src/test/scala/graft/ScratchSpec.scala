@@ -52,6 +52,12 @@ class ScratchSpec extends SparkTestBase {
     }
   }
 
+  test("ORC round-trip keeps at most one scratch generation") {
+    assertOneGeneration("graft_orc_docs_") {
+      graft.operators.Formats.orcRoundTrip(spark, sf).collect()
+    }
+  }
+
   test("upsert round-trip keeps at most one scratch index") {
     assertOneGeneration("graft_upsert_ix_") {
       Indexer.upsertRoundTrip(spark, sf).collect()
