@@ -26,10 +26,15 @@ object Scan {
     prefixSumBy(df, Seq(col(orderCol)), valueCol, outCol)
 
   /** Composite-key variant: the order keys together must form a total
-    * order (e.g. a non-unique score disambiguated by id).
+    * order (e.g. a non-unique score disambiguated by id). When `totalCol`
+    * is set, every row also carries the GRAND total of `valueCol` — it
+    * falls out of the same ≤ numPartitions-row offsets pass for free, so
+    * a consumer needing rank AND total (ntile-style bucketing) reads the
+    * input exactly once instead of re-running the upstream plan for a
+    * count.
     */
   def prefixSumBy(df: DataFrame, orderCols: Seq[Column], valueCol: String,
-                  outCol: String): DataFrame = {
+                  outCol: String, totalCol: Option[String] = None): DataFrame = {
     val byRange = df.repartitionByRange(orderCols: _*)
       .withColumn("_pid", spark_partition_id())
     val local = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
@@ -38,14 +43,18 @@ object Scan {
       sum(col(valueCol)).over(local))
     // offsets: cumulative sum of the PRIOR partitions' totals — a global
     // window, but over numPartitions rows only
-    val offsets = withLocal.groupBy(col("_pid"))
+    val offsetsBase = withLocal.groupBy(col("_pid"))
       .agg(sum(col(valueCol)).as("_part_sum"))
       .withColumn("_offset",
         coalesce(
           sum(col("_part_sum")).over(Window.orderBy(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("_pid"), col("_offset"))
+    val offsets = totalCol.fold(offsetsBase) { t =>
+      offsetsBase.withColumn(t,
+        sum(col("_part_sum")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    }.select(col("_pid") +: col("_offset") +: totalCol.map(col).toSeq: _*)
     withLocal.join(broadcast(offsets), "_pid")
       .withColumn(outCol, col("_local_cum") + col("_offset"))
       .drop("_pid", "_local_cum")

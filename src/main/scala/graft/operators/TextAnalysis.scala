@@ -428,10 +428,13 @@ object TextAnalysis {
     */
   def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     val s = unigramSurprisal(spark, sfDir)
-    val n = s.agg(count(lit(1)).as("n_docs"))
+    // rank AND total from ONE pass over the surprisal relation — the
+    // totalCol rides the scan's tiny offsets aggregation, so the
+    // expensive upstream (tokenize + frequency join) is never re-run
+    // for a separate count
     Scan.prefixSumBy(s.withColumn("one", lit(1L)),
-        Seq(col("avg_surprisal"), col("doc_id")), "one", "rnk")
-      .crossJoin(broadcast(n))
+        Seq(col("avg_surprisal"), col("doc_id")), "one", "rnk",
+        totalCol = Some("n_docs"))
       .withColumn("decile",
         (floor((col("rnk") - 1) * 10.0 / col("n_docs")) + 1).cast("int"))
       .groupBy("decile")

@@ -24,6 +24,23 @@ class ScanSpec extends SparkTestBase {
     assert(distributed === naive)
   }
 
+  test("prefixSumBy (composite key) == naive cumsum over the same order") {
+    // non-unique first key (n_chars collides), doc_id disambiguates —
+    // exactly the (score, id) shape qualityDeciles ranks on
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"), lit(1L).as("one"))
+    val distributed = Scan.prefixSumBy(docs,
+        Seq(col("n_chars"), col("doc_id")), "one", "rnk")
+      .select("doc_id", "rnk").as[(Long, Long)].collect().sorted
+    val naive = docs
+      .withColumn("rnk", sum(col("one")).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "rnk").as[(Long, Long)].collect().sorted
+    assert(distributed.nonEmpty)
+    assert(distributed === naive)
+  }
+
   test("prefixSum spreads work across multiple partitions (AQE coalescing off)") {
     // AQE legitimately coalesces this tiny dataset to one partition; turn
     // it off to observe the plan's inherent parallelism
