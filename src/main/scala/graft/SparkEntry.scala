@@ -158,6 +158,8 @@ object SparkEntry {
     "q_parts_above_avg" -> ((s, d) => Relational.partsAboveBrandAvg(s, d)),
     // TPC-H Q7 shape: nation dimension in two roles over a 5-join chain
     "q_nation_trade"   -> ((s, d) => Relational.nationTrade(s, d)),
+    // TPC-H Q6 through the spark.sql front end (view + SQL text)
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     // TPC-H Q15 shape: view + max-over-view, decimal-exact winner cut
     "q_top_supplier"   -> ((s, d) => Relational.topRevenueSupplier(s, d)),
     // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
@@ -1214,6 +1216,17 @@ object SparkEntry {
          |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_19')
          |GROUP BY 1, 2, 3
          |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    // Q6: identical SQL text on both engines (the Spark side runs it
+    // through spark.sql — the SQL front end is itself under the oracle)
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // Q15 shape: exact decimal revenue; winner-by-equality against the
     // max over the same aggregation
     "q_top_supplier" ->

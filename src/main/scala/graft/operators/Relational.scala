@@ -259,6 +259,30 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q6 shape — the forecast-revenue scalar — expressed through the
+    * SQL FRONT END (`spark.sql` over a registered view) rather than the
+    * DataFrame API: proves the full SQL surface resolves, optimizes, and
+    * executes graft's tables identically (same Catalyst plan either way;
+    * the oracle runs the same text). The discount/quantity predicates
+    * push down AND row-group-skip; the shipdate predicate pushes but the
+    * NTZ source column cannot skip on it (the Spark-4 limitation the
+    * Z-clustered layout fixes by rewriting to LTZ micros — see
+    * [[Clustering.ensureClustered]]). Aggregation is a map-side partial
+    * + 1-row final.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM graft_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

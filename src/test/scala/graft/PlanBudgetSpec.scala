@@ -42,7 +42,12 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_tfidf_topk"      -> 3, // ONE postings exchange serves df window + rank window; n_docs + order
     "q_bigram_lm"       -> 2, // pair-count agg + w1-marginal window
     "q_boilerplate"     -> 5, // df agg + threshold broadcast + per-doc aggs + join + order
-    "q_semdedup"        -> 3  // cell self-join + dominated distinct + anti join
+    "q_semdedup"        -> 3, // cell self-join + dominated distinct + anti join
+    "q6_forecast_revenue" -> 1, // pushdown scan + 1-row final agg
+    "q_top_supplier"    -> 4, // rev agg + 1-row max + winner/supplier join + order
+    "q_large_orders"    -> 1, // qty agg; winner joins broadcast at test scale
+    "q_orc_roundtrip"   -> 3, // ORC stage write + distinct-agg + order
+    "q_quality_deciles" -> 9  // surprisal subplan (5) + range scan + 3 tiny (offsets/agg/order)
   )
 
   budgets.foreach { case (name, budget) =>
