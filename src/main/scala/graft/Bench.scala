@@ -144,13 +144,28 @@ object Bench {
     // sbt appends a ~75-char "[success] ..." line after us; stay well clear
     val line2 = compact(2)
     val line1 = if (line2.length <= 1850) line2 else compact(1)
-    // last resort: the driver parses the final JSON line from a ~2000-char
-    // stdout tail — if even 1-dp per-query entries overflow it, drop the
-    // per-query map entirely (totals + failures still land; the full
-    // detail is in bench_detail.json and the early stdout line)
-    println(
-      if (line1.length <= 1850) line1
-      else s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":{},"cache_hits":$cacheHitsJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // the suite has outgrown the tail window: even 1-dp entries for every
+    // query overflow ~1850 chars. Degrade by INFORMATION VALUE, not to
+    // nothing — keep builds + the slowest queries that fit, and say how
+    // many were cut ("omitted") so truncation is explicit. The full map
+    // is always in bench_detail.json and the early stdout line.
+    def slowestThatFit: String = {
+      val sorted = best.sortBy { case (_, v) =>
+        -v.fold(_ => Double.MaxValue, identity) } // failures (-1) first
+      val buildPart = buildSecs.map { case (n, s) =>
+        shortKey.getOrElse(n, n) -> (Right(s): Either[String, Double]) }
+      def lineWith(qn: Int): String = {
+        val qs = fmt(sorted.take(qn).map { case (n, v) =>
+          n.stripPrefix("q_") -> v } ++ buildPart, 1)
+        val om = if (qn < sorted.length) s""","omitted":${sorted.length - qn}""" else ""
+        val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$om,"cache_hits":$cacheHitsJson$f,"sf":"$sfDir"}"""
+      }
+      (sorted.length to 0 by -1).view.map(lineWith)
+        .find(_.length <= 1850)
+        .getOrElse(lineWith(0))
+    }
+    println(if (line1.length <= 1850) line1 else slowestThatFit)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
