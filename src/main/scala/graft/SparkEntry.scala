@@ -132,6 +132,8 @@ object SparkEntry {
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q_dup_clusters"   -> ((s, d) => Dedup.dupClusters(s, d, 0.8)),
     "q_curated_corpus" -> ((s, d) => Curate.curateCorpus(s, d)),
+    // v2: + boilerplate and bigram-repetition content gates
+    "q_curated_v2"     -> ((s, d) => Curate.curateCorpusV2(s, d)),
     // — similarity search —
     "q_multimodal_stats" -> ((s, d) => Multimodal.featureStats(s, d)),
     "q_frame_sample"   -> ((s, d) => Multimodal.frameSampleStats(s, d, 4)),
@@ -856,6 +858,61 @@ object SparkEntry {
          |FROM t JOIN ek USING (doc_id)
          |WHERE NOT EXISTS (SELECT 1 FROM nl WHERE nl.doc_id = t.doc_id)
          |  AND t.n_tokens BETWEEN 10 AND 5000
+         |ORDER BY doc_id""".stripMargin,
+    // v2 curation: the same recursive dedup core + the boilerplate and
+    // repetition gates, every ratio rounded to 6 dp on both engines
+    // before the threshold compare
+    "q_curated_v2" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v),
+         |nl AS (SELECT v AS doc_id FROM labels WHERE cluster_id <> v),
+         |ek AS (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, sha256(text) AS fp FROM documents)
+         |       GROUP BY fp),
+         |thr AS (SELECT greatest(3, CAST(floor(count(*) / 200.0) AS BIGINT)) AS min_df
+         |        FROM documents),
+         |common AS (
+         |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh), thr
+         |  WHERE df >= min_df),
+         |nb AS (SELECT doc_id, count(*) AS n_boiler
+         |       FROM sh JOIN common USING (sh) GROUP BY doc_id),
+         |br AS (SELECT s.doc_id,
+         |              round(CAST(coalesce(nb.n_boiler, 0) AS DOUBLE)
+         |                    / CAST(s.n_sh AS DOUBLE), 6) AS boiler_ratio
+         |       FROM sizes s LEFT JOIN nb USING (doc_id)),
+         |rp AS (SELECT doc_id,
+         |              round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+         |                AS dup_bigram_ratio
+         |       FROM (SELECT doc_id,
+         |                    list_transform(range(1, len(ts)),
+         |                                   i -> ts[i] || ' ' || ts[i+1]) AS bg
+         |             FROM toks WHERE len(ts) >= 2)),
+         |t AS (SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT t.doc_id, t.lang, t.n_tokens,
+         |       coalesce(br.boiler_ratio, 0.0) AS boiler_ratio,
+         |       coalesce(rp.dup_bigram_ratio, 0.0) AS dup_bigram_ratio
+         |FROM t JOIN ek USING (doc_id)
+         |LEFT JOIN br USING (doc_id)
+         |LEFT JOIN rp USING (doc_id)
+         |WHERE NOT EXISTS (SELECT 1 FROM nl WHERE nl.doc_id = t.doc_id)
+         |  AND t.n_tokens BETWEEN 10 AND 5000
+         |  AND coalesce(br.boiler_ratio, 0.0) <= 0.5
+         |  AND coalesce(rp.dup_bigram_ratio, 0.0) <= 0.08
          |ORDER BY doc_id""".stripMargin,
     // q_ann_topk IS oracle-checkable: the LSH hyperplanes are seeded,
     // data-independent constants, embedded below as literals; the sign-bit

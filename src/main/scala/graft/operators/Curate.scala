@@ -41,4 +41,34 @@ object Curate {
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .orderBy("doc_id")
   }
+
+  /** V2 curation: [[curateCorpus]]'s dedup + length gates composed with
+    * the CONTENT-quality signals — boilerplate share
+    * ([[TextAnalysis.boilerplateRatio]]) and Gopher-style bigram
+    * repetition ([[TextAnalysis.repetitionStats]]). Survivors carry their
+    * gate signals, so a pipeline audit sees why each document passed.
+    * Signal relations join on doc_id as LEFT joins with a 0.0 default:
+    * a document too short to have shingles/bigrams has nothing to gate
+    * on and passes (the length gate owns the too-short case). Still one
+    * declarative plan — every stage is an already-oracle-verified
+    * operator, and Catalyst plans the whole composition together.
+    */
+  def curateCorpusV2(spark: SparkSession, sfDir: String,
+                     minTokens: Int = 10, maxTokens: Int = 5000,
+                     maxBoiler: Double = 0.5,
+                     maxDupBigram: Double = 0.08): DataFrame = {
+    val boiler = TextAnalysis.boilerplateRatio(spark, sfDir)
+      .select(col("doc_id"), col("boiler_ratio"))
+    val rep = TextAnalysis.repetitionStats(spark, sfDir)
+      .select(col("doc_id"), col("dup_bigram_ratio"))
+    curateCorpus(spark, sfDir, minTokens, maxTokens)
+      .join(boiler, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("boiler_ratio", coalesce(col("boiler_ratio"), lit(0.0)))
+      .withColumn("dup_bigram_ratio",
+        coalesce(col("dup_bigram_ratio"), lit(0.0)))
+      .filter(col("boiler_ratio") <= maxBoiler &&
+        col("dup_bigram_ratio") <= maxDupBigram)
+      .orderBy("doc_id")
+  }
 }

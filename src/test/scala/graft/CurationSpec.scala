@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Privacy, Sampling}
+import graft.operators.{Curate, Privacy, Sampling}
 
 /** Deterministic-curation operators: stratified sampling + privacy. */
 class CurationSpec extends SparkTestBase {
@@ -30,6 +30,19 @@ class CurationSpec extends SparkTestBase {
     stats.foreach { case (lang, req, got) =>
       assert(math.abs(got - req) < 12.0,
         s"$lang: requested $req%, achieved $got%")
+    }
+  }
+
+  test("v2 curation: subset of v1, gates enforced, and some docs gated out") {
+    val v1 = Curate.curateCorpus(spark, sf).select("doc_id")
+      .as[Long].collect().toSet
+    val v2 = Curate.curateCorpusV2(spark, sf).collect()
+    val v2Ids = v2.map(_.getAs[Long]("doc_id")).toSet
+    assert(v2Ids.subsetOf(v1), "v2 admitted a doc v1's gates rejected")
+    assert(v2Ids.size < v1.size, "content gates dropped nothing — degenerate")
+    v2.foreach { r =>
+      assert(r.getAs[Double]("boiler_ratio") <= 0.5)
+      assert(r.getAs[Double]("dup_bigram_ratio") <= 0.08)
     }
   }
 
