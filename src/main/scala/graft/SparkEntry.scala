@@ -162,6 +162,10 @@ object SparkEntry {
     "q_nation_trade"   -> ((s, d) => Relational.nationTrade(s, d)),
     // TPC-H Q6 through the spark.sql front end (view + SQL text)
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    // TPC-H Q14 shape: conditional aggregation (promo share of revenue)
+    "q14_promo_share"  -> ((s, d) => Relational.promoRevenueShare(s, d)),
+    // TPC-H Q19 shape: disjunctive multi-column predicate pushdown
+    "q19_brand_ranges" -> ((s, d) => Relational.brandRangeRevenue(s, d)),
     // TPC-H Q15 shape: view + max-over-view, decimal-exact winner cut
     "q_top_supplier"   -> ((s, d) => Relational.topRevenueSupplier(s, d)),
     // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
@@ -1284,6 +1288,22 @@ object SparkEntry {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // Q14: bare CASE (no ELSE) drops non-promo rows from the sum on both
+    // engines; the share divides the two exact-decimal-cast doubles
+    "q14_promo_share" ->
+      s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueSql END) AS DOUBLE) AS promo_revenue,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS total_revenue,
+         |       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueSql END) AS DOUBLE)
+         |             / CAST(sum($revenueSql) AS DOUBLE), 6) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1996-02-01'""".stripMargin,
+    // Q19: the disjunction evaluated post-join, identical ranges
+    "q19_brand_ranges" ->
+      s"""SELECT CAST(sum($revenueSql) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     // Q15 shape: exact decimal revenue; winner-by-equality against the
     // max over the same aggregation
     "q_top_supplier" ->

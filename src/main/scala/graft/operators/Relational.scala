@@ -283,6 +283,51 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin)
   }
 
+  /** TPC-H Q14 shape — promo revenue share for one shipdate month:
+    * conditional aggregation (CASE inside sum) over the lineitem⋈part
+    * join. Both sums are exact DECIMAL cast to double only at the edge;
+    * the share divides those two doubles, so all three outputs are
+    * bit-identical across engines.
+    */
+  def promoRevenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      // sum(CASE ... END) with no else: nulls drop out of the sum — the
+      // same semantics DuckDB's bare CASE gives, no 0-literal type games
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)).cast("double")
+          .as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_share"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive multi-column predicates (OR of ANDed
+    * brand/size/quantity ranges): the scan-pushdown stress case, since
+    * each disjunct constrains DIFFERENT tables' columns. The part-side
+    * disjuncts prune the dimension before the join; the residual OR
+    * applies post-join. Exact decimal revenue.
+    */
+  def brandRangeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val d1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1, 20)
+    val d2 = col("p_brand") === "Brand#2" && col("p_size").between(5, 25) &&
+      col("l_quantity").between(10, 40)
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .where(d1 || d2)
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
