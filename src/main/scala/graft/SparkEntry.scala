@@ -114,6 +114,8 @@ object SparkEntry {
     "q_hash_features"  -> ((s, d) => TextAnalysis.hashingTrickFeatures(s, d, 16)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
+    // token-count histogram: the packing planner's budget input
+    "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d, 16)),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(s, d, Map("en" -> 25), 60)),
     "q_sample_stats"   -> ((s, d) =>
@@ -180,6 +182,8 @@ object SparkEntry {
     "q_compacted_scan" -> ((s, d) => Compaction.compactedRoundTrip(s, d)),
     // corpus staged to ORC and read back — format interchange is lossless
     "q_orc_roundtrip"  -> ((s, d) => Formats.orcRoundTrip(s, d)),
+    // the text-format leg: headered CSV with an explicit read schema
+    "q_csv_roundtrip"  -> ((s, d) => Formats.csvRoundTrip(s, d)),
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
@@ -638,6 +642,14 @@ object SparkEntry {
          |  FROM toks, unnest(range(1, len(ts))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // length histogram: floor(n/16.0)*16 — double division + floor on
+    // both engines (bare integer division differs between them)
+    "q_length_histogram" ->
+      s"""WITH $toksCte
+         |SELECT CAST(floor(len(ts) / 16.0) * 16 AS BIGINT) AS bucket_lo,
+         |       count(*) AS n_docs,
+         |       CAST(sum(len(ts)) AS BIGINT) AS total_tokens
+         |FROM toks GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     // bigram LM: both engines divide the identical bigram/marginal longs
     // in double, so P(w2|w1) is bit-exact without rounding
     "q_bigram_lm" ->
@@ -1350,6 +1362,14 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the ORC interchange copy must aggregate identically to the source
     "q_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_text_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same fingerprint for the CSV leg — text-format interchange must
+    // restore types and values, not just bytes
+    "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       count(DISTINCT doc_id) AS n_distinct,

@@ -28,12 +28,40 @@ object Formats {
     scratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
     val target = dir.resolve("docs").toString
     Tables.documents(spark, sfDir).write.mode("overwrite").orc(target)
-    spark.read.orc(target)
+    fingerprintAgg(spark.read.orc(target))
+  }
+
+  private val csvScratch = new graft.util.ScratchSlot
+
+  /** The TEXT-format leg: corpus staged as headered CSV and read back
+    * with an explicit schema (a schema-less CSV read would widen every
+    * column to string — the interchange must restore TYPES, not just
+    * bytes). CSV quoting covers any delimiter collision; the corpus has
+    * no embedded newlines, the one thing default line-based CSV splitting
+    * cannot round-trip.
+    */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    csvScratch.retire()
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_docs_")
+    csvScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
+    val target = dir.resolve("docs").toString
+    Tables.documents(spark, sfDir)
+      .write.mode("overwrite").option("header", "true").csv(target)
+    fingerprintAgg(spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("header", "true")
+      .csv(target))
+  }
+
+  /** The shared interchange fingerprint: per-lang counts, char totals,
+    * distinct ids, and text lengths — any loss in any column moves it.
+    */
+  private def fingerprintAgg(docs: DataFrame): DataFrame =
+    docs
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         countDistinct(col("doc_id")).as("n_distinct"),
         sum(length(col("text")).cast("bigint")).as("total_text_chars"))
       .orderBy("lang")
-  }
 }

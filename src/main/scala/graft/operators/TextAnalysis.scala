@@ -415,6 +415,21 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Sequence-length histogram: document token counts bucketed by
+    * `bucketWidth` — the distribution a packing planner reads to pick its
+    * context budget (how much padding/truncation each budget would cost).
+    * One tokenize pass, one tiny aggregation keyed by bucket.
+    */
+  def lengthHistogram(spark: SparkSession, sfDir: String,
+                      bucketWidth: Int = 16): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(tokens(col("text"))).as("n_tokens"))
+      .groupBy((floor(col("n_tokens") / bucketWidth.toDouble) *
+        bucketWidth).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("bucket_lo")
+
   /** Decile profile of the surprisal quality signal — the cut-point table
     * a curation pipeline uses to drop the worst band / sample by quality
     * tier. Global ranking via [[Scan.prefixSumBy]] (the two-phase

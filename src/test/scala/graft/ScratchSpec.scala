@@ -58,6 +58,12 @@ class ScratchSpec extends SparkTestBase {
     }
   }
 
+  test("CSV round-trip keeps at most one scratch generation") {
+    assertOneGeneration("graft_csv_docs_") {
+      graft.operators.Formats.csvRoundTrip(spark, sf).collect()
+    }
+  }
+
   test("upsert round-trip keeps at most one scratch index") {
     assertOneGeneration("graft_upsert_ix_") {
       Indexer.upsertRoundTrip(spark, sf).collect()
