@@ -116,6 +116,8 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
     // token-count histogram: the packing planner's budget input
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d, 16)),
+    // per-source mixture report: composition + duplication shares
+    "q_source_mixture" -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(s, d, Map("en" -> 25), 60)),
     "q_sample_stats"   -> ((s, d) =>
@@ -650,6 +652,25 @@ object SparkEntry {
          |       count(*) AS n_docs,
          |       CAST(sum(len(ts)) AS BIGINT) AS total_tokens
          |FROM toks GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    // source mixture: token shares and exact-dup rates per source; all
+    // ratios divide identical longs-cast-doubles, rounded 6 dp
+    "q_source_mixture" ->
+      s"""WITH $toksCte, d AS (
+         |  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |         sha256(text) AS fp
+         |  FROM toks
+         |), fps AS (SELECT fp, count(*) AS fp_n FROM d GROUP BY fp),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM d),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+         |  FROM d JOIN fps USING (fp) GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |       round(CAST(n_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6) AS token_share,
+         |       dup_docs,
+         |       round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+         |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
     // bigram LM: both engines divide the identical bigram/marginal longs
     // in double, so P(w2|w1) is bit-exact without rounding
     "q_bigram_lm" ->

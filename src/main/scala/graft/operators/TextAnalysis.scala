@@ -415,6 +415,35 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Data-mixture report: per-source corpus composition — document and
+    * token counts, each source's share of corpus tokens, and the share of
+    * its documents that are exact duplicates of something else (anywhere
+    * in the corpus). The table a training-data pipeline publishes when
+    * deciding mixture weights; one tokenize pass + one fingerprint
+    * aggregation, the corpus total rides as a 1-row broadcast.
+    */
+  def sourceMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        sha2(col("text"), 256).as("fp"))
+    val fpSizes = docs.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+    val total = docs.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    docs.join(fpSizes, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("fp_n") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("corpus_tokens").cast("double"), 6).as("token_share"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Sequence-length histogram: document token counts bucketed by
     * `bucketWidth` — the distribution a packing planner reads to pick its
     * context budget (how much padding/truncation each budget would cost).
