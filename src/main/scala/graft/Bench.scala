@@ -161,9 +161,20 @@ object Bench {
         val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
         s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$om,"cache_hits":$cacheHitsJson$f,"sf":"$sfDir"}"""
       }
-      (sorted.length to 0 by -1).view.map(lineWith)
-        .find(_.length <= 1850)
-        .getOrElse(lineWith(0))
+      // Line length grows monotonically with qn below sorted.length (each
+      // entry adds ≥8 chars; the omitted-count digits shrink by at most
+      // one), so binary-search the largest count that fits instead of
+      // rebuilding the line once per candidate count.
+      if (lineWith(sorted.length).length <= 1850) lineWith(sorted.length)
+      else {
+        var lo = 0; var hi = sorted.length - 1; var ans = 0
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (lineWith(mid).length <= 1850) { ans = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        lineWith(ans)
+      }
     }
     println(if (line1.length <= 1850) line1 else slowestThatFit)
     spark.stop()

@@ -170,6 +170,20 @@ object SparkEntry {
     "q14_promo_share"  -> ((s, d) => Relational.promoRevenueShare(s, d)),
     // TPC-H Q19 shape: disjunctive multi-column predicate pushdown
     "q19_brand_ranges" -> ((s, d) => Relational.brandRangeRevenue(s, d)),
+    // TPC-H Q4 shape: EXISTS with a two-table predicate → semi join
+    "q4_late_orders"   -> ((s, d) => Relational.lateOrderPriorities(s, d)),
+    // TPC-H Q8 shape: market share via two-role nation + conditional sums
+    "q8_market_share"  -> ((s, d) => Relational.marketShare(s, d)),
+    // TPC-H Q9 shape: part-family revenue by supplier nation × order year
+    "q9_profit_nation" -> ((s, d) => Relational.profitByNationYear(s, d)),
+    // TPC-H Q10 shape: returned-item revenue, top-20 customers
+    "q10_returned_items" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
+    // TPC-H Q13 shape: two-level aggregation (orders/customer → histogram)
+    "q13_order_counts" -> ((s, d) => Relational.customerOrderDistribution(s, d)),
+    // TPC-H Q17 shape: correlated per-part average, exact-decimal cut
+    "q17_small_qty"    -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    // TPC-H Q22 shape: above-average balance + anti join, by nation
+    "q22_untapped"     -> ((s, d) => Relational.globalSalesOpportunity(s, d)),
     // TPC-H Q15 shape: view + max-over-view, decimal-exact winner cut
     "q_top_supplier"   -> ((s, d) => Relational.topRevenueSupplier(s, d)),
     // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
@@ -1337,6 +1351,101 @@ object SparkEntry {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    // Q4 shape: EXISTS correlated on both orderkey and the 90-day lateness
+    // window against o_orderdate
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q8 shape: conditional-sum share of two exact-decimal sums
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |       CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN $revenueSql END) AS DOUBLE) AS nation_revenue,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS total_revenue,
+         |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN $revenueSql END) AS DOUBLE)
+         |             / CAST(sum($revenueSql) AS DOUBLE), 6) AS mkt_share
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // Q9 shape: part-family revenue by supplier nation × order year
+    "q9_profit_nation" ->
+      s"""SELECT n_name AS nation,
+         |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // Q10 shape: revenue-desc top 20 with the custkey tiebreak mirrored
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |       CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+         |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q13 shape: LEFT JOIN keeps order-less customers at count 0
+    "q13_order_counts" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q17 shape: 5·qty·n < Σqty — the below-fifth-of-average test with no
+    // divide, exact on both engines
+    "q17_small_qty" ->
+      """WITH brand_lines AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |per_part AS (
+        |  SELECT l_partkey AS ap_key, count(*) AS n_lines,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum
+        |  FROM brand_lines GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly,
+        |       count(*) AS n_items
+        |FROM brand_lines JOIN per_part ON l_partkey = ap_key
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_lines < qty_sum""".stripMargin,
+    // Q22 shape: exact above-average test (bal·n > Σbal) + NOT-EXISTS
+    // recency (lapsed since 2000 — "no orders ever" is vacuous here)
+    "q22_untapped" ->
+      """WITH pos AS (
+        |  SELECT count(*) AS n_pos,
+        |         sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |CROSS JOIN pos
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // Q15 shape: exact decimal revenue; winner-by-equality against the
     // max over the same aggregation
     "q_top_supplier" ->

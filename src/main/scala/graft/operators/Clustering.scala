@@ -120,6 +120,20 @@ object Clustering {
     val srcMtime = newestMtime(new File(sfDir, "lineitem.parquet"))
     lastEnsureWasCacheHit = success.exists() && success.lastModified() >= srcMtime
     if (!lastEnsureWasCacheHit) {
+      // Sweep orphaned layout dirs for the SAME corpus left by earlier
+      // LayoutVersions (v1 had no version segment at all): a version bump
+      // renames the cache dir, and without this each bump would strand one
+      // full lineitem copy (plus manifest) per machine in java.io.tmpdir.
+      val hex = Integer.toHexString(sfDir.hashCode)
+      val keepPrefix = s"graft_lineitem_z_v${LayoutVersion}_$hex"
+      Option(new File(System.getProperty("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty[File])
+        .filter { f =>
+          val n = f.getName
+          n.startsWith("graft_lineitem_z_") && n.contains(hex) &&
+            !n.startsWith(keepPrefix)
+        }
+        .foreach(f => graft.util.Scratch.deleteRecursively(f.toPath))
       // The source parquet stores shipdate with isAdjustedToUTC=false, which
       // Spark 4 reads as TIMESTAMP_NTZ — a type its parquet filter
       // conversion cannot row-group-skip on (bigint/date/LTZ-timestamp

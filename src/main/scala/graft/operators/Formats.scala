@@ -36,9 +36,13 @@ object Formats {
   /** The TEXT-format leg: corpus staged as headered CSV and read back
     * with an explicit schema (a schema-less CSV read would widen every
     * column to string — the interchange must restore TYPES, not just
-    * bytes). CSV quoting covers any delimiter collision; the corpus has
-    * no embedded newlines, the one thing default line-based CSV splitting
-    * cannot round-trip.
+    * bytes). Losslessness is pinned by OPTIONS, not by corpus invariants:
+    * a distinct `nullValue` sentinel keeps NULL and "" apart (Spark's
+    * default maps both to the empty token, so an empty text field would
+    * silently read back as null), `emptyValue` forces "" to write as a
+    * quoted pair so it can never collide with the sentinel, and
+    * `multiLine` on the read side survives embedded newlines (the writer
+    * already quotes them).
     */
   def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     csvScratch.retire()
@@ -46,10 +50,16 @@ object Formats {
     csvScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
     val target = dir.resolve("docs").toString
     Tables.documents(spark, sfDir)
-      .write.mode("overwrite").option("header", "true").csv(target)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "\"\"")
+      .csv(target)
     fingerprintAgg(spark.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       .option("header", "true")
+      .option("nullValue", "\\N")
+      .option("multiLine", "true")
       .csv(target))
   }
 

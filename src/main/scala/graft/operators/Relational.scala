@@ -328,6 +328,170 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  private def revenue: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+
+  /** TPC-H Q8 shape — national market share: of all revenue a region's
+    * customers spent on one part type across two order years, the share
+    * supplied by one nation, per year. The nation dimension again plays
+    * two roles (customer's region membership, supplier's identity); the
+    * share is a conditional-sum / total-sum divide of two exact-decimal
+    * sums cast to double at the edge (the Q14 contract).
+    */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "AMERICA")
+    val nCust = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val nSupp = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", revenue)).cast("double")
+          .as("nation_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10 shape — returned-item revenue: customers ranked by the
+    * revenue they returned in one quarter. Revenue-desc top 20 with the
+    * custkey tiebreak mirrored in the oracle so boundary ties cannot
+    * reorder across engines.
+    */
+  def returnedItemRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1996-10-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q13 shape — customer order-count distribution: left join keeps
+    * order-less customers as count 0, then the counts are themselves
+    * counted. Two aggregations over different keys; the first rides the
+    * custkey shuffle, the second is a near-trivial rollup of ≤ a few
+    * hundred distinct counts.
+    */
+  def customerOrderDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q17 shape — small-quantity revenue for one brand: lines whose
+    * quantity is below 20% of their part's average quantity. The
+    * correlated average becomes a per-part aggregate joined back; the
+    * below-one-fifth-of-average test runs in EXACT integer-scaled decimal
+    * (5·qty·n < Σqty — no divide, so no FP boundary can flip a row), and
+    * only the final yearly average divides.
+    */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandLines = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#3"),
+        col("l_partkey") === col("p_partkey"))
+    val perPart = brandLines
+      .groupBy(col("l_partkey").as("ap_key"))
+      .agg(count(lit(1)).as("n_lines"), sum(dec(col("l_quantity"))).as("qty_sum"))
+    brandLines
+      .join(perPart, col("l_partkey") === col("ap_key"))
+      .filter(dec(col("l_quantity")) * lit(5).cast("decimal(12,2)") * col("n_lines")
+        < col("qty_sum"))
+      .agg(
+        (sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q4 shape — priority counts of orders with at least one LATE
+    * line (shipped > 90 days after the order date; the corpus carries no
+    * commit/receipt dates, so lateness is defined against o_orderdate —
+    * same EXISTS-on-two-table-predicate decorrelation shape). The semi
+    * join keeps each qualifying order once no matter how many lines were
+    * late.
+    */
+  def lateOrderPriorities(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q9 shape — revenue by supplier nation and order year for one
+    * part family (name-substring filter; the corpus has no partsupp, so
+    * profit is discounted revenue without the supply-cost term). The
+    * filtered part dimension prunes the fact join first; nation is
+    * broadcast.
+    */
+  def profitByNationYear(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+
+  /** TPC-H Q22 shape — untapped customers: above-average positive account
+    * balance and LAPSED (no order since the cutoff — every customer in
+    * this corpus has some order, so "no orders ever" would be vacuously
+    * empty; the original's seven-year-dormancy intent maps to a recency
+    * anti join), grouped by nation (the corpus has no phone column, so
+    * nation replaces the country-code substring). The global average is a
+    * 1-row broadcast and the above-average test is exact (bal·n > Σbal in
+    * decimal); the recency check is an anti join against the
+    * date-filtered orders.
+    */
+  def globalSalesOpportunity(spark: SparkSession, sfDir: String): DataFrame = {
+    val posStats = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(dec(col("c_acctbal"))).as("bal_sum"))
+    Tables.customer(spark, sfDir)
+      .crossJoin(broadcast(posStats))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("bal_sum"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

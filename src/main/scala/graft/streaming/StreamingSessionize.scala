@@ -68,22 +68,107 @@ object StreamingSessionize {
     }
   }
 
-  /** Streaming sessionization over a watched parquet directory with the
-    * events schema. Emits one row per CLOSED session (append mode).
+  val WatermarkDelayMs: Long = 3600L * 1000
+
+  /** The watermark + state pipeline shared by the unbounded spec-facing
+    * stream and the oracle-checked AvailableNow drain, so gap/watermark
+    * semantics cannot drift between them.
     */
-  def sessionStream(spark: SparkSession, watchDir: String): Dataset[SessionRow] = {
+  private def sessionStreamFrom(spark: SparkSession,
+                                src: org.apache.spark.sql.DataFrame): Dataset[SessionRow] = {
     import spark.implicits._
-    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream
-      .schema(schema)
-      .parquet(watchDir)
+    src
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("ms"), col("ts"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn)
+  }
+
+  /** Streaming sessionization over a watched parquet directory with the
+    * events schema. Emits one row per CLOSED session (append mode).
+    */
+  def sessionStream(spark: SparkSession, watchDir: String): Dataset[SessionRow] = {
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    sessionStreamFrom(spark, spark.readStream.schema(schema).parquet(watchDir))
+  }
+
+  private val drainScratch = new graft.util.ScratchSlot
+  private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The streaming sessionization lifecycle as a BOUNDED, oracle-checkable
+    * query — the append-mode counterpart of
+    * [[StreamingIndexer.indexAvailableNow]]'s complete-mode drains.
+    * Append-mode state only flushes when the WATERMARK passes a session's
+    * gap deadline, and a drained file source alone leaves the final
+    * watermark one delay short of the data's edge — every user's last
+    * session would stay un-emitted. The drain closes that gap with a
+    * SENTINEL: one synthetic far-future event (user −1) staged as a second
+    * file and processed as a later micro-batch, placed past
+    * max(ts) + gap + delay so the final watermark provably clears every
+    * real session's deadline; the sentinel's own session can never close,
+    * so exactly the real sessions emit (the engine evaluates the remaining
+    * timeouts in the no-data batch AvailableNow runs before terminating).
+    *
+    * Two staging choices make the drain bit-reproducible under the batch
+    * oracle: the corpus is staged as ONE file so the whole history is a
+    * single micro-batch (ordered by the state function's (ms, event_id)
+    * in-batch sort — across-batch disorder is the one thing gap state
+    * cannot retroactively fix; the unbounded [[sessionStream]]'s contract
+    * for that is the watermark, a drain from a checkpointed feed would
+    * inherit source order), and the sentinel file's mtime is bumped ahead
+    * of the corpus file's so the file source's oldest-first ordering is
+    * explicit rather than write-timing luck. session_no is assigned AFTER
+    * the drain (row_number over the emitted set) — emission order carries
+    * no meaning in append mode.
+    */
+  def sessionsAvailableNow(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    drainScratch.retire()
+    val watch = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
+    val real = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    real.coalesce(1).write.mode("overwrite")
+      .parquet(watch.resolve("a_events").toString)
+    val maxMs = real.agg(max(unix_millis(col("ts"))).as("m")).head().getLong(0)
+    val sentinelMs = maxMs + GapMs + WatermarkDelayMs + 3600L * 1000
+    Seq((-1L, new Timestamp(sentinelMs), -1L)).toDF("event_id", "ts", "user_id")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(watch.resolve("z_sentinel").toString)
+    // file source order is oldest-mtime-first: push the sentinel's files
+    // a minute ahead so it can never tie with (or precede) the corpus file
+    // on coarse-mtime filesystems — sentinel-first would make the real
+    // events late against the sentinel's watermark and drop them all
+    val now = System.currentTimeMillis()
+    Option(watch.resolve("z_sentinel").toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .foreach(f => { f.setLastModified(now + 60_000); () })
+    val table = s"graft_stream_sessions_${drainSeq.incrementAndGet()}"
+    val q = sessionStreamFrom(spark,
+        spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(watch.toString + "/*"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainScratch.defer(
+      () => { spark.catalog.dropTempView(table); () },
+      () => graft.util.Scratch.deleteRecursively(watch))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms"))
+    spark.table(table)
+      .filter(col("user_id") >= 0)
+      .withColumn("session_no", row_number().over(w).cast("long"))
+      .select("user_id", "session_no", "session_start_ms", "session_end_ms",
+        "n_events", "duration_s")
+      .orderBy("user_id", "session_no")
   }
 
   /** Run the streaming sessionization into an in-memory table (append

@@ -16,9 +16,12 @@ import java.util.concurrent.atomic.AtomicReference
   * `defer(...)` registers the current one.
   */
 final class ScratchSlot {
-  ScratchSlot.register(this)
-
   private val pending = new AtomicReference[List[() => Unit]](Nil)
+
+  // Register only after `pending` is initialized: the shutdown hook may run
+  // concurrently with construction, and a partially constructed slot would
+  // NPE inside retire().
+  ScratchSlot.register(this)
 
   /** Dispose the previous generation's artifacts (best-effort). */
   def retire(): Unit =
@@ -44,7 +47,10 @@ object ScratchSlot {
   private val slots = new java.util.concurrent.ConcurrentLinkedQueue[ScratchSlot]()
   private[util] def register(s: ScratchSlot): Unit = { slots.add(s); () }
   Runtime.getRuntime.addShutdownHook(new Thread(
-    () => slots.forEach(_.retire()), "graft-scratch-retire"))
+    // Per-slot guard: one slot failing (however unlikely) must not abort
+    // cleanup of the remaining slots.
+    () => slots.forEach(s => try s.retire() catch { case _: Throwable => () }),
+    "graft-scratch-retire"))
 }
 
 object Scratch {
