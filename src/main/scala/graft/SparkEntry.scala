@@ -118,6 +118,13 @@ object SparkEntry {
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d, 16)),
     // per-source mixture report: composition + duplication shares
     "q_source_mixture" -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
+    // OOV rate per language against a df-floor vocabulary
+    "q_oov_rate"       -> ((s, d) => TextAnalysis.oovRate(s, d, 3)),
+    // duplicated-shingle coverage per source (suffix-array-dedup signal)
+    "q_dup_ngram_coverage" -> ((s, d) => TextAnalysis.dupNgramCoverage(s, d)),
+    // mixture resampling plan: ppm keep-rates toward target source weights
+    "q_mixture_resample" -> ((s, d) =>
+      Sampling.mixtureResample(s, d, Map("src0" -> 5, "src1" -> 3), 1)),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(s, d, Map("en" -> 25), 60)),
     "q_sample_stats"   -> ((s, d) =>
@@ -125,6 +132,8 @@ object SparkEntry {
     // — privacy / PII hygiene —
     "q_pii_mask"       -> ((s, d) => Privacy.pseudonymizeCustomers(s, d)),
     "q_pseudonym_join" -> ((s, d) => Privacy.ordersByPseudonym(s, d)),
+    // k-anonymity: sub-k quasi-identifier classes suppressed, not dropped
+    "q_kanon_release"  -> ((s, d) => Privacy.kAnonymousRelease(s, d, 5)),
     // — dedup —
     "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
     // the SAME dedup reduction (keeper = min id, group_size) computed by
@@ -200,6 +209,8 @@ object SparkEntry {
     "q_orc_roundtrip"  -> ((s, d) => Formats.orcRoundTrip(s, d)),
     // the text-format leg: headered CSV with an explicit read schema
     "q_csv_roundtrip"  -> ((s, d) => Formats.csvRoundTrip(s, d)),
+    // the JSON-lines leg of the same interchange contract
+    "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundTrip(s, d)),
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
@@ -210,6 +221,11 @@ object SparkEntry {
     // broadcast dim join + rollup state under the batch oracle
     "q_streaming_enrich" -> ((s, d) => graft.streaming.StreamingIndexer.enrichedSegmentRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
+    // the same sessions produced by flatMapGroupsWithState append-mode
+    // state, flushed by a far-future sentinel that drives the final
+    // watermark past every gap deadline — streaming session state under
+    // the batch oracle
+    "q_streaming_sessions" -> ((s, d) => graft.streaming.StreamingSessionize.sessionsAvailableNow(s, d)),
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
     "q_type_shares"    -> ((s, d) => Events.typeShares(s, d)),
     "q_top_users"      -> ((s, d) => Events.topUsers(s, d))
@@ -685,6 +701,57 @@ object SparkEntry {
          |       dup_docs,
          |       round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
          |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
+    // OOV rate: df-floor vocabulary (tie-proof), integer sums, one edge
+    // division rounded at 6 dp on both engines
+    "q_oov_rate" ->
+      s"""WITH $toksCte, flat AS (
+         |  SELECT doc_id, lang, unnest(ts) AS term FROM toks
+         |), tl AS (
+         |  SELECT term, lang, count(*) AS occ FROM flat GROUP BY 1, 2
+         |), docfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1)
+         |SELECT lang, CAST(sum(occ) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN df < 3 THEN occ ELSE 0 END) AS BIGINT) AS n_oov,
+         |       round(CAST(sum(CASE WHEN df < 3 THEN occ ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(occ) AS DOUBLE), 6) AS oov_rate
+         |FROM tl JOIN docfreq USING (term)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // duplicated-shingle coverage: integer sums per source, edge division
+    "q_dup_ngram_coverage" ->
+      s"""$shingleCte, dfh AS (
+         |  SELECT sh, count(*) AS n_docs_with FROM sh GROUP BY sh
+         |), per_doc AS (
+         |  SELECT s.doc_id, count(*) AS n_sh,
+         |         sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM sh s JOIN dfh USING (sh) GROUP BY s.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_sh) AS BIGINT) AS total_sh,
+         |       CAST(sum(n_shared) AS BIGINT) AS shared_sh,
+         |       round(CAST(sum(n_shared) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE), 6)
+         |         AS dup_coverage,
+         |       CAST(sum(CASE WHEN n_shared * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_heavy
+         |FROM per_doc JOIN documents USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    // mixture resample: ratio-min bottleneck (ties by name), integer
+    // keep-ppm, Knuth-hash keep rule — all engine-exact
+    "q_mixture_resample" ->
+      """WITH cnts AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 1 END AS target_w
+        |  FROM documents GROUP BY source),
+        |m AS (
+        |  SELECT n_docs AS m_docs, target_w AS m_w FROM cnts
+        |  ORDER BY CAST(n_docs AS DOUBLE) / target_w, source LIMIT 1),
+        |rated AS (
+        |  SELECT cnts.*, (1000000 * target_w * m_docs) // (m_w * n_docs) AS keep_ppm
+        |  FROM cnts CROSS JOIN m)
+        |SELECT r.source, r.n_docs, r.target_w, r.keep_ppm,
+        |       CAST(sum(CASE WHEN ((d.doc_id * 2654435761) % 4294967296) % 1000000
+        |                          < r.keep_ppm
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN rated r ON d.source = r.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin,
     // bigram LM: both engines divide the identical bigram/marginal longs
     // in double, so P(w2|w1) is bit-exact without rounding
     "q_bigram_lm" ->
@@ -1505,6 +1572,33 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS n_distinct,
         |       CAST(sum(length(text)) AS BIGINT) AS total_text_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the JSON-lines leg aggregates to the same fingerprint
+    "q_json_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_text_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // k-anonymity: the census join and the >= k suppression are pure
+    // relational algebra — identical on both engines
+    "q_kanon_release" ->
+      """WITH qi AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(floor(n_chars / 500) * 500 AS BIGINT) AS size_bucket
+        |  FROM documents),
+        |census AS (
+        |  SELECT lang AS g_lang, source AS g_source,
+        |         size_bucket AS g_bucket, count(*) AS class_size
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |       CASE WHEN class_size >= 5 THEN lang ELSE '*' END AS lang,
+        |       CASE WHEN class_size >= 5 THEN source ELSE '*' END AS source,
+        |       CASE WHEN class_size >= 5 THEN CAST(size_bucket AS VARCHAR)
+        |            ELSE '*' END AS size_bucket,
+        |       class_size >= 5 AS released
+        |FROM qi JOIN census
+        |  ON lang = g_lang AND source = g_source AND size_bucket = g_bucket
+        |ORDER BY doc_id""".stripMargin,
     // identical rectangle, served through the file-stats manifest —
     // pruning is a physical concern; the answer must not move
     "q_pruned_scan" ->
@@ -1547,6 +1641,28 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
     "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, event_id, ms,
+        |               lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |        FROM e)
+        |), numbered AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no,
+        |       min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |       count(*) AS n_events,
+        |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS duration_s
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    // streaming session state drained through the sentinel flush must
+    // converge to the identical batch sessionization
+    "q_streaming_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
         |), flagged AS (

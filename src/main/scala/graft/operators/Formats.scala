@@ -63,6 +63,28 @@ object Formats {
       .csv(target))
   }
 
+  private val jsonScratch = new graft.util.ScratchSlot
+
+  /** The JSON-lines leg: corpus staged as newline-delimited JSON and read
+    * back with an explicit schema (schema inference would cost an extra
+    * pass and could narrow all-integral doubles). JSON escaping makes
+    * newlines/quotes lossless by construction; the writer omits null
+    * fields and the reader restores absent fields as null, so null
+    * round-trips too. The remaining JSON hazard — non-string types
+    * widening through text — is exactly what the fingerprint's typed sums
+    * would catch.
+    */
+  def jsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    jsonScratch.retire()
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_docs_")
+    jsonScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
+    val target = dir.resolve("docs").toString
+    Tables.documents(spark, sfDir).write.mode("overwrite").json(target)
+    fingerprintAgg(spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(target))
+  }
+
   /** The shared interchange fingerprint: per-lang counts, char totals,
     * distinct ids, and text lengths — any loss in any column moves it.
     */

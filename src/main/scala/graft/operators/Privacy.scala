@@ -43,6 +43,33 @@ object Privacy {
         col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** K-ANONYMITY release of the document corpus: every published row's
+    * quasi-identifier combination (lang, source, size bucket) must be
+    * shared by at least k rows — combinations rarer than k get their
+    * quasi-identifiers SUPPRESSED to '*' (full generalization) instead of
+    * being dropped, so corpus statistics keep every row. The equivalence-
+    * class census is one aggregation over the tiny QI domain, joined back
+    * broadcast; the release itself stays a row-local projection.
+    */
+  def kAnonymousRelease(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val qi = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (floor(col("n_chars") / 500) * 500).cast("long").as("size_bucket"))
+    val census = qi.groupBy(col("lang").as("g_lang"), col("source").as("g_source"),
+        col("size_bucket").as("g_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    qi.join(broadcast(census),
+        col("lang") === col("g_lang") && col("source") === col("g_source") &&
+        col("size_bucket") === col("g_bucket"))
+      .select(col("doc_id"),
+        when(col("class_size") >= k, col("lang")).otherwise("*").as("lang"),
+        when(col("class_size") >= k, col("source")).otherwise("*").as("source"),
+        when(col("class_size") >= k, col("size_bucket").cast("string"))
+          .otherwise("*").as("size_bucket"),
+        (col("class_size") >= k).as("released"))
+      .orderBy("doc_id")
+  }
+
   /** Join-through-pseudonym proof: per-pseudonymized-customer order count
     * and revenue, never exposing the raw key in the output. The join
     * co-locates on the ORIGINAL key (pseudonyms are applied in the final

@@ -46,6 +46,46 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** MIXTURE RESAMPLING: derive per-source keep-rates that move the corpus
+    * to target mixture WEIGHTS by downsampling only (no duplication), then
+    * report the plan and its achieved counts. The bottleneck source — the
+    * one already scarcest relative to its weight — keeps 100%, every other
+    * source keeps `target_w · bottleneck_docs / (bottleneck_w · n_docs)`
+    * of its documents, so the kept corpus lands on the target proportions
+    * as closely as ppm-granular deterministic hashing allows.
+    *
+    * Engine-exact by construction: the bottleneck is selected by ratio
+    * (ties by source name), the keep-rate is INTEGER arithmetic
+    * (ppm = 1e6·t·m_docs div (m_w·n)), and the keep decision is the same
+    * Knuth-hash bucket rule as [[stratifiedSample]] — a retried task, a
+    * rerun, or the DuckDB oracle all keep the identical documents. (The
+    * 1e6·t·n product fits int64 up to ~10^10 docs per source; past that a
+    * pipeline would widen to decimal.)
+    */
+  def mixtureResample(spark: SparkSession, sfDir: String,
+                      weights: Map[String, Int], defaultW: Int): DataFrame = {
+    val w = weights.foldLeft(lit(defaultW)) { case (acc, (s, t)) =>
+      when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val cnts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_w", w)
+    val bottleneck = cnts
+      .orderBy((col("n_docs").cast("double") / col("target_w")).asc,
+        col("source").asc)
+      .limit(1)
+      .select(col("n_docs").as("m_docs"), col("target_w").as("m_w"))
+    val rated = cnts.crossJoin(broadcast(bottleneck))
+      .withColumn("keep_ppm",
+        expr("(1000000 * target_w * m_docs) div (m_w * n_docs)"))
+    docs.join(broadcast(rated), "source")
+      .withColumn("kept",
+        (((col("doc_id") * Knuth) % M32) % 1000000 < col("keep_ppm")).cast("int"))
+      .groupBy(col("source"), col("n_docs"), col("target_w"), col("keep_ppm"))
+      .agg(sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Per-stratum sampling REPORT: achieved vs requested rate per language.
     * The per-stratum counts are the aggregation a curation job logs to
     * prove the rebalance landed; one partial-aggregated shuffle.

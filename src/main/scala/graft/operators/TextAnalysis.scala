@@ -519,6 +519,61 @@ object TextAnalysis {
     * shared with the dedup family), so no re-tokenize: every step is a
     * two-column shuffle over (doc_id, shingle).
     */
+  /** Out-of-vocabulary rate per language against a corpus-derived vocab
+    * (terms reaching `minDf` distinct documents — a document-frequency
+    * floor, not a top-K, so the vocabulary is tie-proof and engine-exact).
+    * The token stream is aggregated to (term, lang) occurrence counts
+    * BEFORE meeting the df relation, so the join is term-keyed
+    * vocabulary-scale, never token-stream-scale; the final rollup is 5
+    * rows. The signal a tokenizer-training pipeline reads to size its
+    * vocab per language.
+    */
+  def oovRate(spark: SparkSession, sfDir: String, minDf: Int = 3): DataFrame = {
+    val flat = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    val byTermLang = flat.groupBy("term", "lang").agg(count(lit(1)).as("occ"))
+    val docFreq = flat.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    byTermLang.join(docFreq, "term")
+      .groupBy("lang")
+      .agg(sum(col("occ")).as("n_tokens"),
+        sum(when(col("df") < minDf, col("occ")).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  /** Duplicated-span coverage per source — the suffix-array-dedup signal
+    * at shingle granularity: of each source's word-3-gram shingles, how
+    * many also occur in at least one OTHER document (anywhere in the
+    * corpus), and how many of its documents are majority-duplicated.
+    * Rides the materialized shingle relation; all ratios derive from
+    * integer sums (the per-source double division happens once at the
+    * edge), so the report is engine-exact.
+    */
+  def dupNgramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = spark.read.parquet(Dedup.ensureShingles(spark, sfDir))
+    val shDf = sh.groupBy("sh").agg(count(lit(1)).as("n_docs_with"))
+    val perDoc = sh.join(shDf, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    perDoc
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("total_sh"),
+        sum(col("n_shared")).as("shared_sh"),
+        sum(when(col("n_shared") * 2 >= col("n_sh"), 1L).otherwise(0L))
+          .as("n_heavy"))
+      .select(col("source"), col("n_docs"), col("total_sh"), col("shared_sh"),
+        round(col("shared_sh").cast("double") / col("total_sh").cast("double"), 6)
+          .as("dup_coverage"),
+        col("n_heavy"))
+      .orderBy("source")
+  }
+
   def boilerplateRatio(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = spark.read.parquet(Dedup.ensureShingles(spark, sfDir))
     // corpus-relative df threshold as a 1-row broadcast, not a collect:

@@ -47,7 +47,21 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_top_supplier"    -> 4, // rev agg + 1-row max + winner/supplier join + order
     "q_large_orders"    -> 1, // qty agg; winner joins broadcast at test scale
     "q_orc_roundtrip"   -> 3, // ORC stage write + distinct-agg + order
-    "q_quality_deciles" -> 9  // surprisal subplan (5) + range scan + 3 tiny (offsets/agg/order)
+    "q_quality_deciles" -> 9, // surprisal subplan (5) + range scan + 3 tiny (offsets/agg/order)
+    // round-7 TPC-H shapes (fact sides broadcast at test scale; the
+    // budget pins agg/order exchanges and catches lost broadcasts)
+    "q4_late_orders"    -> 2, // priority agg + order; lateness semi join broadcasts
+    "q8_market_share"   -> 2, // year agg + order; dims broadcast
+    "q9_profit_nation"  -> 2, // nation×year agg + order
+    "q10_returned_items" -> 1, // customer agg; top-20 via TakeOrdered
+    "q13_order_counts"  -> 3, // custkey agg + histogram agg + order
+    "q17_small_qty"     -> 3, // per-part agg + self-join side + 1-row final
+    "q22_untapped"      -> 3, // 1-row stats + anti join side + nation agg
+    "q_json_roundtrip"  -> 3, // JSON stage write + distinct-agg + order
+    "q_kanon_release"   -> 2, // census agg + output order; release join broadcasts
+    "q_oov_rate"        -> 5, // (term,lang) agg + distinct + df agg + lang agg + order
+    "q_dup_ngram_coverage" -> 4, // shingle-df agg + per-doc agg + source agg + order
+    "q_mixture_resample" -> 4  // source census ×2 consumers + kept agg + order
   )
 
   budgets.foreach { case (name, budget) =>

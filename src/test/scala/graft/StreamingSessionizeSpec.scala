@@ -44,4 +44,13 @@ class StreamingSessionizeSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("sessionsAvailableNow sentinel drain == batch sessionize, session_no included") {
+    val drained = StreamingSessionize.sessionsAvailableNow(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Events.sessionize(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(drained.nonEmpty)
+    assert(drained === batch)
+  }
 }
