@@ -191,8 +191,14 @@ object SparkEntry {
     "q13_order_counts" -> ((s, d) => Relational.customerOrderDistribution(s, d)),
     // TPC-H Q17 shape: correlated per-part average, exact-decimal cut
     "q17_small_qty"    -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    // TPC-H Q21 shape: sole-blame lateness via one per-order rollup
+    "q21_blame_supplier" -> ((s, d) => Relational.blameSuppliers(s, d)),
     // TPC-H Q22 shape: above-average balance + anti join, by nation
     "q22_untapped"     -> ((s, d) => Relational.globalSalesOpportunity(s, d)),
+    // rank-based distribution windows (percent_rank/cume_dist)
+    "q_price_position" -> ((s, d) => Relational.pricePosition(s, d)),
+    // iterative graph propagation as one relational plan (integer mass)
+    "q_rank_propagation" -> ((s, d) => IndexQueries.rankPropagation(s, d, 25)),
     // TPC-H Q15 shape: view + max-over-view, decimal-exact winner cut
     "q_top_supplier"   -> ((s, d) => Relational.topRevenueSupplier(s, d)),
     // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
@@ -1496,6 +1502,26 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM brand_lines JOIN per_part ON l_partkey = ap_key
         |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_lines < qty_sum""".stripMargin,
+    // Q21 shape: lateness flags per (order, supplier), one per-order
+    // rollup, exact integer sole-blame test — numwait ties broken by key
+    "q21_blame_supplier" ->
+      """WITH pos AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                  THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |per_order AS (
+        |  SELECT l_orderkey AS o_key, count(*) AS n_supps,
+        |         sum(late) AS n_late
+        |  FROM pos GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM pos
+        |JOIN per_order ON l_orderkey = o_key
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND n_supps >= 2 AND n_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     // Q22 shape: exact above-average test (bal·n > Σbal) + NOT-EXISTS
     // recency (lapsed since 2000 — "no orders ever" is vacuous here)
     "q22_untapped" ->
@@ -1513,6 +1539,33 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // rank-based windows with a unique ordering are engine-exact
+    "q_price_position" ->
+      """SELECT p_partkey, p_brand, p_retailprice, pct_rank, cume FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |         round(percent_rank() OVER (PARTITION BY p_brand
+        |               ORDER BY p_retailprice, p_partkey), 6) AS pct_rank,
+        |         round(cume_dist() OVER (PARTITION BY p_brand
+        |               ORDER BY p_retailprice, p_partkey), 6) AS cume
+        |  FROM part)
+        |WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin,
+    // two unrolled doc→term→doc rounds in integer micro-units: floor
+    // division makes rounding loss deterministic on both engines
+    "q_rank_propagation" ->
+      s"""$postingsCte, p AS (
+         |  SELECT term, doc_id FROM postings
+         |), dd AS (SELECT doc_id, count(*) AS d_deg FROM p GROUP BY 1),
+         |td AS (SELECT term, count(*) AS t_deg FROM p GROUP BY 1),
+         |t1 AS (SELECT term, sum(1000000 // d_deg) AS t_rank
+         |       FROM p JOIN dd USING (doc_id) GROUP BY term),
+         |d1 AS (SELECT doc_id, sum(t_rank // t_deg) AS d_rank
+         |       FROM p JOIN td USING (term) JOIN t1 USING (term) GROUP BY doc_id),
+         |t2 AS (SELECT term, sum(d_rank // d_deg) AS t_rank2
+         |       FROM p JOIN dd USING (doc_id) JOIN d1 USING (doc_id) GROUP BY term),
+         |d2 AS (SELECT doc_id, sum(t_rank2 // t_deg) AS rank_uu
+         |       FROM p JOIN td USING (term) JOIN t2 USING (term) GROUP BY doc_id)
+         |SELECT doc_id, CAST(rank_uu AS BIGINT) AS rank_uu
+         |FROM d2 ORDER BY rank_uu DESC, doc_id LIMIT 25""".stripMargin,
     // Q15 shape: exact decimal revenue; winner-by-equality against the
     // max over the same aggregation
     "q_top_supplier" ->

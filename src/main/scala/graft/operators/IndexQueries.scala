@@ -274,4 +274,40 @@ object IndexQueries {
           .cast("long").as("estimate"),
         col("n_exact"))
   }
+
+  /** Importance propagation over the inverted index as a PURE RELATIONAL
+    * plan — two doc→term→doc rounds of degree-normalized rank flow over
+    * the term↔doc bipartite graph (the centrality-style quality signal
+    * web-corpus curation ranks documents with). No driver loop, no graph
+    * runtime: the unrolled rounds are one declarative plan over the
+    * materialized postings, each round one term-keyed and one doc-keyed
+    * aggregation of the edge relation — O(iterations · |postings|), the
+    * complexity an iterative graph engine would pay, with every step an
+    * ordinary shuffle Catalyst/AQE can plan.
+    *
+    * All mass is INTEGER micro-units with floor division, so rounding
+    * loss is deterministic and both engines agree bit-for-bit. Doubles
+    * would diverge here: float mass summed in engine-specific orders
+    * stops hash-matching after one round.
+    */
+  def rankPropagation(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val p = MaterializedIndex.postings(spark, sfDir).select("term", "doc_id")
+    val docDeg = p.groupBy("doc_id").agg(count(lit(1)).as("d_deg"))
+    val termDeg = p.groupBy("term").agg(count(lit(1)).as("t_deg"))
+    val tRank1 = p.join(docDeg, "doc_id")
+      .groupBy("term")
+      .agg(sum(expr("1000000 div d_deg")).as("t_rank"))
+    val dRank1 = p.join(termDeg, "term").join(tRank1, "term")
+      .groupBy("doc_id")
+      .agg(sum(expr("t_rank div t_deg")).as("d_rank"))
+    val tRank2 = p.join(docDeg, "doc_id").join(dRank1, "doc_id")
+      .groupBy("term")
+      .agg(sum(expr("d_rank div d_deg")).as("t_rank2"))
+    p.join(termDeg, "term").join(tRank2, "term")
+      .groupBy("doc_id")
+      .agg(sum(expr("t_rank2 div t_deg")).as("rank_uu"))
+      .orderBy(desc("rank_uu"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("rank_uu"))
+  }
 }

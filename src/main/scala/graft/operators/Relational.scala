@@ -492,6 +492,54 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q21 shape — suppliers SOLELY to blame for late multi-supplier
+    * orders (late = shipped > 90 days after the order date, as in
+    * [[lateOrderPriorities]]). The textbook EXISTS / NOT-EXISTS pair over
+    * other lineitems of the same order is computed as per-(order,supplier)
+    * lateness flags then ONE per-order rollup — each order contributes its
+    * supplier count and late-supplier count, and "blame" is the exact
+    * integer test late ∧ n_supps ≥ 2 ∧ n_late = 1. One orderkey shuffle
+    * serves both aggregation levels; no correlated re-scan per lineitem.
+    */
+  def blameSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrderSupp = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+        .as("late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("o_key"))
+      .agg(count(lit(1)).as("n_supps"), sum(col("late")).as("n_late"))
+    perOrderSupp
+      .filter(col("late") === 1L)
+      .join(perOrder, col("l_orderkey") === col("o_key"))
+      .filter(col("n_supps") >= 2 && col("n_late") === 1L)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Distribution-rank window functions: each part's price position
+    * within its brand as percent_rank and cume_dist (both rank-based, so
+    * with the unique (price, partkey) ordering they are engine-exact —
+    * unlike ntile, whose bucket-boundary arithmetic differs between
+    * engines). The window rides one brand-keyed exchange; the output is
+    * sampled to every 50th part so the result stays bounded while the
+    * window still computes over the full dimension.
+    */
+  def pricePosition(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .filter(col("p_partkey") % 50 === 0)
+      .orderBy("p_partkey")
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -61,7 +61,10 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_kanon_release"   -> 2, // census agg + output order; release join broadcasts
     "q_oov_rate"        -> 5, // (term,lang) agg + distinct + df agg + lang agg + order
     "q_dup_ngram_coverage" -> 4, // shingle-df agg + per-doc agg + source agg + order
-    "q_mixture_resample" -> 4  // source census ×2 consumers + kept agg + order
+    "q_mixture_resample" -> 4, // source census ×2 consumers + kept agg + order
+    "q21_blame_supplier" -> 5, // (order,supp) agg + per-order rollup + blame agg + order; join side
+    "q_price_position"  -> 2, // one brand window exchange + output order
+    "q_rank_propagation" -> 8  // 2 degree aggs + 4 propagation rounds + final agg/order over postings
   )
 
   budgets.foreach { case (name, budget) =>
