@@ -58,6 +58,12 @@ object SparkEntry {
     // oracle computes postings over the modified corpus: hash match proves
     // upsert ≡ rebuild (the reference's re-index, minus its duplication bug)
     "q_index_upsert"   -> ((s, d) => Indexer.upsertRoundTrip(s, d)),
+    // copy-on-write snapshot versioning: commit the index as snapshot v1,
+    // upsert doc 0 as snapshot v2, then fingerprint BOTH snapshots read
+    // through their manifests — the oracle computes v1 stats over the
+    // ORIGINAL corpus, so a hash match proves time travel still serves the
+    // pre-upsert answer bit-for-bit after the write
+    "q_snapshot_timetravel" -> ((s, d) => Snapshots.timetravelRoundTrip(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -334,6 +340,39 @@ object SparkEntry {
       s"""$upsertPostingsCte
          |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
          |FROM postings ORDER BY term, doc_id""".stripMargin,
+    // v1 stats over the ORIGINAL corpus, v2 over the amended one — the
+    // engine answers both from manifests after the copy-on-write upsert
+    "q_snapshot_timetravel" ->
+      s"""$postingsCte, docs0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id = 0 THEN text || ' graftmarker'
+         |              ELSE text END AS text
+         |  FROM documents
+         |), toks2 AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(string_split(lower(text), ' '),
+         |                     w -> regexp_replace(w, '[^a-z]', '', 'g')),
+         |                     w -> w <> '') AS ts
+         |  FROM docs0
+         |), flat2 AS (
+         |  SELECT doc_id, unnest(ts) AS term FROM toks2
+         |), postings2 AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM flat2 GROUP BY term, doc_id
+         |)
+         |SELECT * FROM (
+         |  SELECT 'v1' AS version, count(*) AS n_postings,
+         |         count(DISTINCT term) AS n_terms,
+         |         CAST(sum(tf) AS BIGINT) AS total_tf,
+         |         CAST(sum(CASE WHEN term = 'graftmarker' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS marker_postings
+         |  FROM postings
+         |  UNION ALL
+         |  SELECT 'v2', count(*), count(DISTINCT term),
+         |         CAST(sum(tf) AS BIGINT),
+         |         CAST(sum(CASE WHEN term = 'graftmarker' THEN 1 ELSE 0 END)
+         |              AS BIGINT)
+         |  FROM postings2)
+         |ORDER BY version""".stripMargin,
     "q_term_lookup" ->
       s"""$postingsCte
          |SELECT term, doc_id, tf FROM postings WHERE term = 'the'

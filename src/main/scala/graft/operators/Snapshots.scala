@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Copy-on-write SNAPSHOT versioning for the materialized index — the
+  * table-format metadata idea (immutable data files + a tiny manifest per
+  * snapshot) scaled down to its essence. Each snapshot is a manifest
+  * mapping every letter partition to the VERSION DIRECTORY that last
+  * rewrote it; an upsert writes only the affected letters into a fresh
+  * version directory and a new manifest that keeps referencing untouched
+  * letters from the previous version. Nothing is ever overwritten in
+  * place, so every older snapshot stays exactly readable after any number
+  * of upserts — the isolation property the reference's `a+` append files
+  * (`/root/reference/helper_reduce.c:241`) can never give, and the reason
+  * real lakehouse tables separate data from metadata.
+  *
+  * At 100 TB the manifest is KBs (one row per partition per snapshot)
+  * while the data is immutable parquet — time travel costs one metadata
+  * read, never a data copy; expiring a snapshot is deleting the version
+  * directories no surviving manifest references.
+  */
+object Snapshots {
+
+  /** letter → version-dir name (relative to the table root). */
+  private type Manifest = Map[String, String]
+
+  private def manifestPath(root: String, v: Int) =
+    Paths.get(root, s"manifest_v$v.tsv")
+
+  private def writeManifest(root: String, v: Int, m: Manifest): Unit = {
+    val lines = m.toSeq.sorted.map { case (letter, dir) => s"$letter\t$dir" }
+    Files.write(manifestPath(root, v), lines.asJava)
+    ()
+  }
+
+  private[graft] def readManifest(root: String, v: Int): Manifest =
+    Files.readAllLines(manifestPath(root, v)).asScala
+      .map { l => val Array(letter, dir) = l.split("\t"); letter -> dir }
+      .toMap
+
+  /** Serve a snapshot: group the manifest's letters by owning version
+    * directory, read each directory restricted to ITS letters (basePath
+    * keeps the partition column), and union. The plan only ever lists the
+    * files the manifest names — a letter rewritten by a later version is
+    * invisible to an earlier snapshot.
+    */
+  def readSnapshot(spark: SparkSession, root: String, v: Int): DataFrame =
+    readManifest(root, v)
+      .groupBy { case (_, dir) => dir }
+      .map { case (dir, letters) =>
+        val base = new File(root, dir).getAbsolutePath
+        val paths = letters.keys.toSeq.sorted
+          .map(l => s"$base/first_letter=$l")
+        spark.read.option("basePath", base).parquet(paths: _*)
+          .select(col("first_letter").cast("string").as("first_letter"),
+            col("term"), col("doc_id"), col("tf"))
+      }
+      .reduce(_.unionByName(_))
+
+  /** Snapshot v1: the full index build, every letter owned by `v1/`. */
+  private[graft] def commitV1(spark: SparkSession, sfDir: String, root: String): Unit = {
+    Indexer.writeIndex(spark, sfDir, new File(root, "v1").getAbsolutePath)
+    val letters = spark.read.parquet(new File(root, "v1").getAbsolutePath)
+      .select(col("first_letter").cast("string")).distinct()
+      .collect().map(_.getString(0)) // ≤ 26 rows — this IS the metadata
+    writeManifest(root, 1, letters.map(_ -> "v1").toMap)
+  }
+
+  /** Snapshot v2: copy-on-write upsert. Affected letters (any letter
+    * holding the updated docs' old or new terms) are merged and written
+    * under `v2/`; the v2 manifest points affected letters at v2 and every
+    * other letter at its v1 files, which are never touched.
+    */
+  private[graft] def commitUpsertV2(spark: SparkSession, sfDir: String, root: String,
+                                    updatedDocs: DataFrame): Unit = {
+    val v1 = readSnapshot(spark, root, 1)
+    val newPostings = updatedDocs
+      .select(col("doc_id"), graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("first_letter", graft.functions.TextFunctions.firstLetter(col("term")))
+      .select("first_letter", "term", "doc_id", "tf")
+    val docIds = updatedDocs.select("doc_id").distinct()
+    val affected = newPostings.select("first_letter")
+      .union(v1.join(docIds, "doc_id").select("first_letter"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val merged = v1
+      .filter(col("first_letter").isin(affected.toSeq: _*))
+      .join(docIds, Seq("doc_id"), "left_anti")
+      .select("first_letter", "term", "doc_id", "tf")
+      .unionByName(newPostings)
+      .repartition(Indexer.letterShardKeys: _*)
+      .sortWithinPartitions("term", "doc_id")
+    merged.write.mode("overwrite")
+      .partitionBy("first_letter")
+      .parquet(new File(root, "v2").getAbsolutePath)
+    val v1Manifest = readManifest(root, 1)
+    // letters whose postings all belonged to the updated docs write no v2
+    // files — they leave the manifest entirely (the snapshot simply has no
+    // such letter), mirroring upsertIntoIndex's stale-partition cleanup
+    val written = spark.read
+      .parquet(new File(root, "v2").getAbsolutePath)
+      .select(col("first_letter").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    writeManifest(root, 2,
+      (v1Manifest -- affected) ++ written.map(_ -> "v2").toMap)
+  }
+
+  private def snapshotStats(df: DataFrame, version: String): DataFrame =
+    df.agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("total_tf"),
+        sum(when(col("term") === "graftmarker", 1L).otherwise(0L))
+          .as("marker_postings"))
+      .select(lit(version).as("version"), col("n_postings"), col("n_terms"),
+        col("total_tf"), col("marker_postings"))
+
+  private val scratch = new graft.util.ScratchSlot
+
+  /** The snapshot lifecycle as one oracle-checkable query: commit the
+    * corpus as snapshot v1, upsert document 0's amended text as
+    * copy-on-write snapshot v2, then read BOTH snapshots through their
+    * manifests and fingerprint each. The oracle computes v1's stats over
+    * the original corpus and v2's over the amended corpus directly, so a
+    * hash match proves time travel serves the v1 answer bit-for-bit AFTER
+    * the upsert — old snapshots survive writes untouched.
+    */
+  def timetravelRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    scratch.retire()
+    val root = Files.createTempDirectory("graft_snapshots_").toFile.getAbsolutePath
+    scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
+    commitV1(spark, sfDir, root)
+    val updated = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0)
+      .withColumn("text", concat(col("text"), lit(" graftmarker")))
+    commitUpsertV2(spark, sfDir, root, updated)
+    snapshotStats(readSnapshot(spark, root, 1), "v1")
+      .unionByName(snapshotStats(readSnapshot(spark, root, 2), "v2"))
+      .orderBy("version")
+  }
+}
