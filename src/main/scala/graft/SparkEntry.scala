@@ -197,6 +197,16 @@ object SparkEntry {
     "q13_order_counts" -> ((s, d) => Relational.customerOrderDistribution(s, d)),
     // TPC-H Q17 shape: correlated per-part average, exact-decimal cut
     "q17_small_qty"    -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    // TPC-H Q2 shape: argmin join — cheapest regional supplier per part
+    "q2_min_cost_supp" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    // TPC-H Q11 shape: HAVING vs scalar subquery, scale-free threshold
+    "q11_important_parts" -> ((s, d) => Relational.importantParts(s, d)),
+    // TPC-H Q12 shape: two-bucket CASE pivot over an orderkey join
+    "q12_late_priority" -> ((s, d) => Relational.latePriorityPivot(s, d)),
+    // TPC-H Q16 shape: distinct-supplier counts minus an excluded set
+    "q16_supp_diversity" -> ((s, d) => Relational.partSupplierDiversity(s, d)),
+    // TPC-H Q20 shape: nested correlated quantity threshold → semi join
+    "q20_dominant_supp" -> ((s, d) => Relational.dominantSuppliers(s, d)),
     // TPC-H Q21 shape: sole-blame lateness via one per-order rollup
     "q21_blame_supplier" -> ((s, d) => Relational.blameSuppliers(s, d)),
     // TPC-H Q22 shape: above-average balance + anti join, by nation
@@ -1541,6 +1551,93 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM brand_lines JOIN per_part ON l_partkey = ap_key
         |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_lines < qty_sum""".stripMargin,
+    // Q2 shape: per-part min cost aggregated once, equality-joined back;
+    // (p_partkey, s_name) unique in offers so the ORDER BY is total
+    "q2_min_cost_supp" ->
+      """WITH region_supp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+        |  FROM lineitem JOIN region_supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |best AS (
+        |  SELECT l_partkey AS bc_key, min(cost) AS best_cost
+        |  FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       CAST(cost AS DOUBLE) AS cost
+        |FROM offers
+        |JOIN best ON l_partkey = bc_key AND cost = best_cost
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin,
+    // Q11 shape: per-part value vs 2× the mean share of the same relation
+    // — decimal × integer on both sides keeps the inequality exact
+    "q11_important_parts" ->
+      """WITH nat_value AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(l_quantity AS DECIMAL(12,2))) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_19'
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(value) AS grand_total, count(*) AS n_parts
+        |  FROM nat_value)
+        |SELECT l_partkey AS p_key, CAST(value AS DOUBLE) AS value
+        |FROM nat_value, tot
+        |WHERE value * n_parts > grand_total * 2
+        |ORDER BY value DESC, p_key""".stripMargin,
+    // Q12 shape: late 1997 lines, critical vs other priorities per flag
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1997
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q16 shape: distinct suppliers per part class, NOT IN the
+    // low-balance exclusion set
+    "q16_supp_diversity" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20 shape: per-(part,supplier) 1996 PROMO quantity vs half the
+    // part's total — qualifying suppliers via IN (semi join)
+    "q20_dominant_supp" ->
+      """WITH per_ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey AS pp_key, sum(sq) AS total_q
+        |  FROM per_ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM per_ps
+        |  JOIN per_part ON l_partkey = pp_key
+        |  WHERE sq * 2 > total_q)
+        |ORDER BY s_suppkey""".stripMargin,
     // Q21 shape: lateness flags per (order, supplier), one per-order
     // rollup, exact integer sole-blame test — numwait ties broken by key
     "q21_blame_supplier" ->

@@ -540,6 +540,147 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** TPC-H Q2 shape — cheapest supplier per part (argmin join). The
+    * part⋈supplier cost relation here is derived from lineitem (the
+    * corpus has no partsupp table): a supplier's offer price for a part is
+    * the MIN extendedprice it ever shipped that part at, restricted to one
+    * region through the supplier→nation→region dimension chain. The
+    * textbook correlated `ps_supplycost = (SELECT min ...)` becomes a
+    * per-part min aggregated once and equality-joined back — the argmin
+    * rides the same partkey shuffle as the offers themselves. Ordering is
+    * total (acctbal desc, then both keys), so LIMIT is deterministic.
+    */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val regionSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    // one explicit partkey exchange clusters BOTH the offers aggregation
+    // and the per-part min window (argmin-via-window reads the offers
+    // relation once — the groupBy+join-back form would recompute it and
+    // reshuffle each level); supplier is NOT broadcast: it scales with SF
+    val offers = Tables.lineitem(spark, sfDir)
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    offers
+      .withColumn("best_cost",
+        min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost") === col("best_cost"))
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "STANDARD"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost").cast("double").as("cost"))
+      .orderBy(desc("s_acctbal"), col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape — "important" parts: those holding an above-average
+    * share of one nation's shipped value. The textbook HAVING-vs-scalar-
+    * subquery is the per-part value aggregation plus a 1-row grand total
+    * (sum + part count from the SAME relation) cross-joined back — the
+    * threshold `value · n_parts > 2 · total` (share > 2× the mean) is
+    * scale-free, so the query stays non-degenerate at every SF, and exact:
+    * decimal times integer on both sides of the inequality.
+    */
+  def importantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val natValue = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_19")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("value"))
+    val total = natValue.agg(sum(col("value")).as("grand_total"),
+      count(lit(1)).as("n_parts"))
+    natValue.crossJoin(broadcast(total))
+      .filter(col("value") * col("n_parts") > col("grand_total") * 2)
+      .select(col("l_partkey").as("p_key"), col("value").cast("double").as("value"))
+      .orderBy(desc("value"), col("p_key"))
+  }
+
+  /** TPC-H Q16 shape — supplier diversity per part class, excluding a
+    * subquery-defined supplier set. The partsupp relation is the DISTINCT
+    * (part, supplier) pairs observed in lineitem; the exclusion (Q16's
+    * "complaints" suppliers, a static predicate on the supplier table —
+    * here low account balance) is applied as a LEFT ANTI join (the NOT IN
+    * of the textbook form without its NULL trap). countDistinct rides the
+    * (brand, type, size) shuffle; both dimension sides broadcast.
+    */
+  def partSupplierDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val complained = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 2000)
+      .select(col("s_suppkey").as("bad_supp"))
+    li.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(complained), col("l_suppkey") === col("bad_supp"), "left_anti")
+      .join(Tables.part(spark, sfDir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape — suppliers who dominated a part's volume: shipped
+    * MORE THAN HALF of some PROMO part's 1996 quantity. The nested
+    * correlated subqueries (availqty vs half the part's demand) become a
+    * per-(part,supplier) quantity rollup, a per-part total over the same
+    * relation, and the exact decimal test `2·sq > total_q`; qualifying
+    * pairs then pick the supplier dimension via LEFT SEMI join (EXISTS, so
+    * a supplier dominating several parts still appears once). Quantities
+    * are summed in DECIMAL — double sums would be addend-order-dependent
+    * and could flip the strict inequality at the boundary.
+    */
+  def dominantSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // one explicit partkey exchange feeds BOTH aggregation levels and the
+    // join back (HashPartitioning(partkey) clusters (partkey, suppkey)
+    // too), so the threshold costs one shuffle of the filtered fact, not
+    // three — and the qualifying pairs are a broadcast-sized semi side
+    val perPS = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+    val perPart = perPS.groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(col("sq")).as("total_q"))
+    val dominant = perPS
+      .join(perPart, col("l_partkey") === col("pp_key"))
+      .filter(col("sq") * 2 > col("total_q"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q12 shape — the two-bucket CASE pivot: per return flag, how
+    * many severely late 1997 lines carried critical vs non-critical order
+    * priorities (the corpus has no shipmode/commitdate columns, so the
+    * flag plays the mode and "late" is shipped > 60 days after ordering).
+    * One orderkey-shuffle join, then both conditional sums ride a single
+    * returnflag aggregation — the same plan Q12's CASE pair compiles to.
+    */
+  def latePriorityPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val critical = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("l_shipdate")) === 1997 &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -64,7 +64,12 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_mixture_resample" -> 4, // source census ×2 consumers + kept agg + order
     "q21_blame_supplier" -> 5, // (order,supp) agg + per-order rollup + blame agg + order; join side
     "q_price_position"  -> 2, // one brand window exchange + output order
-    "q_rank_propagation" -> 8  // 2 degree aggs + 4 propagation rounds + final agg/order over postings
+    "q_rank_propagation" -> 8, // 2 degree aggs + 4 propagation rounds + final agg/order over postings
+    "q2_min_cost_supp"  -> 5, // suppkey join sides + ONE partkey exchange (agg + argmin window) + order
+    "q11_important_parts" -> 4, // per-part value agg + 1-row total + threshold + order
+    "q12_late_priority" -> 4, // orderkey join sides + flag agg + order
+    "q16_supp_diversity" -> 5, // (part,supp) distinct + class agg expand + order; exclusion broadcasts
+    "q20_dominant_supp" -> 3  // ONE partkey exchange (×2 DAG consumers) feeds both agg levels + join; order
   )
 
   budgets.foreach { case (name, budget) =>
