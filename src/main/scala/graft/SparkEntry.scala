@@ -64,6 +64,12 @@ object SparkEntry {
     // ORIGINAL corpus, so a hash match proves time travel still serves the
     // pre-upsert answer bit-for-bit after the write
     "q_snapshot_timetravel" -> ((s, d) => Snapshots.timetravelRoundTrip(s, d)),
+    // change data feed between snapshots: the exact rows an upsert added/
+    // removed, answered from the two manifests — oracle diffs the corpora
+    "q_snapshot_changes" -> ((s, d) => Snapshots.snapshotChanges(s, d)),
+    // incremental view maintenance: materialized partial states + delta
+    // merge — oracle recomputes the rollup from scratch (incremental ≡ full)
+    "q_ivm_rollup" -> ((s, d) => Incremental.incrementalRollup(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -1551,6 +1557,44 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM brand_lines JOIN per_part ON l_partkey = ap_key
         |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_lines < qty_sum""".stripMargin,
+    // snapshot CDF: postings diff of the original vs amended corpus (doc 0
+    // gains doc 1's text); set EXCEPT is safe — (term, doc_id) is a key
+    "q_snapshot_changes" ->
+      s"""$postingsCte, docs0 AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id = 0 THEN d.text || ' ' ||
+         |              (SELECT text FROM documents WHERE doc_id = 1)
+         |              ELSE d.text END AS text
+         |  FROM documents d
+         |), toks2 AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(string_split(lower(text), ' '),
+         |                     w -> regexp_replace(w, '[^a-z]', '', 'g')),
+         |                     w -> w <> '') AS ts
+         |  FROM docs0
+         |), flat2 AS (
+         |  SELECT doc_id, unnest(ts) AS term FROM toks2
+         |), postings2 AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM flat2 GROUP BY term, doc_id
+         |), added AS (
+         |  SELECT term, doc_id, tf FROM postings2
+         |  EXCEPT SELECT term, doc_id, tf FROM postings
+         |), removed AS (
+         |  SELECT term, doc_id, tf FROM postings
+         |  EXCEPT SELECT term, doc_id, tf FROM postings2
+         |)
+         |SELECT * FROM (
+         |  SELECT 'add' AS change, term, doc_id, tf FROM added
+         |  UNION ALL
+         |  SELECT 'remove', term, doc_id, tf FROM removed)
+         |ORDER BY change, term, doc_id""".stripMargin,
+    // incremental ≡ full: the oracle recomputes the whole rollup; the
+    // engine merged a materialized base with a delta aggregation
+    "q_ivm_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // Q2 shape: per-part min cost aggregated once, equality-joined back;
     // (p_partkey, s_name) unique in offers so the ORDER BY is total
     "q2_min_cost_supp" ->

@@ -74,14 +74,22 @@ object Snapshots {
     writeManifest(root, 1, letters.map(_ -> "v1").toMap)
   }
 
-  /** Snapshot v2: copy-on-write upsert. Affected letters (any letter
-    * holding the updated docs' old or new terms) are merged and written
-    * under `v2/`; the v2 manifest points affected letters at v2 and every
-    * other letter at its v1 files, which are never touched.
-    */
+  /** Snapshot v2: copy-on-write upsert of [[commitV1]]'s snapshot. */
   private[graft] def commitUpsertV2(spark: SparkSession, sfDir: String, root: String,
-                                    updatedDocs: DataFrame): Unit = {
-    val v1 = readSnapshot(spark, root, 1)
+                                    updatedDocs: DataFrame): Unit =
+    commitUpsert(spark, root, 1, 2, updatedDocs)
+
+  /** Copy-on-write upsert from snapshot `fromV` to snapshot `toV`.
+    * Affected letters (any letter holding the updated docs' old or new
+    * terms) are merged and written under `v$toV/`; the new manifest points
+    * affected letters at the new version directory and every other letter
+    * at whatever version `fromV`'s manifest already referenced — files are
+    * never touched in place, so every older snapshot stays readable.
+    */
+  private[graft] def commitUpsert(spark: SparkSession, root: String,
+                                  fromV: Int, toV: Int,
+                                  updatedDocs: DataFrame): Unit = {
+    val v1 = readSnapshot(spark, root, fromV)
     val newPostings = updatedDocs
       .select(col("doc_id"), graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
       .groupBy(col("term"), col("doc_id"))
@@ -101,17 +109,38 @@ object Snapshots {
       .sortWithinPartitions("term", "doc_id")
     merged.write.mode("overwrite")
       .partitionBy("first_letter")
-      .parquet(new File(root, "v2").getAbsolutePath)
-    val v1Manifest = readManifest(root, 1)
-    // letters whose postings all belonged to the updated docs write no v2
+      .parquet(new File(root, s"v$toV").getAbsolutePath)
+    val fromManifest = readManifest(root, fromV)
+    // letters whose postings all belonged to the updated docs write no new
     // files — they leave the manifest entirely (the snapshot simply has no
     // such letter), mirroring upsertIntoIndex's stale-partition cleanup
     val written = spark.read
-      .parquet(new File(root, "v2").getAbsolutePath)
+      .parquet(new File(root, s"v$toV").getAbsolutePath)
       .select(col("first_letter").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
-    writeManifest(root, 2,
-      (v1Manifest -- affected) ++ written.map(_ -> "v2").toMap)
+    writeManifest(root, toV,
+      (fromManifest -- affected) ++ written.map(_ -> s"v$toV").toMap)
+  }
+
+  /** Expire snapshots: drop the named manifests, then delete every version
+    * directory no SURVIVING manifest references. This is the whole cost of
+    * retention at 100 TB — manifest deletes are metadata-priced, and data
+    * deletion is exactly the set difference of directory references, so a
+    * version directory an active snapshot still points into (e.g. v1
+    * files a later manifest kept for untouched letters) survives.
+    */
+  private[graft] def expireSnapshots(root: String, versions: Set[Int]): Unit = {
+    versions.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    val surviving = Option(new File(root).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith("manifest_v") && f.getName.endsWith(".tsv"))
+      .map(f => f.getName.stripPrefix("manifest_v").stripSuffix(".tsv").toInt)
+    val referenced = surviving.flatMap(v => readManifest(root, v).values).toSet
+    Option(new File(root).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        !referenced.contains(f.getName))
+      .foreach(f => graft.util.Scratch.deleteRecursively(f.toPath))
   }
 
   private def snapshotStats(df: DataFrame, version: String): DataFrame =
@@ -124,6 +153,36 @@ object Snapshots {
         col("total_tf"), col("marker_postings"))
 
   private val scratch = new graft.util.ScratchSlot
+  private val changesScratch = new graft.util.ScratchSlot
+
+  /** Change data feed between two snapshots: the exact postings rows an
+    * upsert added and removed, computed purely from the two manifests'
+    * reads — the consumer-side primitive incremental downstream pipelines
+    * need (recompute only what changed, not the table). Doc 0's amendment
+    * appends doc 1's full text, so the delta spans many terms and letter
+    * partitions, and rows whose tf changed surface as one remove + one
+    * add. Set EXCEPT is safe here because (term, doc_id) is a key of the
+    * postings relation.
+    */
+  def snapshotChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    changesScratch.retire()
+    val root = Files.createTempDirectory("graft_snapcdf_").toFile.getAbsolutePath
+    changesScratch.defer(() => graft.util.Scratch.deleteRecursively(root))
+    commitV1(spark, sfDir, root)
+    val addendum = Tables.documents(spark, sfDir).filter(col("doc_id") === 1)
+      .select(col("text").as("added_text"))
+    val updated = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
+      .crossJoin(broadcast(addendum))
+      .withColumn("text", concat(col("text"), lit(" "), col("added_text")))
+      .drop("added_text")
+    commitUpsert(spark, root, 1, 2, updated)
+    val v1 = readSnapshot(spark, root, 1).select("term", "doc_id", "tf")
+    val v2 = readSnapshot(spark, root, 2).select("term", "doc_id", "tf")
+    v2.except(v1).withColumn("change", lit("add"))
+      .unionByName(v1.except(v2).withColumn("change", lit("remove")))
+      .select("change", "term", "doc_id", "tf")
+      .orderBy("change", "term", "doc_id")
+  }
 
   /** The snapshot lifecycle as one oracle-checkable query: commit the
     * corpus as snapshot v1, upsert document 0's amended text as

@@ -65,4 +65,35 @@ class SnapshotsSpec extends SparkTestBase {
       assert(v2Letters == m2.filter(_._2 == "v2").keySet)
     } finally graft.util.Scratch.deleteRecursively(root)
   }
+
+  test("expiry deletes exactly the version dirs no surviving manifest references") {
+    val root = Files.createTempDirectory("graft_snap_test_").toFile.getAbsolutePath
+    try {
+      def amend(suffix: String) =
+        Tables.documents(spark, sf)
+          .filter(col("doc_id") === 0)
+          .withColumn("text", concat(col("text"), lit(suffix)))
+      Snapshots.commitV1(spark, sf, root)
+      Snapshots.commitUpsert(spark, root, 1, 2, amend(" graftmarker"))
+      // append-only: v3's text contains v2's, so v3 rewrites every letter
+      // v2 owns and v2's directory becomes exclusive to snapshot 2
+      Snapshots.commitUpsert(spark, root, 2, 3, amend(" graftmarker graftqq"))
+      val v1Before = Snapshots.readSnapshot(spark, root, 1)
+        .orderBy("term", "doc_id").collect()
+      val v3Before = Snapshots.readSnapshot(spark, root, 3)
+        .orderBy("term", "doc_id").collect()
+
+      Snapshots.expireSnapshots(root, Set(2))
+
+      assert(!new java.io.File(root, "manifest_v2.tsv").exists())
+      assert(!new java.io.File(root, "v2").exists(),
+        "v2's directory was referenced by no surviving manifest but survived expiry")
+      assert(new java.io.File(root, "v1").exists(),
+        "v1's directory is still referenced (by snapshots 1 and 3) and must survive")
+      assert(Snapshots.readSnapshot(spark, root, 1)
+        .orderBy("term", "doc_id").collect().sameElements(v1Before))
+      assert(Snapshots.readSnapshot(spark, root, 3)
+        .orderBy("term", "doc_id").collect().sameElements(v3Before))
+    } finally graft.util.Scratch.deleteRecursively(root)
+  }
 }
