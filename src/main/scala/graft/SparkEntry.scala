@@ -70,6 +70,12 @@ object SparkEntry {
     // incremental view maintenance: materialized partial states + delta
     // merge — oracle recomputes the rollup from scratch (incremental ≡ full)
     "q_ivm_rollup" -> ((s, d) => Incremental.incrementalRollup(s, d)),
+    // two-sided delta-join maintenance: ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB merged into
+    // materialized state — oracle re-joins the full tables from scratch
+    "q_ivm_join" -> ((s, d) => Incremental.incrementalJoinView(s, d)),
+    // MOSS robust winnowing: rightmost-min fingerprint selection per
+    // sliding gram window, as one windowed min over a packed integer key
+    "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -1595,6 +1601,43 @@ object SparkEntry {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // incremental ≡ full for the join view too: the oracle joins the
+    // complete tables; the engine merged four delta terms
+    "q_ivm_join" ->
+      """SELECT o_orderstatus, year(l_shipdate) AS ship_year,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) -
+        |                 CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // robust winnowing, k=4 w=5: identical gram hash (base-31 fold of the
+    // rolling-fp token codes) and the same packed-key windowed min
+    "q_winnowing" ->
+      s"""WITH $toksCte, grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         (CAST(length(ts[i]) * 256 + ord(ts[i][1]) AS BIGINT) * 29791 +
+         |          CAST(length(ts[i+1]) * 256 + ord(ts[i+1][1]) AS BIGINT) * 961 +
+         |          CAST(length(ts[i+2]) * 256 + ord(ts[i+2][1]) AS BIGINT) * 31 +
+         |          CAST(length(ts[i+3]) * 256 + ord(ts[i+3][1]) AS BIGINT))
+         |         % 1000000007 AS h
+         |  FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+         |), wins AS (
+         |  SELECT doc_id, pos,
+         |         min(h * 1048576 + (1048575 - pos)) OVER (
+         |           PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS minkey
+         |  FROM grams
+         |), sel AS (
+         |  SELECT DISTINCT doc_id, n_grams, minkey
+         |  FROM wins JOIN sizes USING (doc_id)
+         |  WHERE pos <= n_grams - 5)
+         |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+         |       count(*) AS n_fingerprints,
+         |       CAST(sum(minkey // 1048576) % 1000000007 AS BIGINT) AS fp_checksum
+         |FROM sel GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // Q2 shape: per-part min cost aggregated once, equality-joined back;
     // (p_partkey, s_name) unique in offers so the ORDER BY is total
     "q2_min_cost_supp" ->

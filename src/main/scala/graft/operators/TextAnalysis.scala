@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -594,6 +594,49 @@ object TextAnalysis {
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
         round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
           col("n_sh").cast("double"), 6).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Robust winnowing (the MOSS fingerprint-selection algorithm): hash
+    * every token k-gram, slide a w-gram window, keep the RIGHTMOST minimal
+    * hash of each window, and report the distinct selections per doc.
+    * Guarantees every ≥(w+k−1)-token match between docs shares a selected
+    * fingerprint, at ~2/(w+1) of the grams stored — the density/recall
+    * tradeoff exact shingle sets can't make at 100 TB.
+    *
+    * Everything is exact integer arithmetic so both engines agree
+    * bit-for-bit: gram hash = base-31 fold of the rolling-fingerprint
+    * token codes (≤ 2^31 before the mod, no overflow), and the
+    * rightmost-min rule is ONE windowed min over the packed key
+    * `h·2^20 + (2^20−1−pos)` — lexicographic (hash asc, pos desc) without
+    * a struct ordering, so the whole selection rides a single doc_id
+    * exchange that the distinct and the final per-doc rollup reuse.
+    */
+  def winnowing(spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 5): DataFrame = {
+    val P = 1000000007L
+    def tcode(c: Column): Column = length(c).cast("long") * 256 + ascii(c)
+    val pow = Array.iterate(1L, k)(_ * 31).reverse // 31^(k-1) … 31^0
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("ts")) - k), i =>
+          (0 until k).map(j => tcode(element_at(col("ts"), i + j + 1)) * pow(j))
+            .reduce(_ + _) % P).as("gh"))
+      .select(col("doc_id"), size(col("gh")).as("n_grams"),
+        posexplode(col("gh")).as(Seq("pos", "h")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val selected = grams
+      .withColumn("minkey",
+        min(col("h") * 1048576L + (lit(1048575L) - col("pos"))).over(win))
+      .filter(col("pos") <= col("n_grams") - w) // full windows only
+      .select(col("doc_id"), col("n_grams"), col("minkey"))
+      .distinct()
+    selected
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        (sum(expr("minkey div 1048576")) % P).as("fp_checksum"))
       .orderBy("doc_id")
   }
 }

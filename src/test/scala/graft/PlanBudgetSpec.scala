@@ -69,7 +69,8 @@ class PlanBudgetSpec extends SparkTestBase {
     "q11_important_parts" -> 4, // per-part value agg + 1-row total + threshold + order
     "q12_late_priority" -> 4, // orderkey join sides + flag agg + order
     "q16_supp_diversity" -> 5, // (part,supp) distinct + class agg expand + order; exclusion broadcasts
-    "q20_dominant_supp" -> 3  // ONE partkey exchange (×2 DAG consumers) feeds both agg levels + join; order
+    "q20_dominant_supp" -> 3, // ONE partkey exchange (×2 DAG consumers) feeds both agg levels + join; order
+    "q_winnowing"       -> 3  // one doc_id exchange (window + distinct + rollup ride it) + order
   )
 
   budgets.foreach { case (name, budget) =>
