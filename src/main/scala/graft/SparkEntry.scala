@@ -76,6 +76,10 @@ object SparkEntry {
     // MOSS robust winnowing: rightmost-min fingerprint selection per
     // sliding gram window, as one windowed min over a packed integer key
     "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
+    // time-series gap fill: generated hour spine + carry-forward window
+    "q_gap_fill" -> ((s, d) => Events.gapFillHourly(s, d)),
+    // ANALYZE-style exact column stats in one scan, unpivoted via stack
+    "q_table_profile" -> ((s, d) => Relational.tableProfile(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -1638,6 +1642,57 @@ object SparkEntry {
          |       count(*) AS n_fingerprints,
          |       CAST(sum(minkey // 1048576) % 1000000007 AS BIGINT) AS fp_checksum
          |FROM sel GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // gap fill: DuckDB generates the same spine and carries the same
+    // last-observed decimal forward (unique (type, hour) ordering)
+    "q_gap_fill" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type AS ct,
+        |         count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(14,2))) AS hour_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT t.hour_ts, e.event_type
+        |  FROM bounds,
+        |       unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(hour_ts),
+        |       (SELECT DISTINCT event_type FROM events) e),
+        |filled AS (
+        |  SELECT s.hour_ts, s.event_type, c.n, c.hour_value
+        |  FROM spine s LEFT JOIN counts c
+        |    ON s.hour_ts = c.hour_ts AND s.event_type = c.ct)
+        |SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |       COALESCE(n, 0) AS n,
+        |       CAST(COALESCE(last_value(hour_value IGNORE NULLS) OVER (
+        |              PARTITION BY event_type ORDER BY hour_ts
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |            0) AS DOUBLE) AS carried_value
+        |FROM filled ORDER BY event_type, hour""".stripMargin,
+    // one-scan exact column stats, one row per column
+    "q_table_profile" ->
+      """SELECT 'l_quantity' AS col_name,
+        |       CAST(min(l_quantity) AS DOUBLE) AS min_v,
+        |       CAST(max(l_quantity) AS DOUBLE) AS max_v,
+        |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       count(DISTINCT l_quantity) AS n_distinct
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice',
+        |       CAST(min(l_extendedprice) AS DOUBLE),
+        |       CAST(max(l_extendedprice) AS DOUBLE),
+        |       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT l_extendedprice)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount',
+        |       CAST(min(l_discount) AS DOUBLE),
+        |       CAST(max(l_discount) AS DOUBLE),
+        |       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT l_discount)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
     // Q2 shape: per-part min cost aggregated once, equality-joined back;
     // (p_partkey, s_name) unique in offers so the ORDER BY is total
     "q2_min_cost_supp" ->

@@ -228,4 +228,43 @@ object Events {
         max(unix_millis(col("ts"))).as("last_ms"))
       .orderBy(desc("n_events"), col("user_id"))
       .limit(5)
+
+  /** Time-series gap fill: a complete hour spine per event type (derived
+    * from the corpus' own min/max hour, so it needs no parameters), LEFT
+    * joined to the hourly rollup; missing hours get n = 0 and CARRY THE
+    * LAST OBSERVED total forward (`last(..., ignoreNulls)` over an
+    * unbounded-preceding frame — deterministic because (type, hour) is
+    * unique). The spine is generated, never scanned: sequence+explode of
+    * ~720 hours × |types| rows, broadcast against the aggregated facts —
+    * at 100 TB the dense output stays dimension-sized while the fact scan
+    * happens once in the rollup.
+    */
+  def gapFillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type").as("ct"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("hour_value"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    val filled = spine
+      .join(counts, spine("hour_ts") === counts("hour_ts") &&
+        col("event_type") === col("ct"), "left")
+      .select(spine("hour_ts"), col("event_type"), col("n"), col("hour_value"))
+    val carry = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .select(
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(last(col("hour_value"), ignoreNulls = true).over(carry),
+          lit(0).cast("decimal(24,2)")).cast("double").as("carried_value"))
+      .orderBy("event_type", "hour")
+  }
 }

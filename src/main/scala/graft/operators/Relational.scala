@@ -681,6 +681,32 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ANALYZE-style exact column profile — the statistics a cost-based
+    * optimizer collects (min/max/null-count/NDV per column), computed in
+    * ONE scan: all twelve aggregates ride a single pass and the wide
+    * 1-row result is unpivoted with `stack` into one row per column. The
+    * three exact countDistincts expand the scan 3× (Spark's
+    * distinct-aggregate rewrite); the sketch-based alternative for
+    * wider profiles is [[IndexQueries.vocabApprox]]'s HLL path.
+    */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"))
+    }
+    Tables.lineitem(spark, sfDir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', ${c}_min, ${c}_max, ${c}_nulls, ${c}_ndv")
+          .mkString(", ") +
+        ") AS (col_name, min_v, max_v, n_nulls, n_distinct)")
+      .orderBy("col_name")
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -70,7 +70,9 @@ class PlanBudgetSpec extends SparkTestBase {
     "q12_late_priority" -> 4, // orderkey join sides + flag agg + order
     "q16_supp_diversity" -> 5, // (part,supp) distinct + class agg expand + order; exclusion broadcasts
     "q20_dominant_supp" -> 3, // ONE partkey exchange (×2 DAG consumers) feeds both agg levels + join; order
-    "q_winnowing"       -> 3  // one doc_id exchange (window + distinct + rollup ride it) + order
+    "q_winnowing"       -> 3, // one doc_id exchange (window + distinct + rollup ride it) + order
+    "q_gap_fill"        -> 4, // hourly agg + type distinct + carry window + order; spine broadcasts
+    "q_table_profile"   -> 2  // ONE scan: distinct-agg expand + 1-row final; output is 3 rows
   )
 
   budgets.foreach { case (name, budget) =>
