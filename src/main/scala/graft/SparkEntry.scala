@@ -80,6 +80,10 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) => Events.gapFillHourly(s, d)),
     // ANALYZE-style exact column stats in one scan, unpivoted via stack
     "q_table_profile" -> ((s, d) => Relational.tableProfile(s, d)),
+    // anti-entropy: order-invariant per-letter checksums of the index
+    "q_partition_checksums" -> ((s, d) => IndexQueries.partitionChecksums(s, d)),
+    // first-seen shingle novelty: marginal contribution per document
+    "q_novelty" -> ((s, d) => TextAnalysis.noveltyScore(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -1642,6 +1646,29 @@ object SparkEntry {
          |       count(*) AS n_fingerprints,
          |       CAST(sum(minkey // 1048576) % 1000000007 AS BIGINT) AS fp_checksum
          |FROM sel GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // per-letter integrity checksums: per-row polynomial hash mod 1e9+7,
+    // summed order-independently — identical fold on both engines
+    "q_partition_checksums" ->
+      s"""$postingsCte
+         |SELECT substr(term, 1, 1) AS first_letter, count(*) AS n_rows,
+         |       CAST(sum((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(range(1, length(term) + 1),
+         |                               i -> CAST(ord(term[i]) AS BIGINT))),
+         |              (acc, t) -> (acc * 31 + t) % 1000000007) * 1000003
+         |              + doc_id * 31 + tf) % 1000000007)
+         |            % 1000000007 AS BIGINT) AS checksum
+         |FROM postings GROUP BY 1 ORDER BY 1""".stripMargin,
+    // novelty: shingle's first teller = min doc_id over the same relation
+    "q_novelty" ->
+      s"""$shingleCte, first_seen AS (
+         |  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       round(CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 6) AS novelty_ratio
+         |FROM sh s JOIN first_seen f ON s.sh = f.sh
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // gap fill: DuckDB generates the same spine and carries the same
     // last-observed decimal forward (unique (type, hour) ordering)
     "q_gap_fill" ->

@@ -275,6 +275,29 @@ object IndexQueries {
         col("n_exact"))
   }
 
+  /** Per-partition integrity checksums of the materialized index — the
+    * anti-entropy primitive for replicated serving: two replicas compare
+    * one (n_rows, checksum) pair per letter partition instead of shipping
+    * postings, and only a partition whose pair diverges is re-synced. The
+    * checksum is an order-independent SUM of per-row polynomial hashes in
+    * exact integer arithmetic mod 1e9+7, so it is partitioning- and
+    * execution-order-invariant and both engines agree bit-for-bit.
+    */
+  def partitionChecksums(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 1000000007L
+    spark.read.parquet(MaterializedIndex.ensure(spark, sfDir))
+      .select(col("first_letter").cast("string").as("first_letter"),
+        col("term"), col("doc_id"), col("tf"))
+      .withColumn("termh", expr(
+        "aggregate(sequence(1, length(term)), 0L, " +
+          "(acc, i) -> (acc * 31 + ascii(substr(term, i, 1))) % 1000000007)"))
+      .withColumn("rowh",
+        (col("termh") * 1000003L + col("doc_id") * 31L + col("tf")) % P)
+      .groupBy("first_letter")
+      .agg(count(lit(1)).as("n_rows"), (sum(col("rowh")) % P).as("checksum"))
+      .orderBy("first_letter")
+  }
+
   /** Importance propagation over the inverted index as a PURE RELATIONAL
     * plan — two doc→term→doc rounds of degree-normalized rank flow over
     * the term↔doc bipartite graph (the centrality-style quality signal

@@ -612,6 +612,28 @@ object TextAnalysis {
     * a struct ordering, so the whole selection rides a single doc_id
     * exchange that the distinct and the final per-doc rollup reuse.
     */
+  /** First-seen novelty score — the marginal-contribution curation signal:
+    * what fraction of a document's shingles had never appeared in any
+    * earlier document (by doc_id order)? A near-copy of an earlier doc
+    * scores ~0, genuinely new content ~1, and ranking by the score orders
+    * the corpus by information added. One shingle-keyed aggregation (min
+    * doc_id = first teller) joined back to the materialized shingle
+    * relation, then a per-doc rollup — both rides are plain shuffles,
+    * linear in the shingle relation.
+    */
+  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleIndex(spark, sfDir)
+    val firstSeen = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ratio",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   def winnowing(spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = 1000000007L

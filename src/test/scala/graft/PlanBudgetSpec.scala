@@ -72,7 +72,9 @@ class PlanBudgetSpec extends SparkTestBase {
     "q20_dominant_supp" -> 3, // ONE partkey exchange (×2 DAG consumers) feeds both agg levels + join; order
     "q_winnowing"       -> 3, // one doc_id exchange (window + distinct + rollup ride it) + order
     "q_gap_fill"        -> 4, // hourly agg + type distinct + carry window + order; spine broadcasts
-    "q_table_profile"   -> 2  // ONE scan: distinct-agg expand + 1-row final; output is 3 rows
+    "q_table_profile"   -> 2, // ONE scan: distinct-agg expand + 1-row final; output is 3 rows
+    "q_partition_checksums" -> 2, // letter agg over the letter-partitioned scan + order
+    "q_novelty"         -> 3  // first-teller agg + per-doc rollup + order; shingle join rides
   )
 
   budgets.foreach { case (name, budget) =>
