@@ -84,6 +84,10 @@ object SparkEntry {
     "q_partition_checksums" -> ((s, d) => IndexQueries.partitionChecksums(s, d)),
     // first-seen shingle novelty: marginal contribution per document
     "q_novelty" -> ((s, d) => TextAnalysis.noveltyScore(s, d)),
+    // per-source quota cap: deterministic first-N admission per source
+    "q_quota_cap" -> ((s, d) => Sampling.quotaCap(s, d)),
+    // mergeable-sketch IVM: merged half-KMVs ≡ full-data KMV (exact oracle)
+    "q_ivm_sketch" -> ((s, d) => Incremental.incrementalDistinctSketch(s, d)),
     "q_term_lookup"    -> ((s, d) => Indexer.termLookup(s, d, "the")),
     "q_multi_term_and" -> ((s, d) => Indexer.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     // served from the MATERIALIZED letter-partitioned index (build-once/
@@ -1669,6 +1673,31 @@ object SparkEntry {
          |                  AS DOUBLE) / count(*), 6) AS novelty_ratio
          |FROM sh s JOIN first_seen f ON s.sh = f.sh
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // quota cap: identical row_number admission under a unique ordering
+    "q_quota_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         count(*) OVER (PARTITION BY source) AS n_docs,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, n_docs, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM ranked WHERE rn <= 20
+        |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    // the oracle sketches the FULL data directly — merging half-sketches
+    // must land on the identical k-min set
+    "q_ivm_sketch" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT (user_id * 2654435761) % 4294967291 AS h
+        |  FROM events),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS kth_min
+        |      FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM hs)
+        |SELECT k, kth_min,
+        |       CAST(floor((k - 1) * 4294967291.0 / kth_min + 0.5) AS BIGINT)
+        |         AS estimate,
+        |       n_exact
+        |FROM m, e""".stripMargin,
     // gap fill: DuckDB generates the same spine and carries the same
     // last-observed decimal forward (unique (type, hour) ordering)
     "q_gap_fill" ->

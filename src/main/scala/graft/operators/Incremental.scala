@@ -105,4 +105,44 @@ object Incremental {
         col("revenue_dec").cast("double").as("revenue"))
       .orderBy("o_orderstatus", "ship_year")
   }
+
+  private val kmvScratch = new graft.util.ScratchSlot
+
+  /** The countDistinct leg [[incrementalRollup]] excludes, done honestly:
+    * a KMV (k-minimum-values) sketch is MERGEABLE, and merging the k-min
+    * sets of two data halves yields exactly the global k-min set (any of
+    * the k globally smallest hashes is among its own half's k smallest).
+    * The old half's sketch is materialized, the new half's is computed
+    * live, and the merged estimate is provably identical to a sketch of
+    * the full data — which is what the DuckDB oracle computes directly.
+    * At 100 TB the refresh touches k rows of stored state plus the new
+    * partition; the full-data scan lives only in the oracle.
+    */
+  def incrementalDistinctSketch(spark: SparkSession, sfDir: String,
+                                k: Int = 64): DataFrame = {
+    kmvScratch.retire()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_kmv_")
+    kmvScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
+    val split = lit("2024-01-24 00:00:00").cast("timestamp")
+    val Mod = 4294967291L // largest prime < 2^32
+    def kmin(df: DataFrame): DataFrame =
+      df.select(((col("user_id") * 2654435761L) % Mod).as("h"))
+        .distinct().orderBy("h").limit(k)
+
+    val basePath = dir.resolve("kmv_state").toString
+    kmin(Tables.events(spark, sfDir).filter(col("ts") < split))
+      .write.mode("overwrite").parquet(basePath)
+
+    val merged = spark.read.parquet(basePath)
+      .unionByName(kmin(Tables.events(spark, sfDir).filter(col("ts") >= split)))
+      .distinct().orderBy("h").limit(k)
+    val allHashes = Tables.events(spark, sfDir)
+      .select(((col("user_id") * 2654435761L) % Mod).as("h")).distinct()
+    merged.agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
+      .crossJoin(allHashes.agg(count(lit(1)).as("n_exact")))
+      .select(col("k"), col("kth_min"),
+        floor(((col("k") - 1) * lit(Mod.toDouble)) / col("kth_min") + 0.5)
+          .cast("long").as("estimate"),
+        col("n_exact"))
+  }
 }

@@ -105,4 +105,26 @@ object Sampling {
         round(col("n_kept") * 100.0 / col("n_total"), 4))
       .orderBy("lang")
   }
+
+  /** Per-source quota cap — the anti-domination gate of web-corpus
+    * curation: no source contributes more than `cap` documents, admission
+    * ordered deterministically by doc_id (row_number over a unique
+    * ordering, so both engines keep the identical set — a sampled keep
+    * rule would not give the "first N" semantics a crawl-frontier quota
+    * has). The per-source total rides the SAME source-keyed exchange as
+    * the ranking window, so the cap costs one shuffle of doc METADATA —
+    * text never moves.
+    */
+  def quotaCap(spark: SparkSession, sfDir: String, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy("source")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("n_docs", count(lit(1)).over(bySource))
+      .withColumn("rn", row_number().over(bySource.orderBy("doc_id")))
+      .filter(col("rn") <= cap)
+      .groupBy(col("source"), col("n_docs"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy("source")
+  }
 }

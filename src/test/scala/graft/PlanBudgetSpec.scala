@@ -74,7 +74,8 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_gap_fill"        -> 4, // hourly agg + type distinct + carry window + order; spine broadcasts
     "q_table_profile"   -> 2, // ONE scan: distinct-agg expand + 1-row final; output is 3 rows
     "q_partition_checksums" -> 2, // letter agg over the letter-partitioned scan + order
-    "q_novelty"         -> 3  // first-teller agg + per-doc rollup + order; shingle join rides
+    "q_novelty"         -> 3, // first-teller agg + per-doc rollup + order; shingle join rides
+    "q_quota_cap"       -> 2  // ONE source exchange (count + rank windows + rollup) + order
   )
 
   budgets.foreach { case (name, budget) =>
