@@ -30,11 +30,12 @@ object Incremental {
     * stay long, values stay exact DECIMAL through both levels, so the
     * merged view hash-matches a from-scratch recompute.
     */
-  def incrementalRollup(spark: SparkSession, sfDir: String): DataFrame = {
+  def incrementalRollup(spark: SparkSession, sfDir: String,
+                        splitAt: String = "2024-01-24 00:00:00"): DataFrame = {
     scratch.retire()
     val dir = java.nio.file.Files.createTempDirectory("graft_ivm_rollup_")
     scratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
-    val split = lit("2024-01-24 00:00:00").cast("timestamp")
+    val split = lit(splitAt).cast("timestamp")
     def partial(df: DataFrame): DataFrame =
       df.groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -75,11 +76,12 @@ object Incremental {
     * tables from scratch; the hash match proves the algebra is exact
     * (counts long, revenue DECIMAL through every level).
     */
-  def incrementalJoinView(spark: SparkSession, sfDir: String): DataFrame = {
+  def incrementalJoinView(spark: SparkSession, sfDir: String,
+                          splitAt: String = "1998-01-01"): DataFrame = {
     joinScratch.retire()
     val dir = java.nio.file.Files.createTempDirectory("graft_ivm_join_")
     joinScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
-    val split = lit("1998-01-01").cast("timestamp")
+    val split = lit(splitAt).cast("timestamp")
     val rev = col("l_extendedprice").cast("decimal(12,2)") *
       (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
     def partial(orders: DataFrame, lineitem: DataFrame): DataFrame =
@@ -119,11 +121,12 @@ object Incremental {
     * partition; the full-data scan lives only in the oracle.
     */
   def incrementalDistinctSketch(spark: SparkSession, sfDir: String,
-                                k: Int = 64): DataFrame = {
+                                k: Int = 64,
+                                splitAt: String = "2024-01-24 00:00:00"): DataFrame = {
     kmvScratch.retire()
     val dir = java.nio.file.Files.createTempDirectory("graft_ivm_kmv_")
     kmvScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
-    val split = lit("2024-01-24 00:00:00").cast("timestamp")
+    val split = lit(splitAt).cast("timestamp")
     val Mod = 4294967291L // largest prime < 2^32
     def kmin(df: DataFrame): DataFrame =
       df.select(((col("user_id") * 2654435761L) % Mod).as("h"))
