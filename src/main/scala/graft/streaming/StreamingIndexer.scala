@@ -52,7 +52,8 @@ object StreamingIndexer {
     */
   private[streaming] def drainToTable(
       spark: SparkSession, sfDir: String, file: String,
-      prefix: String, slot: graft.util.ScratchSlot)
+      prefix: String, slot: graft.util.ScratchSlot,
+      mode: String = "complete") // append for joins — complete only fits aggregations
       (mkStream: String => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     slot.retire()
@@ -61,7 +62,7 @@ object StreamingIndexer {
       watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
     val table = s"graft_${prefix}_${runSeq.incrementAndGet()}"
     val q = mkStream(watch.toString).writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(table)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
