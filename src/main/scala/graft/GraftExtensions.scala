@@ -18,8 +18,11 @@ import graft.functions.CosineSimilarity
   *  - programmatic: [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // layout-aware partition-predicate injection for the index schema
+    ext.injectOptimizerRule(_ => graft.plans.LetterPruningRule)
+  }
 }
 
 object GraftExtensions {
