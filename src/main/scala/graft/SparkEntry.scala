@@ -76,6 +76,9 @@ object SparkEntry {
     // MOSS robust winnowing: rightmost-min fingerprint selection per
     // sliding gram window, as one windowed min over a packed integer key
     "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
+    // winnowing fingerprints in use: candidate near-dup pairs via shared
+    // rare fingerprints (df-cutoff bounds the self-join)
+    "q_winnow_pairs" -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     // time-series gap fill: generated hour spine + carry-forward window
     "q_gap_fill" -> ((s, d) => Events.gapFillHourly(s, d)),
     // ANALYZE-style exact column stats in one scan, unpivoted via stack
@@ -322,6 +325,32 @@ object SparkEntry {
       |), postings AS (
       |  SELECT term, doc_id, count(*) AS tf FROM flat GROUP BY term, doc_id
       |)""".stripMargin
+
+  /** Winnowing selection CTE (k=4, w=5): gram hashes, full-window packed
+    * minkeys, distinct rightmost-min selections — mirrors
+    * [[operators.TextAnalysis.winnowSelected]].
+    */
+  private val winnowCte =
+    s"""WITH $toksCte, grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         (CAST(length(ts[i]) * 256 + ord(ts[i][1]) AS BIGINT) * 29791 +
+       |          CAST(length(ts[i+1]) * 256 + ord(ts[i+1][1]) AS BIGINT) * 961 +
+       |          CAST(length(ts[i+2]) * 256 + ord(ts[i+2][1]) AS BIGINT) * 31 +
+       |          CAST(length(ts[i+3]) * 256 + ord(ts[i+3][1]) AS BIGINT))
+       |         % 1000000007 AS h
+       |  FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+       |), wins AS (
+       |  SELECT doc_id, pos,
+       |         min(h * 1048576 + (1048575 - pos)) OVER (
+       |           PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS minkey
+       |  FROM grams
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, n_grams, minkey
+       |  FROM wins JOIN sizes USING (doc_id)
+       |  WHERE pos <= n_grams - 5)""".stripMargin
 
   /** Word-3-gram distinct shingle CTE (mirrors TextFunctions.wordShingles). */
   private val shingleCte =
@@ -1631,30 +1660,23 @@ object SparkEntry {
     // robust winnowing, k=4 w=5: identical gram hash (base-31 fold of the
     // rolling-fp token codes) and the same packed-key windowed min
     "q_winnowing" ->
-      s"""WITH $toksCte, grams AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |         (CAST(length(ts[i]) * 256 + ord(ts[i][1]) AS BIGINT) * 29791 +
-         |          CAST(length(ts[i+1]) * 256 + ord(ts[i+1][1]) AS BIGINT) * 961 +
-         |          CAST(length(ts[i+2]) * 256 + ord(ts[i+2][1]) AS BIGINT) * 31 +
-         |          CAST(length(ts[i+3]) * 256 + ord(ts[i+3][1]) AS BIGINT))
-         |         % 1000000007 AS h
-         |  FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
-         |), wins AS (
-         |  SELECT doc_id, pos,
-         |         min(h * 1048576 + (1048575 - pos)) OVER (
-         |           PARTITION BY doc_id ORDER BY pos
-         |           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS minkey
-         |  FROM grams
-         |), sel AS (
-         |  SELECT DISTINCT doc_id, n_grams, minkey
-         |  FROM wins JOIN sizes USING (doc_id)
-         |  WHERE pos <= n_grams - 5)
+      s"""$winnowCte
          |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
          |       count(*) AS n_fingerprints,
          |       CAST(sum(minkey // 1048576) % 1000000007 AS BIGINT) AS fp_checksum
          |FROM sel GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // fingerprint-sharing candidate pairs, df-cutoff 10, >= 2 shared
+    "q_winnow_pairs" ->
+      s"""$winnowCte, sel2 AS (
+         |  SELECT DISTINCT doc_id, minkey // 1048576 AS fp FROM sel
+         |), rare AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM sel2 GROUP BY 1)
+         |  WHERE df <= 10
+         |), sr AS (SELECT doc_id, fp FROM sel2 JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM sr a JOIN sr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin,
     // per-letter integrity checksums: per-row polynomial hash mod 1e9+7,
     // summed order-independently — identical fold on both engines
     "q_partition_checksums" ->

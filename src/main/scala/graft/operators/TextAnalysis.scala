@@ -634,7 +634,12 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def winnowing(spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 5): DataFrame = {
+  /** The winnowing SELECTION (doc_id, n_grams, minkey) — shared by the
+    * per-doc fingerprint stats ([[winnowing]]) and the candidate-pair
+    * consumer ([[winnowPairs]]).
+    */
+  private def winnowSelected(spark: SparkSession, sfDir: String,
+                             k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = 1000000007L
     val pow = Array.iterate(1L, k)(_ * 31).reverse // 31^(k-1) … 31^0
@@ -656,7 +661,7 @@ object TextAnalysis {
           (if (j == 0) col("t") else lead(col("t"), j).over(byPos)) * pow(j))
           .reduce(_ + _) % P)
       .filter(col("h").isNotNull) // gram starts: pos 0 … n_tokens − k
-    val selected = grams
+    grams
       .withColumn("minkey",
         min(col("h") * 1048576L + (lit(1048575L) - col("pos")))
           .over(byPos.rowsBetween(0, w - 1)))
@@ -664,10 +669,40 @@ object TextAnalysis {
       .select(col("doc_id"),
         (col("n_tokens") - (k - 1)).cast("int").as("n_grams"), col("minkey"))
       .distinct()
-    selected
+  }
+
+  def winnowing(spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 5): DataFrame =
+    winnowSelected(spark, sfDir, k, w)
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_fingerprints"),
-        (sum(expr("minkey div 1048576")) % P).as("fp_checksum"))
+        (sum(expr("minkey div 1048576")) % 1000000007L).as("fp_checksum"))
       .orderBy("doc_id")
+
+  /** What the fingerprints are FOR — candidate near-dup pairs à la MOSS:
+    * two docs are candidates when they share ≥ `minShared` distinct
+    * selected fingerprints, after dropping fingerprints appearing in more
+    * than `maxDf` docs (shared boilerplate would otherwise quadratically
+    * join everything — the same df-cutoff discipline as the PPJoin and
+    * tf-idf paths). Work is Σ df² over RARE fingerprints only, at
+    * ~2/(w+1) of the shingle volume the exact-Jaccard candidate join
+    * pays.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String,
+                  k: Int = 4, w: Int = 5,
+                  maxDf: Int = 10, minShared: Int = 2): DataFrame = {
+    val sel = winnowSelected(spark, sfDir, k, w)
+      .select(col("doc_id"), expr("minkey div 1048576").as("fp"))
+      .distinct()
+    val rare = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val sr = sel.join(rare, "fp")
+    sr.as("a")
+      .join(sr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
   }
 }

@@ -75,7 +75,8 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_table_profile"   -> 2, // ONE scan: distinct-agg expand + 1-row final; output is 3 rows
     "q_partition_checksums" -> 2, // letter agg over the letter-partitioned scan + order
     "q_novelty"         -> 3, // first-teller agg + per-doc rollup + order; shingle join rides
-    "q_quota_cap"       -> 2  // ONE source exchange (count + rank windows + rollup) + order
+    "q_quota_cap"       -> 2, // ONE source exchange (count + rank windows + rollup) + order
+    "q_winnow_pairs"    -> 4  // selection (1 doc exchange) + fp df agg + pair agg + order; rare set broadcasts
   )
 
   budgets.foreach { case (name, budget) =>
