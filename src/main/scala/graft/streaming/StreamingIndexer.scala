@@ -61,13 +61,24 @@ object StreamingIndexer {
     Files.copy(Paths.get(sfDir, file),
       watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
     val table = s"graft_${prefix}_${runSeq.incrementAndGet()}"
-    val q = mkStream(watch.toString).writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a bounded drain instantiates one state store per stateful op PER
+    // SHUFFLE PARTITION; at the drain's micro-batch sizes 32 stores are
+    // pure setup cost (the stream-stream join paid ~6 s). The state
+    // partitioning is pinned by the fresh checkpoint at batch 0, so
+    // narrowing it here is invisible to results — an unbounded deployment
+    // would size it to the real key cardinality instead.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      mkStream(watch.toString).writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(table)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set(partKey, prev)
     slot.defer(
       () => { spark.catalog.dropTempView(table); () },
       () => graft.util.Scratch.deleteRecursively(watch))

@@ -147,18 +147,25 @@ object StreamingSessionize {
       .getOrElse(Array.empty[java.io.File])
       .foreach(f => { f.setLastModified(now + 60_000); () })
     val table = s"graft_stream_sessions_${drainSeq.incrementAndGet()}"
-    val q = sessionStreamFrom(spark,
-        spark.readStream
-          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
-          .option("maxFilesPerTrigger", "1")
-          .parquet(watch.toString + "/*"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // narrow the drain's state partitioning like StreamingIndexer
+    // .drainToTable: 32 state stores are pure setup cost at drain sizes
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      sessionStreamFrom(spark,
+          spark.readStream
+            .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watch.toString + "/*"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set(partKey, prevParts)
     drainScratch.defer(
       () => { spark.catalog.dropTempView(table); () },
       () => graft.util.Scratch.deleteRecursively(watch))
