@@ -76,6 +76,8 @@ object SparkEntry {
     // MOSS robust winnowing: rightmost-min fingerprint selection per
     // sliding gram window, as one windowed min over a packed integer key
     "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
+    // BPE merge training: 3 driver-coordinated rounds over word types
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     // winnowing fingerprints in use: candidate near-dup pairs via shared
     // rare fingerprints (df-cutoff bounds the self-join)
     "q_winnow_pairs" -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
@@ -1665,6 +1667,55 @@ object SparkEntry {
          |       count(*) AS n_fingerprints,
          |       CAST(sum(minkey // 1048576) % 1000000007 AS BIGINT) AS fp_checksum
          |FROM sel GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // BPE: the oracle replays the identical 3 merge rounds — weighted
+    // pair argmax (count desc, pair asc) + sentinel-padded replace
+    "q_bpe_train" ->
+      s"""WITH $toksCte, flat AS (
+         |  SELECT unnest(ts) AS word FROM toks
+         |), words AS (
+         |  SELECT word, count(*) AS freq FROM flat GROUP BY 1
+         |), seq0 AS (
+         |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, freq
+         |  FROM words
+         |), p1 AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
+         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq0),
+         |       unnest(range(1, len(syms))) u(i)
+         |), t1 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p1
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+         |), seq1 AS (
+         |  SELECT trim(replace(' ' || s || ' ',
+         |           ' ' || (SELECT pair FROM t1) || ' ',
+         |           ' ' || (SELECT replace(pair, ' ', '') FROM t1) || ' ')) AS s,
+         |         freq
+         |  FROM seq0
+         |), p2 AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
+         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq1),
+         |       unnest(range(1, len(syms))) u(i)
+         |), t2 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p2
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+         |), seq2 AS (
+         |  SELECT trim(replace(' ' || s || ' ',
+         |           ' ' || (SELECT pair FROM t2) || ' ',
+         |           ' ' || (SELECT replace(pair, ' ', '') FROM t2) || ' ')) AS s,
+         |         freq
+         |  FROM seq1
+         |), p3 AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
+         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq2),
+         |       unnest(range(1, len(syms))) u(i)
+         |), t3 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p3
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+         |)
+         |SELECT * FROM (
+         |  SELECT 1 AS round, pair AS merged_pair, n AS pair_count FROM t1
+         |  UNION ALL SELECT 2, pair, n FROM t2
+         |  UNION ALL SELECT 3, pair, n FROM t3)
+         |ORDER BY round""".stripMargin,
     // fingerprint-sharing candidate pairs, df-cutoff 10, >= 2 shared
     "q_winnow_pairs" ->
       s"""$winnowCte, sel2 AS (

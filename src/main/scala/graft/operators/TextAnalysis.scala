@@ -634,6 +634,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge TRAINING, the iterative-algorithm companion to the IVF
+    * k-means: `rounds` driver-coordinated merge steps over the weighted
+    * WORD-TYPE relation (pair statistics need only the vocabulary with
+    * occurrence counts — never the token stream, which is what makes BPE
+    * training tractable at 100 TB). Each round is one aggregation (pair
+    * counts weighted by word frequency, deterministic argmax by
+    * (count desc, pair asc)) plus a map-side literal merge; only the
+    * 1-row winner ever reaches the driver.
+    *
+    * Merges are applied as sentinel-padded literal string replacement on
+    * the space-separated symbol sequence (` a b ` → ` ab `): the padding
+    * makes the match symbol-aligned, and both engines' `replace` scan
+    * left-to-right non-overlapping — exactly BPE's merge order — so the
+    * DuckDB oracle replays the identical rounds bit-for-bit.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seq = words.select(
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"), col("freq"))
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    for (r <- 1 to rounds) {
+      val top = seq
+        .filter(size(split(col("s"), " ")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(split(s, ' ')) - 1), " +
+            "i -> concat(element_at(split(s, ' '), i), ' ', " +
+            "element_at(split(s, ' '), i + 1)))")).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(1).head()
+      val (pair, n) = (top.getString(0), top.getLong(1))
+      learned += ((r, pair, n))
+      // pair is [a-z ] only (tokens are lowercase letters) — safe literal
+      seq = seq.select(trim(expr(
+        s"replace(concat(' ', s, ' '), ' $pair ', ' ${pair.replace(" ", "")} ')"))
+        .as("s"), col("freq"))
+    }
+    learned.toSeq.toDF("round", "merged_pair", "pair_count").orderBy("round")
+  }
+
   /** The winnowing SELECTION (doc_id, n_grams, minkey) — shared by the
     * per-doc fingerprint stats ([[winnowing]]) and the candidate-pair
     * consumer ([[winnowPairs]]).
