@@ -78,6 +78,8 @@ object SparkEntry {
     "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // BPE merge training: 3 driver-coordinated rounds over word types
     "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    // schema evolution: mergeSchema across generations, NULL backfill
+    "q_schema_evolution" -> ((s, d) => Formats.schemaEvolutionRead(s, d)),
     // winnowing fingerprints in use: candidate near-dup pairs via shared
     // rare fingerprints (df-cutoff bounds the self-join)
     "q_winnow_pairs" -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
@@ -1667,6 +1669,15 @@ object SparkEntry {
          |       count(*) AS n_fingerprints,
          |       CAST(sum(minkey // 1048576) % 1000000007 AS BIGINT) AS fp_checksum
          |FROM sel GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // schema evolution: the NULL-backfilled old generation is the even
+    // docs, so the oracle reconstructs the merge from the parity split
+    "q_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_with_chars,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+        |            AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     // BPE: the oracle replays the identical 3 merge rounds — weighted
     // pair argmax (count desc, pair asc) + sentinel-padded replace
     "q_bpe_train" ->

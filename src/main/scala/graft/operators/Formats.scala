@@ -96,4 +96,36 @@ object Formats {
         countDistinct(col("doc_id")).as("n_distinct"),
         sum(length(col("text")).cast("bigint")).as("total_text_chars"))
       .orderBy("lang")
+
+  private val evoScratch = new graft.util.ScratchSlot
+
+  /** SCHEMA EVOLUTION read: an old data generation written without a
+    * column and a new generation that added it, read together with
+    * `mergeSchema` — the widened schema backfills the old files with
+    * NULL, which the aggregate then distinguishes from real values
+    * (`count(col)` vs `count(*)`). This is how a long-lived 100 TB table
+    * actually looks: columns arrive mid-life and readers must span the
+    * boundary without rewriting history. Footer-only schema merge; no
+    * data is touched.
+    */
+  def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
+    evoScratch.retire()
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_evo_")
+    evoScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
+    val d = Tables.documents(spark, sfDir)
+    val gen1 = dir.resolve("gen1").toString
+    val gen2 = dir.resolve("gen2").toString
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(gen1)
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(gen2)
+    spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("lang")
+  }
 }
