@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.FunctionRegistryBridge
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, PolyHash}
 
 /** SQL-surface registration for graft's native expressions, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in —
@@ -35,6 +35,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(a, b) takes two arguments")
         CosineSimilarity(args.head, args(1))
+      }),
+    (new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_hash(s) takes one argument")
+        PolyHash(args.head)
       }))
 
   /** Register every graft function into a live session's registry. */

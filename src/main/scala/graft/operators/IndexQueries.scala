@@ -288,9 +288,7 @@ object IndexQueries {
     spark.read.parquet(MaterializedIndex.ensure(spark, sfDir))
       .select(col("first_letter").cast("string").as("first_letter"),
         col("term"), col("doc_id"), col("tf"))
-      .withColumn("termh", expr(
-        "aggregate(sequence(1, length(term)), 0L, " +
-          "(acc, i) -> (acc * 31 + ascii(substr(term, i, 1))) % 1000000007)"))
+      .withColumn("termh", graft.functions.PolyHashExpr.polyHash(col("term")))
       .withColumn("rowh",
         (col("termh") * 1000003L + col("doc_id") * 31L + col("tf")) % P)
       .groupBy("first_letter")
