@@ -96,6 +96,10 @@ object SparkEntry {
     // join, so the join-state semantics are driver-verified
     "q_streaming_join" -> ((s, d) =>
       graft.streaming.StreamingJoin.purchaseViewsAvailableNow(s, d)),
+    // LEFT OUTER stream-stream join: null-padded rows emit when the
+    // watermark proves no match can arrive; sentinel-flushed drain
+    "q_streaming_outer_join" -> ((s, d) =>
+      graft.streaming.StreamingJoin.purchaseViewsOuterAvailableNow(s, d)),
     // per-source quota cap: deterministic first-N admission per source
     "q_quota_cap" -> ((s, d) => Sampling.quotaCap(s, d)),
     // mergeable-sketch IVM: merged half-KMVs ≡ full-data KMV (exact oracle)
@@ -2161,6 +2165,19 @@ object SparkEntry {
     // interval join: the oracle is the naive range join; the Spark plan
     // bins time so candidates stay bounded (Events.viewsBeforePurchase)
     "q_views_before_purchase" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS v_ms
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ms AS purchase_ms,
+        |       CAST(count(v.v_ms) AS BIGINT) AS n_views_1h
+        |FROM p LEFT JOIN v
+        |  ON v.user_id = p.user_id
+        | AND v.v_ms > p.ms - 3600000 AND v.v_ms <= p.ms
+        |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
+    // outer variant: same oracle — zero-view purchases come from the
+    // stream's own null-padded rows, not a batch tail
+    "q_streaming_outer_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, epoch_ms(ts) AS v_ms
