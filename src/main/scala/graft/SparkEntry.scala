@@ -67,6 +67,8 @@ object SparkEntry {
     // change data feed between snapshots: the exact rows an upsert added/
     // removed, answered from the two manifests — oracle diffs the corpora
     "q_snapshot_changes" -> ((s, d) => Snapshots.snapshotChanges(s, d)),
+    // right-to-be-forgotten: copy-on-write delete ≡ rebuild-without-docs
+    "q_gdpr_delete" -> ((s, d) => Snapshots.gdprDelete(s, d)),
     // incremental view maintenance: materialized partial states + delta
     // merge — oracle recomputes the rollup from scratch (incremental ≡ full)
     "q_ivm_rollup" -> ((s, d) => Incremental.incrementalRollup(s, d)),
@@ -1617,6 +1619,25 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM brand_lines JOIN per_part ON l_partkey = ap_key
         |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_lines < qty_sum""".stripMargin,
+    // GDPR purge: the oracle simply indexes the corpus without the purged
+    // docs — the engine got there by rewriting only their letters
+    "q_gdpr_delete" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(lower(text), ' '),
+        |                     w -> regexp_replace(w, '[^a-z]', '', 'g')),
+        |                     w -> w <> '') AS ts
+        |  FROM documents WHERE doc_id NOT IN (0, 1)
+        |), flat AS (
+        |  SELECT doc_id, unnest(ts) AS term FROM toks
+        |), postings AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM flat GROUP BY term, doc_id
+        |)
+        |SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms,
+        |       CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       CAST(sum(CASE WHEN doc_id IN (0, 1) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS deleted_postings
+        |FROM postings""".stripMargin,
     // snapshot CDF: postings diff of the original vs amended corpus (doc 0
     // gains doc 1's text); set EXCEPT is safe — (term, doc_id) is a key
     "q_snapshot_changes" ->

@@ -155,6 +155,35 @@ object Snapshots {
   private val scratch = new graft.util.ScratchSlot
   private val changesScratch = new graft.util.ScratchSlot
 
+  private val deleteScratch = new graft.util.ScratchSlot
+
+  /** Right-to-be-forgotten PURGE as a copy-on-write delete: committing an
+    * upsert whose amended documents have EMPTY text removes every posting
+    * of the purged docs — only their letter partitions are rewritten
+    * (letters left with no postings drop out of the manifest entirely),
+    * nothing else is touched, and the old snapshot remains for the
+    * retention window until [[expireSnapshots]] deletes its files. The
+    * output fingerprints the post-delete snapshot plus a `deleted_postings`
+    * count that must be zero; the oracle indexes the corpus WITHOUT the
+    * purged docs, so the hash match proves delete ≡ rebuild-without-them.
+    */
+  def gdprDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    deleteScratch.retire()
+    val root = Files.createTempDirectory("graft_gdpr_").toFile.getAbsolutePath
+    deleteScratch.defer(() => graft.util.Scratch.deleteRecursively(root))
+    commitV1(spark, sfDir, root)
+    val tombstones = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(0, 1))
+      .withColumn("text", lit(""))
+    commitUpsert(spark, root, 1, 2, tombstones)
+    readSnapshot(spark, root, 2)
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("total_tf"),
+        sum(when(col("doc_id").isin(0, 1), 1L).otherwise(0L))
+          .as("deleted_postings"))
+  }
+
   /** Change data feed between two snapshots: the exact postings rows an
     * upsert added and removed, computed purely from the two manifests'
     * reads — the consumer-side primitive incremental downstream pipelines
