@@ -353,7 +353,7 @@ object SparkEntry {
        |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
        |), wins AS (
        |  SELECT doc_id, pos,
-       |         min(h * 1048576 + (1048575 - pos)) OVER (
+       |         min(h * 4294967296 + (4294967295 - pos)) OVER (
        |           PARTITION BY doc_id ORDER BY pos
        |           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS minkey
        |  FROM grams
@@ -1692,7 +1692,7 @@ object SparkEntry {
       s"""$winnowCte
          |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
          |       count(*) AS n_fingerprints,
-         |       CAST(sum(minkey // 1048576) % 1000000007 AS BIGINT) AS fp_checksum
+         |       CAST(sum(minkey // 4294967296) % 1000000007 AS BIGINT) AS fp_checksum
          |FROM sel GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // schema evolution: the NULL-backfilled old generation is the even
     // docs, so the oracle reconstructs the merge from the parity split
@@ -1755,7 +1755,7 @@ object SparkEntry {
     // fingerprint-sharing candidate pairs, df-cutoff 10, >= 2 shared
     "q_winnow_pairs" ->
       s"""$winnowCte, sel2 AS (
-         |  SELECT DISTINCT doc_id, minkey // 1048576 AS fp FROM sel
+         |  SELECT DISTINCT doc_id, minkey // 4294967296 AS fp FROM sel
          |), rare AS (
          |  SELECT fp FROM (SELECT fp, count(*) AS df FROM sel2 GROUP BY 1)
          |  WHERE df <= 10

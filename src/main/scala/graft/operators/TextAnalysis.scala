@@ -608,7 +608,7 @@ object TextAnalysis {
     * bit-for-bit: gram hash = base-31 fold of the rolling-fingerprint
     * token codes (≤ 2^31 before the mod, no overflow), and the
     * rightmost-min rule is ONE windowed min over the packed key
-    * `h·2^20 + (2^20−1−pos)` — lexicographic (hash asc, pos desc) without
+    * `h·2^32 + (2^32−1−pos)` — lexicographic (hash asc, pos desc) without
     * a struct ordering, so the whole selection rides a single doc_id
     * exchange that the distinct and the final per-doc rollup reuse.
     */
@@ -705,7 +705,7 @@ object TextAnalysis {
       .filter(col("h").isNotNull) // gram starts: pos 0 … n_tokens − k
     grams
       .withColumn("minkey",
-        min(col("h") * 1048576L + (lit(1048575L) - col("pos")))
+        min(col("h") * 4294967296L + (lit(4294967295L) - col("pos")))
           .over(byPos.rowsBetween(0, w - 1)))
       .filter(col("pos") <= col("n_tokens") - (k - 1) - w) // full windows only
       .select(col("doc_id"),
@@ -717,7 +717,7 @@ object TextAnalysis {
     winnowSelected(spark, sfDir, k, w)
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_fingerprints"),
-        (sum(expr("minkey div 1048576")) % 1000000007L).as("fp_checksum"))
+        (sum(expr("minkey div 4294967296")) % 1000000007L).as("fp_checksum"))
       .orderBy("doc_id")
 
   /** What the fingerprints are FOR — candidate near-dup pairs à la MOSS:
@@ -733,7 +733,7 @@ object TextAnalysis {
                   k: Int = 4, w: Int = 5,
                   maxDf: Int = 10, minShared: Int = 2): DataFrame = {
     val sel = winnowSelected(spark, sfDir, k, w)
-      .select(col("doc_id"), expr("minkey div 1048576").as("fp"))
+      .select(col("doc_id"), expr("minkey div 4294967296").as("fp"))
       .distinct()
     val rare = sel.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
