@@ -292,7 +292,11 @@ object IndexQueries {
       .withColumn("rowh",
         (col("termh") * 1000003L + col("doc_id") * 31L + col("tf")) % P)
       .groupBy("first_letter")
-      .agg(count(lit(1)).as("n_rows"), (sum(col("rowh")) % P).as("checksum"))
+      // the sum runs in DECIMAL(38,0): a long accumulator would wrap past
+      // ~9e9 rows per letter while DuckDB sums in 128-bit — a silent
+      // cross-engine divergence exactly at the scale this operator targets
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("rowh").cast("decimal(38,0)")) % P).cast("long").as("checksum"))
       .orderBy("first_letter")
   }
 
