@@ -772,8 +772,8 @@ object SparkEntry {
     "q_train_split" ->
       s"""WITH $toksCte, s AS (
          |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-         |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 98 THEN 'train'
-         |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 99 THEN 'val'
+         |         CASE WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 < 98 THEN 'train'
+         |              WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 < 99 THEN 'val'
          |              ELSE 'test' END AS split
          |  FROM toks)
          |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
@@ -870,7 +870,7 @@ object SparkEntry {
         |  SELECT cnts.*, (1000000 * target_w * m_docs) // (m_w * n_docs) AS keep_ppm
         |  FROM cnts CROSS JOIN m)
         |SELECT r.source, r.n_docs, r.target_w, r.keep_ppm,
-        |       CAST(sum(CASE WHEN ((d.doc_id * 2654435761) % 4294967296) % 1000000
+        |       CAST(sum(CASE WHEN ((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296) % 1000000
         |                          < r.keep_ppm
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN rated r ON d.source = r.source
@@ -970,13 +970,13 @@ object SparkEntry {
     // rule — bit-identical across engines
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+        |WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 <
         |      CASE WHEN lang = 'en' THEN 25 ELSE 60 END
         |ORDER BY doc_id""".stripMargin,
     "q_sample_stats" ->
       """WITH k AS (
         |  SELECT lang, CASE WHEN lang = 'en' THEN 25 ELSE 60 END AS req_pct,
-        |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 <
+        |         CASE WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 <
         |              CASE WHEN lang = 'en' THEN 25 ELSE 60 END
         |              THEN 1 ELSE 0 END AS kept
         |  FROM documents)
@@ -988,7 +988,7 @@ object SparkEntry {
     // generalization, all engine-exact —
     "q_pii_mask" ->
       """SELECT c_custkey,
-        |       (c_custkey * 2654435761) % 4294967296 AS pseudo_key,
+        |       (CAST(c_custkey AS HUGEINT) * 2654435761) % 4294967296 AS pseudo_key,
         |       regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
         |       CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500) * 500 AS BIGINT) AS acctbal_bucket,
         |       c_mktsegment
@@ -998,7 +998,7 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders,
         |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
         |  FROM orders GROUP BY o_custkey)
-        |SELECT (o_custkey * 2654435761) % 4294967296 AS pseudo_key,
+        |SELECT (CAST(o_custkey AS HUGEINT) * 2654435761) % 4294967296 AS pseudo_key,
         |       n_orders, CAST(rev AS DOUBLE) AS revenue
         |FROM a ORDER BY pseudo_key""".stripMargin,
     // — dedup —
@@ -1802,7 +1802,7 @@ object SparkEntry {
     // must land on the identical k-min set
     "q_ivm_sketch" ->
       """WITH hs AS (
-        |  SELECT DISTINCT (user_id * 2654435761) % 4294967291 AS h
+        |  SELECT DISTINCT (CAST(user_id AS HUGEINT) * 2654435761) % 4294967291 AS h
         |  FROM events),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS kth_min
         |      FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),

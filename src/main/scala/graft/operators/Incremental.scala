@@ -129,7 +129,7 @@ object Incremental {
     val split = lit(splitAt).cast("timestamp")
     val Mod = 4294967291L // largest prime < 2^32
     def kmin(df: DataFrame): DataFrame =
-      df.select(((col("user_id") * 2654435761L) % Mod).as("h"))
+      df.select(graft.functions.HashFunctions.knuthMod(col("user_id"), Mod).as("h"))
         .distinct().orderBy("h").limit(k)
 
     val basePath = dir.resolve("kmv_state").toString
@@ -140,7 +140,7 @@ object Incremental {
       .unionByName(kmin(Tables.events(spark, sfDir).filter(col("ts") >= split)))
       .distinct().orderBy("h").limit(k)
     val allHashes = Tables.events(spark, sfDir)
-      .select(((col("user_id") * 2654435761L) % Mod).as("h")).distinct()
+      .select(graft.functions.HashFunctions.knuthMod(col("user_id"), Mod).as("h")).distinct()
     merged.agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
       .crossJoin(allHashes.agg(count(lit(1)).as("n_exact")))
       .select(col("k"), col("kth_min"),

@@ -36,7 +36,7 @@ object Privacy {
     Tables.customer(spark, sfDir)
       .select(
         col("c_custkey"),
-        ((col("c_custkey") * Knuth) % M32).as("pseudo_key"),
+        graft.functions.HashFunctions.knuthMod(col("c_custkey"), M32).as("pseudo_key"),
         regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
         (floor(col("c_acctbal").cast("decimal(12,2)") / 500) * 500)
           .cast("long").as("acctbal_bucket"),
@@ -82,7 +82,7 @@ object Privacy {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(12,2)")).as("revenue"))
       .select(
-        ((col("o_custkey") * Knuth) % M32).as("pseudo_key"),
+        graft.functions.HashFunctions.knuthMod(col("o_custkey"), M32).as("pseudo_key"),
         col("n_orders"),
         col("revenue").cast("double").as("revenue"))
       .orderBy("pseudo_key")

@@ -21,13 +21,12 @@ object Sampling {
   private val Knuth = 2654435761L
   private val M32 = 4294967296L
 
-  /** h(id) mod 100 — a deterministic percentile bucket per row.
-    * Valid for id < ~3.4e9 (id·Knuth must stay inside Int64; document ids
-    * here are dense small ints, and a 100 TB corpus would hash a 64-bit id
-    * with a wider mix instead).
+  /** h(id) mod 100 — a deterministic percentile bucket per row; exact for
+    * any 64-bit id (decimal-domain product, see
+    * [[graft.functions.HashFunctions]]).
     */
   private def pctBucket(id: org.apache.spark.sql.Column) =
-    ((id * Knuth) % M32) % 100
+    graft.functions.HashFunctions.knuthMod(id, M32) % 100
 
   /** Stratified (per-language) Bernoulli sample: keep `pct(lang)`% of each
     * stratum, deterministically. Rebalances a skewed corpus (e.g. keep 25%
@@ -80,7 +79,8 @@ object Sampling {
         expr("(1000000 * target_w * m_docs) div (m_w * n_docs)"))
     docs.join(broadcast(rated), "source")
       .withColumn("kept",
-        (((col("doc_id") * Knuth) % M32) % 1000000 < col("keep_ppm")).cast("int"))
+        (graft.functions.HashFunctions.knuthMod(col("doc_id"), M32) % 1000000 <
+          col("keep_ppm")).cast("int"))
       .groupBy(col("source"), col("n_docs"), col("target_w"), col("keep_ppm"))
       .agg(sum(col("kept")).as("n_kept"))
       .orderBy("source")

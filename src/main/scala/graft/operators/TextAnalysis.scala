@@ -131,7 +131,7 @@ object TextAnalysis {
     * bucket range. Map-side only.
     */
   def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    val bucket = graft.functions.HashFunctions.knuthMod(col("doc_id"), 4294967296L) % 100
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
         when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
