@@ -717,7 +717,9 @@ object TextAnalysis {
     winnowSelected(spark, sfDir, k, w)
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_fingerprints"),
-        (sum(expr("minkey div 4294967296")) % 1000000007L).as("fp_checksum"))
+        // decimal sum: exact past the ~9e9-selection point a long wraps at
+        (sum(expr("CAST(minkey div 4294967296 AS DECIMAL(38,0))"))
+          % 1000000007L).cast("long").as("fp_checksum"))
       .orderBy("doc_id")
 
   /** What the fingerprints are FOR — candidate near-dup pairs à la MOSS:
