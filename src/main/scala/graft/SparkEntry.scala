@@ -91,6 +91,8 @@ object SparkEntry {
     "q_table_profile" -> ((s, d) => Relational.tableProfile(s, d)),
     // anti-entropy: order-invariant per-letter checksums of the index
     "q_partition_checksums" -> ((s, d) => IndexQueries.partitionChecksums(s, d)),
+    // posting-list gap encoding + varint cost model (index compression)
+    "q_postings_delta" -> ((s, d) => IndexQueries.postingsDeltaStats(s, d)),
     // first-seen shingle novelty: marginal contribution per document
     "q_novelty" -> ((s, d) => TextAnalysis.noveltyScore(s, d)),
     // stream-stream join: watermarked views ⋈ purchases with a time-range
@@ -1764,6 +1766,22 @@ object SparkEntry {
          |FROM sr a JOIN sr b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin,
+    // gap encoding: same lag windows, same bin()-based varint cost
+    "q_postings_delta" ->
+      s"""$postingsCte, gaps AS (
+         |  SELECT term, doc_id,
+         |         COALESCE(doc_id - lag(doc_id) OVER (
+         |                    PARTITION BY term ORDER BY doc_id),
+         |                  doc_id + 1) AS gap
+         |  FROM postings)
+         |SELECT term, count(*) AS n_docs,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |       CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS vbyte_bytes,
+         |       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+         |       round(CAST(count(*) * 8 AS DOUBLE) /
+         |             sum((length(bin(gap)) + 6) // 7), 4) AS ratio
+         |FROM gaps GROUP BY term
+         |ORDER BY n_docs DESC, term LIMIT 100""".stripMargin,
     // per-letter integrity checksums: per-row polynomial hash mod 1e9+7,
     // summed order-independently — identical fold on both engines
     "q_partition_checksums" ->
