@@ -87,6 +87,8 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     // time-series gap fill: generated hour spine + carry-forward window
     "q_gap_fill" -> ((s, d) => Events.gapFillHourly(s, d)),
+    // schema-on-read: JSON props parsed with from_json, rolled up per type
+    "q_json_extract" -> ((s, d) => Events.propsExtract(s, d)),
     // ANALYZE-style exact column stats in one scan, unpivoted via stack
     "q_table_profile" -> ((s, d) => Relational.tableProfile(s, d)),
     // anti-entropy: order-invariant per-letter checksums of the index
@@ -1830,6 +1832,16 @@ object SparkEntry {
         |         AS estimate,
         |       n_exact
         |FROM m, e""".stripMargin,
+    // schema-on-read twin: DuckDB's json_extract over the same payloads
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS k_sum,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // gap fill: DuckDB generates the same spine and carries the same
     // last-observed decimal forward (unique (type, hour) ordering)
     "q_gap_fill" ->

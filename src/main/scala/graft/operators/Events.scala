@@ -229,6 +229,26 @@ object Events {
       .orderBy(desc("n_events"), col("user_id"))
       .limit(5)
 
+  /** Semi-structured extraction: the events' JSON `props` payload parsed
+    * with a declared schema (`from_json`, codegen'd Jackson parse — not a
+    * UDF) and aggregated per type. The schema-on-read path every event
+    * pipeline needs for the long tail of per-event attributes that never
+    * earn a real column; parsing is map-side, the rollup is one shuffle.
+    */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_unparsed"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
   /** Time-series gap fill: a complete hour spine per event type (derived
     * from the corpus' own min/max hour, so it needs no parameters), LEFT
     * joined to the hourly rollup; missing hours get n = 0 and CARRY THE
