@@ -992,7 +992,7 @@ object SparkEntry {
     // generalization, all engine-exact —
     "q_pii_mask" ->
       """SELECT c_custkey,
-        |       (CAST(c_custkey AS HUGEINT) * 2654435761) % 4294967296 AS pseudo_key,
+        |       CAST((CAST(c_custkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS pseudo_key,
         |       regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
         |       CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 500) * 500 AS BIGINT) AS acctbal_bucket,
         |       c_mktsegment
@@ -1002,7 +1002,7 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders,
         |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
         |  FROM orders GROUP BY o_custkey)
-        |SELECT (CAST(o_custkey AS HUGEINT) * 2654435761) % 4294967296 AS pseudo_key,
+        |SELECT CAST((CAST(o_custkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS pseudo_key,
         |       n_orders, CAST(rev AS DOUBLE) AS revenue
         |FROM a ORDER BY pseudo_key""".stripMargin,
     // — dedup —
@@ -1822,7 +1822,7 @@ object SparkEntry {
     // must land on the identical k-min set
     "q_ivm_sketch" ->
       """WITH hs AS (
-        |  SELECT DISTINCT (CAST(user_id AS HUGEINT) * 2654435761) % 4294967291 AS h
+        |  SELECT DISTINCT CAST((CAST(user_id AS HUGEINT) * 2654435761) % 4294967291 AS BIGINT) AS h
         |  FROM events),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS kth_min
         |      FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),

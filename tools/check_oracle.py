@@ -6,8 +6,16 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Reads <verifyOutDir>/oracle_sql.json, registers the sf parquet tables as
 views in DuckDB, runs each oracle SQL, and compares against the Spark
 result parquet at <verifyOutDir>/<name>/ — exact value compare with
-columns sorted by name and rows sorted, which is strictly stronger than
-any hash compare the driver might do. Prints one line per query.
+columns sorted by name and rows sorted.
+
+Fidelity note (r7 regression): results are fetched through `.df()`
+(DuckDB -> pandas), the SAME path the driver's hash compare uses, NOT
+`fetchall()`. The two differ on dtype edges: `fetchall()` hands HUGEINT
+back as exact Python ints while `.df()` renders it float64, so an
+oracle that leaves a HUGEINT/DECIMAL output column uncast passes a
+fetchall compare but fails the driver. We additionally hard-fail any
+oracle whose result schema contains HUGEINT or DECIMAL output columns —
+oracles must cast to BIGINT/DOUBLE explicitly.
 """
 import json
 import sys
@@ -19,16 +27,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+BANNED_TYPES = ("HUGEINT", "DECIMAL")
+
+
 def norm_cell(v):
+    if v is None:
+        return None
     if isinstance(v, float):
         return round(v, 9)
-    if hasattr(v, "isoformat"):          # datetime/date
+    if hasattr(v, "isoformat"):          # datetime/date (incl. pandas Timestamp)
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(norm_cell(x) for x in v)
+    # pandas hands back numpy scalars; collapse to Python int/float so the
+    # compare keys on value+kind exactly like the driver's value hash
+    if hasattr(v, "item"):
+        return norm_cell(v.item())
     return v
+
+
+def fetch_df(cursor):
+    """Fetch via pandas — the driver's dtype-sensitive path."""
+    df = cursor.df()
+    cols = list(df.columns)
+    rows = [tuple(None if (x is None or (isinstance(x, float) and x != x))
+                  else x for x in rec)
+            for rec in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def canon(cols, rows):
@@ -53,14 +80,20 @@ def main():
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output");  n_fail += 1; continue
         try:
-            o = con.execute(sql)
-            ocols = [d[0] for d in o.description]
-            orows = o.fetchall()
+            rel = con.sql(sql)
+            # cursor.description only reports generic 'NUMBER'; the relation
+            # API exposes real DuckDB logical types for the dtype gate
+            bad_t = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                     if any(b in str(t).upper() for b in BANNED_TYPES)]
+            if bad_t:
+                print(f"FAIL {name}: oracle output has driver-unsafe types "
+                      f"{bad_t} — CAST to BIGINT/DOUBLE in the oracle SQL")
+                n_fail += 1; continue
+            ocols, orows = fetch_df(rel)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
-        s = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-        scols = [d[0] for d in s.description]
-        srows = s.fetchall()
+        s = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols, srows = fetch_df(s)
         oc, orr = canon(ocols, orows)
         sc, srr = canon(scols, srows)
         if oc != sc:
