@@ -129,7 +129,10 @@ object SparkEntry {
     "q_common_terms"   -> ((s, d) => IndexQueries.commonTerms(s, d, 0L, 1L)),
     "q_terms_only_in"  -> ((s, d) => IndexQueries.termsOnlyIn(s, d, 0L, 1L)),
     "q_running_totals" -> ((s, d) => IndexQueries.customerRunningTotals(s, d)),
-    "q_vocab_approx"   -> ((s, d) => IndexQueries.vocabApprox(s, d)),
+    // per-lang vocabulary cardinality by engine-exact KMV sketch (the
+    // HLL++ variant, IndexQueries.vocabApprox, stays library+spec-only:
+    // its sketch values are Spark-implementation-specific)
+    "q_vocab_kmv"      -> ((s, d) => IndexQueries.vocabKMV(s, d, 64)),
     "q_shingle_kmv"    -> ((s, d) => IndexQueries.shingleKMV(s, d, 64)),
     "q_doc_similarity" -> ((s, d) => IndexQueries.docSimilarity(s, d, 5, 5)),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
@@ -195,6 +198,9 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    // pigeonhole chunk banding (Manku WWW'07) + exact Hamming verify;
+    // recall is GUARANTEED at maxDist=3, so the brute-force oracle matches
+    "q_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d, 3)),
     "q_dup_clusters"   -> ((s, d) => Dedup.dupClusters(s, d, 0.8)),
     "q_curated_corpus" -> ((s, d) => Curate.curateCorpus(s, d)),
     // v2: + boilerplate and bigram-repetition content gates
@@ -204,7 +210,10 @@ object SparkEntry {
     "q_frame_sample"   -> ((s, d) => Multimodal.frameSampleStats(s, d, 4)),
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
-    "q_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d, 10, 10)),
+    // the TRAINED IVF (Similarity.ivfTopK, k-means centroids) stays
+    // library+spec-only — data-derived centroids are not reproducible in
+    // static oracle SQL; the serve path with shipped centroids is the
+    // declared, oracle-checked IVF query
     "q_ivf_serve"      -> ((s, d) => Similarity.ivfServeTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     "q_embed_neardup"  -> ((s, d) => Similarity.embedNearDupPairs(s, d, 100, 0.3)),
@@ -312,6 +321,34 @@ object SparkEntry {
       |                     w -> w <> '') AS ts
       |  FROM documents
       |)""".stripMargin
+
+  /** Engine-exact SimHash signature CTE chain, ending in
+    * `sig(doc_id, simhash)` — the two-modulus polynomial char-fold of
+    * [[graft.operators.Dedup.polyHash]] reproduced in exact Int64 DuckDB
+    * arithmetic. Shared by the q_simhash and q_simhash_pairs oracles.
+    */
+  private val simhashSigCte =
+    s"""$toksCte,
+       |tok AS (SELECT doc_id, t AS term, count(*) AS tf
+       |        FROM toks, unnest(ts) AS u(t) GROUP BY 1, 2),
+       |v AS (SELECT DISTINCT term FROM tok),
+       |vh AS (SELECT term,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+       |    (acc,c) -> (acc*131+c) % 2147483647) AS h1,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+       |    (acc,c) -> (acc*257+c) % 4294967291) AS h2
+       | FROM v),
+       |th AS (SELECT doc_id, tf, h1*4294967296 + h2 AS h
+       |       FROM tok JOIN vh USING (term)),
+       |bits AS (SELECT doc_id, i,
+       |           sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1
+       |               THEN tf ELSE -tf END) AS s
+       |         FROM th, unnest(range(0, 64)) t(i) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+       |  THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   private val postingsCte =
     s"""WITH $toksCte, flat AS (
@@ -597,9 +634,32 @@ object SparkEntry {
         |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
-    // q_vocab_approx: approx_count_distinct is Spark's HLL++ — sketch values
-    // are implementation-specific → rows-only check (exact_vocab column is
-    // still asserted in ScalaTest against countDistinct).
+    // per-lang KMV vocabulary sketch — deterministic (engine-exact
+    // polynomial hash), unlike the HLL++ vocabApprox it replaced in the
+    // declared set; estimate AND exact count both checked
+    "q_vocab_kmv" ->
+      s"""WITH $toksCte, t AS (
+         |  SELECT DISTINCT lang, t AS term FROM toks, unnest(ts) AS u(t)),
+         |hs AS (SELECT lang,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*131+c) % 2147483647) * 4294967296 +
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*257+c) % 4294967291) AS h
+         |  FROM t),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hs),
+         |a AS (SELECT lang,
+         |        CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |        max(CASE WHEN rn <= 64 THEN h END) AS kth_min,
+         |        CAST(count(*) AS BIGINT) AS exact_vocab
+         |      FROM r GROUP BY lang)
+         |SELECT lang, k, kth_min,
+         |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
+         |       exact_vocab
+         |FROM a ORDER BY lang""".stripMargin,
     "q_doc_similarity" ->
       s"""$postingsCte, df AS (
          |  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
@@ -1279,33 +1339,23 @@ object SparkEntry {
          |FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
          |WHERE d.vec_id IS NULL
          |ORDER BY a.vec_id""".stripMargin,
-    // q_ivf_topk: data-dependent k-means centroids — not reproducible in
-    // static DuckDB SQL; rows-only check + ScalaTest recall spec.
     // q_simhash IS oracle-checkable since the token hash is a two-modulus
     // polynomial char-fold (Dedup.polyHash) — exact Int64 arithmetic both
     // engines reproduce bit-for-bit.
     "q_simhash" ->
-      s"""WITH $toksCte,
-         |tok AS (SELECT doc_id, t AS term, count(*) AS tf
-         |        FROM toks, unnest(ts) AS u(t) GROUP BY 1, 2),
-         |v AS (SELECT DISTINCT term FROM tok),
-         |vh AS (SELECT term,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
-         |    (acc,c) -> (acc*131+c) % 2147483647) AS h1,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
-         |    (acc,c) -> (acc*257+c) % 4294967291) AS h2
-         | FROM v),
-         |th AS (SELECT doc_id, tf, h1*4294967296 + h2 AS h
-         |       FROM tok JOIN vh USING (term)),
-         |bits AS (SELECT doc_id, i,
-         |           sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1
-         |               THEN tf ELSE -tf END) AS s
-         |         FROM th, unnest(range(0, 64)) t(i) GROUP BY 1, 2)
-         |SELECT doc_id, CAST(sum(CASE WHEN s > 0
-         |  THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashSigCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    // brute-force all-pairs Hamming over the engine-exact signatures (500
+    // docs/SF in the oracle's world: trivially quadratic). The engine side
+    // is the CHUNK-BANDED candidate join, whose pigeonhole recall at
+    // maxDist=3 is total — so banding + verify must equal brute force.
+    "q_simhash_pairs" ->
+      s"""WITH $simhashSigCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // — multimodal —
     // The payload is the utf-8 text bytes (ASCII corpus: byte == ord(char)),
     // and the stub decoder's feature[0] is an exact integer byte-fold over
@@ -1725,9 +1775,10 @@ object SparkEntry {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p1
          |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
          |), seq1 AS (
-         |  SELECT trim(replace(' ' || s || ' ',
-         |           ' ' || (SELECT pair FROM t1) || ' ',
-         |           ' ' || (SELECT replace(pair, ' ', '') FROM t1) || ' ')) AS s,
+         |  SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+         |           ' ' || (SELECT replace(pair, ' ', '  ') FROM t1) || ' ',
+         |           ' ' || (SELECT replace(pair, ' ', '') FROM t1) || ' '),
+         |           '  ', ' ')) AS s,
          |         freq
          |  FROM seq0
          |), p2 AS (
@@ -1738,9 +1789,10 @@ object SparkEntry {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p2
          |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
          |), seq2 AS (
-         |  SELECT trim(replace(' ' || s || ' ',
-         |           ' ' || (SELECT pair FROM t2) || ' ',
-         |           ' ' || (SELECT replace(pair, ' ', '') FROM t2) || ' ')) AS s,
+         |  SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+         |           ' ' || (SELECT replace(pair, ' ', '  ') FROM t2) || ' ',
+         |           ' ' || (SELECT replace(pair, ' ', '') FROM t2) || ' '),
+         |           '  ', ' ')) AS s,
          |         freq
          |  FROM seq1
          |), p3 AS (

@@ -18,7 +18,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS) — see Tables.events
+      // if the driver ships a ns-encoded events.parquet (it has, some rounds),
+      // read ts as raw longs for Tables.normalizeTs; harmless for µs files
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

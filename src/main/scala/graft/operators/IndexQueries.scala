@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,29 +250,66 @@ object IndexQueries {
     * — because every step is integer/IEEE-exact — the whole sketch is
     * oracle-checked, not just spec-bounded.
     */
-  def shingleKMV(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
-    // same two-modulus fold as Dedup.polyHash, over the shingle string;
-    // hash space H = (2^31 − 1) · 2^32 (h1 strictly below 2^31 − 1 rounds
-    // to the modulus; uniform enough for a cardinality estimate)
-    val sTerm = col("sh")
+  /** Two-modulus polynomial char-fold over a string column — same
+    * construction as Dedup.polyHash; hash space H = (2^31 − 1) · 2^32
+    * (h1 strictly below 2^31 − 1 rounds to the modulus; uniform enough
+    * for a cardinality estimate). Every step exact in Int64, so DuckDB
+    * reproduces it bit-for-bit.
+    */
+  private def polyFold64(s: Column): Column = {
     def fold(base: Int, mod: Long) = aggregate(
-      transform(sequence(lit(1), length(sTerm)),
-        i => ascii(sTerm.substr(i, lit(1))).cast("long")),
+      transform(sequence(lit(1), length(s)),
+        i => ascii(s.substr(i, lit(1))).cast("long")),
       lit(0L), (acc, c) => (acc * base + c) % mod)
-    val h = fold(131, 2147483647L) * lit(4294967296L) + fold(257, 4294967291L)
+    fold(131, 2147483647L) * lit(4294967296L) + fold(257, 4294967291L)
+  }
+
+  private val KmvHashSpace = 2147483647.0 * 4294967296.0
+
+  def shingleKMV(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val h = polyFold64(col("sh"))
     val hs = Tables.documents(spark, sfDir)
       .select(tokens(col("text")).as("ts"))
       .select(explode(shinglesOfTokens(col("ts"), 3)).as("sh"))
       .distinct()
       .select(h.as("h"))
     val mins = hs.orderBy("h").limit(k)
-    val H = 2147483647.0 * 4294967296.0
     mins.agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
       .crossJoin(hs.agg(count(lit(1)).as("n_exact")))
       .select(col("k"), col("kth_min"),
-        floor(((col("k") - 1) * lit(H)) / col("kth_min") + 0.5)
+        floor(((col("k") - 1) * lit(KmvHashSpace)) / col("kth_min") + 0.5)
           .cast("long").as("estimate"),
         col("n_exact"))
+  }
+
+  /** Per-language vocabulary cardinality via the SAME KMV sketch as
+    * [[shingleKMV]], replacing the HLL++ variant in the declared query
+    * set: approx_count_distinct's sketch values are
+    * Spark-implementation-specific (rows-only check forever), while KMV
+    * over the engine-exact polynomial hash is a pure function of the data
+    * — estimate AND exact count both oracle-checked. One exchange keyed
+    * by language carries both the k-smallest window and the exact count;
+    * at 100 TB the same sketch merges across shards by re-taking the k
+    * smallest hashes (the HLL++ library operator remains available as
+    * [[vocabApprox]], spec-covered).
+    */
+  def vocabKMV(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang").orderBy("h")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explodedTokens(col("text")).as("term"))
+      .distinct()
+      .select(col("lang"), polyFold64(col("term")).as("h"))
+      .withColumn("rn", row_number().over(byLang))
+      .groupBy("lang")
+      .agg(sum(when(col("rn") <= k, 1L).otherwise(0L)).as("k"),
+        max(when(col("rn") <= k, col("h"))).as("kth_min"),
+        count(lit(1)).as("exact_vocab"))
+      .select(col("lang"), col("k"), col("kth_min"),
+        floor(((col("k") - 1) * lit(KmvHashSpace)) / col("kth_min") + 0.5)
+          .cast("long").as("estimate"),
+        col("exact_vocab"))
+      .orderBy("lang")
   }
 
   /** Posting-list DELTA + VARINT cost model — the classic IR index

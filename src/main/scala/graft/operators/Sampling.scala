@@ -76,7 +76,9 @@ object Sampling {
       .select(col("n_docs").as("m_docs"), col("target_w").as("m_w"))
     val rated = cnts.crossJoin(broadcast(bottleneck))
       .withColumn("keep_ppm",
-        expr("(1000000 * target_w * m_docs) div (m_w * n_docs)"))
+        // bigint first so the int×int product can't overflow for large
+        // target weights (1000000 * w exceeds int32 at w > 2147)
+        expr("(bigint(1000000) * target_w * m_docs) div (bigint(m_w) * n_docs)"))
     docs.join(broadcast(rated), "source")
       .withColumn("kept",
         (graft.functions.HashFunctions.knuthMod(col("doc_id"), M32) % 1000000 <

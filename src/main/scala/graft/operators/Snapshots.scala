@@ -114,10 +114,15 @@ object Snapshots {
     // letters whose postings all belonged to the updated docs write no new
     // files — they leave the manifest entirely (the snapshot simply has no
     // such letter), mirroring upsertIntoIndex's stale-partition cleanup
-    val written = spark.read
-      .parquet(new File(root, s"v$toV").getAbsolutePath)
-      .select(col("first_letter").cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // list the written letter directories off the filesystem rather than
+    // re-reading with Spark: an all-docs-replaced merge can legally write
+    // ZERO rows, and a parquet read of a dir with no part files throws
+    // (letters are single chars, so no partition-value escaping concerns)
+    val written = Option(new File(root, s"v$toV").listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("first_letter="))
+      .map(_.getName.stripPrefix("first_letter="))
+      .toSet
     writeManifest(root, toV,
       (fromManifest -- affected) ++ written.map(_ -> s"v$toV").toMap)
   }

@@ -643,10 +643,15 @@ object TextAnalysis {
     * (count desc, pair asc)) plus a map-side literal merge; only the
     * 1-row winner ever reaches the driver.
     *
-    * Merges are applied as sentinel-padded literal string replacement on
-    * the space-separated symbol sequence (` a b ` → ` ab `): the padding
-    * makes the match symbol-aligned, and both engines' `replace` scan
-    * left-to-right non-overlapping — exactly BPE's merge order — so the
+    * Merges are applied as literal string replacement on the
+    * space-separated symbol sequence with DOUBLED separators: every space
+    * is doubled first, the pair is matched with single outer spaces
+    * (` a  b ` → ` ab `), and doubles are collapsed after. With doubled
+    * separators no two matches share a character, so both engines'
+    * left-to-right non-overlapping `replace` implements exactly
+    * canonical BPE's leftmost-greedy merge — including runs of a repeated
+    * symbol (`a a a a` → `aa aa`), where naive single-space replacement
+    * would consume the shared separator and skip every other merge. The
     * DuckDB oracle replays the identical rounds bit-for-bit.
     */
   def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
@@ -669,8 +674,11 @@ object TextAnalysis {
       val (pair, n) = (top.getString(0), top.getLong(1))
       learned += ((r, pair, n))
       // pair is [a-z ] only (tokens are lowercase letters) — safe literal
+      val pairD = pair.replace(" ", "  ")
+      val merged = pair.replace(" ", "")
       seq = seq.select(trim(expr(
-        s"replace(concat(' ', s, ' '), ' $pair ', ' ${pair.replace(" ", "")} ')"))
+        s"replace(replace(replace(concat(' ', s, ' '), ' ', '  '), " +
+          s"' $pairD ', ' $merged '), '  ', ' ')"))
         .as("s"), col("freq"))
     }
     learned.toSeq.toDF("round", "merged_pair", "pair_count").orderBy("round")

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.StringType
@@ -40,22 +40,27 @@ object LetterPruningRule extends Rule[LogicalPlan] {
     * `first_letter` whose output carries the full index layout. Attribute
     * identity (exprId) survives pass-through Project/Aggregate but NOT
     * recomputation, which is exactly the provenance guarantee the
-    * injected predicate needs.
+    * injected predicate needs. Subtrees under a Union are SKIPPED
+    * entirely: Union reuses its first child's exprIds, so an exprId match
+    * through a Union would anchor the invariant to rows that may come
+    * from the OTHER children, where first_letter = substr(term, 1, 1)
+    * need not hold.
     */
   private def indexScanPairs(plan: LogicalPlan): Seq[(Attribute, Attribute)] =
-    plan.collectLeaves().flatMap {
+    plan match {
+      case _: Union => Seq.empty
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation
               if fs.partitionSchema.fieldNames.contains("first_letter") &&
                 indexCols.subsetOf(lr.output.map(_.name).toSet) =>
-            for {
+            (for {
               t <- lr.output.find(a => a.name == "term" && a.dataType == StringType)
               l <- lr.output.find(a => a.name == "first_letter" && a.dataType == StringType)
-            } yield (t, l)
-          case _ => None
+            } yield (t, l)).toSeq
+          case _ => Seq.empty
         }
-      case _ => None
+      case other => other.children.flatMap(indexScanPairs)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -92,11 +97,21 @@ object LetterPruningRule extends Rule[LogicalPlan] {
       case a: AttributeReference => a.exprId == term.exprId
       case _ => false
     }
+    // first CODE POINT, not first UTF-16 code unit: the indexer writes
+    // first_letter via Spark substring(term, 1, 1), which is code-point
+    // based — String.take(1) on a non-BMP term would inject a lone
+    // surrogate matching no partition and silently drop valid rows
+    def firstCp(s: String): String =
+      if (s.isEmpty) "" else s.substring(0, s.offsetByCodePoints(0, 1))
     conjuncts(cond).flatMap {
-      case EqualTo(a, l) if isTerm(a) => lit(l).map(_.take(1)).filter(_.nonEmpty).toSeq
-      case EqualTo(l, a) if isTerm(a) => lit(l).map(_.take(1)).filter(_.nonEmpty).toSeq
+      case EqualTo(a, l) if isTerm(a) => lit(l).map(firstCp).filter(_.nonEmpty).toSeq
+      case EqualTo(l, a) if isTerm(a) => lit(l).map(firstCp).filter(_.nonEmpty).toSeq
       case In(a, elems) if isTerm(a) && elems.nonEmpty && elems.forall(lit(_).isDefined) =>
-        elems.flatMap(e => lit(e).map(_.take(1)).filter(_.nonEmpty))
+        // if ANY element's letter is unrepresentable (empty string), this
+        // conjunct must contribute NOTHING — injecting the remaining
+        // letters would wrongly filter a term = '' row
+        val letters = elems.flatMap(e => lit(e).map(firstCp))
+        if (letters.exists(_.isEmpty)) Seq.empty else letters
       case _ => Seq.empty
     }.toSet
   }

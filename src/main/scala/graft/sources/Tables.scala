@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver's TPC-H-ish star schema plus the
   * text/embedding/event extension tables (see /root/repo/TESTDATA.md).
@@ -22,27 +24,75 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events parquet stores ns-precision timestamps, which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read them as raw nanos and
-    * floor-convert to a µs TimestampType — identical to what Spark's own
-    * ns→µs truncation would produce, and consistent with the DuckDB
-    * oracle's `epoch_ms` flooring.
+
+  /** Normalize an events frame's `ts` column to session-zoned TimestampType
+    * (µs precision) REGARDLESS of the physical encoding the driver used for
+    * `events.parquet`. The driver has shipped both TIMESTAMP(NANOS) — which
+    * Spark 4 surfaces as a raw LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. The
+    * reference engine has no schema pin to break (it re-reads whatever is
+    * in `./data/` per request, `/root/reference/worker.c:188-190`); this is
+    * the Spark-side equivalent: adapt to the file, never assume last
+    * round's encoding.
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set at build time in Bench/Verify/tests; there is no per-read parquet
-    * option for it, and mutating session config here would silently change
-    * schemas of unrelated parquet reads). `ts div 1000` truncates toward
-    * zero, which equals floor only for ts >= 0 — fine for this corpus
-    * (all timestamps post-1970 per TESTDATA.md); pre-epoch data would need
-    * an explicit floor-div.
+    *  - LongType (ns-as-long): floor-convert ns→µs. `div 1000` truncates
+    *    toward zero, which equals floor only for ts >= 0 — fine for this
+    *    corpus (all timestamps post-1970 per TESTDATA.md).
+    *  - TIMESTAMP_NTZ: cast to TimestampType. The session timezone is
+    *    pinned to UTC in every entry point, so the cast is wall-clock
+    *    identity and agrees with the DuckDB oracle's naive-timestamp math.
+    *  - TimestampType: already what we want.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true at session build time")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+  private[graft] def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case _: TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.$colName has unsupported physical type $other — " +
+          "expected ns-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+
+  /** Events with `ts` normalized to TimestampType whatever the parquet's
+    * physical timestamp encoding (see [[normalizeTs]]).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** Streaming reader over a directory of RAW driver-encoded events
+    * parquet: sniff the physical schema with a bounded batch read (the
+    * file(s) are already staged when this is called), declare exactly that
+    * schema on the file stream, then apply the same [[normalizeTs]] the
+    * batch path uses — so batch and streaming can never disagree about the
+    * timestamp encoding. `pathGlob` lets multi-dir stages (sentinel
+    * patterns) pass a star-glob over subdirectories while sniffing one
+    * known-real file.
+    */
+  private[graft] def eventsStream(s: SparkSession, sniffPath: String,
+                                  pathGlob: String,
+                                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val physical = s.read.parquet(sniffPath).schema
+    val reader = s.readStream.schema(physical)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    normalizeTs(reader.parquet(pathGlob))
   }
+
+  /** A literal epoch-ms timestamp encoded to MATCH `dt` — the sniffed
+    * physical `ts` type of a driver file being co-staged into the same
+    * streaming directory (sentinel rows must carry the same encoding or
+    * the declared stream schema cannot read both files).
+    */
+  private[graft] def tsLiteral(ms: Long, dt: DataType): Column = dt match {
+    case LongType             => lit(ms * 1000000L) // ns-as-long
+    case _: TimestampNTZType  => timestamp_millis(lit(ms)).cast(TimestampNTZType)
+    case _: TimestampType     => timestamp_millis(lit(ms))
+    case other => throw new IllegalStateException(
+      s"cannot encode sentinel ts as $other")
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -77,8 +77,8 @@ object StreamingDedup {
     */
   def dedupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
     StreamingIndexer.drainToTable(spark, sfDir, "documents.parquet",
-      "stream_dedup", drainScratch) { watch =>
-        spark.readStream
+      "stream_dedup", drainScratch) { (ss, watch) =>
+        ss.readStream
           .schema(DocSchema)
           .parquet(watch)
           .select(col("doc_id"), sha2(col("text"), 256).as("fp"))

@@ -44,45 +44,54 @@ object StreamingIndexer {
   private val indexScratch = new graft.util.ScratchSlot
   private val hourlyScratch = new graft.util.ScratchSlot
 
+  /** A cloned session for a bounded drain: shared SparkContext, PRIVATE
+    * SQLConf with the drain's narrow state partitioning. A bounded drain
+    * instantiates one state store per stateful op PER SHUFFLE PARTITION;
+    * at the drain's micro-batch sizes 32 stores are pure setup cost (the
+    * stream-stream join paid ~6 s). The state partitioning is pinned by
+    * the fresh checkpoint at batch 0, so narrowing it is invisible to
+    * results — an unbounded deployment would size it to the real key
+    * cardinality instead. Cloning (rather than set/restore on the shared
+    * session) means concurrent users of the caller's session never observe
+    * the override.
+    */
+  private[streaming] def drainSession(spark: SparkSession,
+                                      partitions: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss
+  }
+
   /** Stage one parquet file into a fresh watched directory, drain
-    * `mkStream(watchDir)` into a memory table with an AvailableNow
-    * trigger, and return the table. Scratch (staged copy + memory table)
-    * from the PREVIOUS invocation is disposed first — see
-    * [[graft.util.ScratchSlot]].
+    * `mkStream(session, watchDir)` into a memory table with an
+    * AvailableNow trigger, and return the table. The stream MUST be built
+    * on the session handed to `mkStream` (a [[drainSession]] clone).
+    * Scratch (staged copy + memory table) from the PREVIOUS invocation is
+    * disposed first — see [[graft.util.ScratchSlot]].
     */
   private[streaming] def drainToTable(
       spark: SparkSession, sfDir: String, file: String,
       prefix: String, slot: graft.util.ScratchSlot,
       mode: String = "complete") // append for joins — complete only fits aggregations
-      (mkStream: String => DataFrame): DataFrame = {
+      (mkStream: (SparkSession, String) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     slot.retire()
     val watch = Files.createTempDirectory(s"graft_${prefix}_")
     Files.copy(Paths.get(sfDir, file),
       watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
     val table = s"graft_${prefix}_${runSeq.incrementAndGet()}"
-    // a bounded drain instantiates one state store per stateful op PER
-    // SHUFFLE PARTITION; at the drain's micro-batch sizes 32 stores are
-    // pure setup cost (the stream-stream join paid ~6 s). The state
-    // partitioning is pinned by the fresh checkpoint at batch 0, so
-    // narrowing it here is invisible to results — an unbounded deployment
-    // would size it to the real key cardinality instead.
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try {
-      mkStream(watch.toString).writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(table)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-    } finally spark.conf.set(partKey, prev)
+    val ss = drainSession(spark)
+    mkStream(ss, watch.toString).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
     slot.defer(
-      () => { spark.catalog.dropTempView(table); () },
+      () => { ss.catalog.dropTempView(table); () },
       () => graft.util.Scratch.deleteRecursively(watch))
-    spark.table(table)
+    ss.table(table)
   }
 
   /** The full streaming index lifecycle as a BOUNDED, oracle-checkable
@@ -100,7 +109,7 @@ object StreamingIndexer {
     */
   def indexAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
     drainToTable(spark, sfDir, "documents.parquet", "stream_index",
-      indexScratch)(postingsStream(spark, _))
+      indexScratch)((ss, watch) => postingsStream(ss, watch))
       .select(substring(col("term"), 1, 1).as("first_letter"),
         col("term"), col("doc_id"), col("tf"))
       .orderBy("term", "doc_id")
@@ -122,20 +131,17 @@ object StreamingIndexer {
 
   /** Watermarked streaming window aggregation as a BOUNDED, oracle-checked
     * query — the same AvailableNow drain as [[indexAvailableNow]], applied
-    * to the canonical streaming shape. The events parquet stores ns
-    * timestamps, which the file streaming source reads as raw longs under
-    * the nanosAsLong flag; the µs floor-convert mirrors
-    * [[graft.sources.Tables.events]] so the oracle's hour buckets agree.
+    * to the canonical streaming shape. The staged file is the driver's RAW
+    * events parquet, whose physical timestamp encoding has drifted between
+    * rounds (ns-as-long, then µs NTZ) — so the reader sniffs the file's
+    * schema and routes through the SAME [[graft.sources.Tables.normalizeTs]]
+    * the batch path uses ([[graft.sources.Tables.eventsStream]]), keeping
+    * the oracle's hour buckets in agreement whatever the driver wrote.
     */
   def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
     drainToTable(spark, sfDir, "events.parquet", "stream_hourly",
-      hourlyScratch) { watch =>
-        hourlyWindows(spark.readStream
-          .schema(schema)
-          .parquet(watch)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      hourlyScratch) { (ss, watch) =>
+        hourlyWindows(graft.sources.Tables.eventsStream(ss, watch, watch))
       }
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
@@ -155,15 +161,11 @@ object StreamingIndexer {
     * oracle checks it bit-for-bit.
     */
   def enrichedSegmentRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    val dim = graft.sources.Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_mktsegment"))
     drainToTable(spark, sfDir, "events.parquet", "stream_enrich",
-      enrichScratch) { watch =>
-        spark.readStream
-          .schema(schema)
-          .parquet(watch)
+      enrichScratch) { (ss, watch) =>
+        val dim = graft.sources.Tables.customer(ss, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.sources.Tables.eventsStream(ss, watch, watch)
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .groupBy(col("c_mktsegment"), col("event_type"))
           .agg(count(lit(1)).as("n"),

@@ -27,17 +27,16 @@ object StreamingJoin {
     * bit-for-bit, so the SAME oracle SQL verifies it.
     */
   def purchaseViewsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
     val pairs = StreamingIndexer.drainToTable(spark, sfDir, "events.parquet",
-      "stream_ssjoin", ssScratch, mode = "append") { watch =>
-        // floor the ns event time to MILLISECONDS before watermarking:
-        // the batch oracle compares epoch-ms, and a view landing in the
-        // same ms as the purchase but a later µs must still join
-        val src = spark.readStream
-          .schema(schema)
-          .parquet(watch)
-          .withColumn("ts", expr("timestamp_millis(ts div 1000000)"))
+      "stream_ssjoin", ssScratch, mode = "append") { (ss, watch) =>
+        // floor the event time to MILLISECONDS before watermarking: the
+        // batch oracle compares epoch-ms, and a view landing in the same
+        // ms as the purchase but a later µs must still join. eventsStream
+        // sniffs the driver's physical ts encoding and normalizes to
+        // TimestampType first; unix_millis then truncates µs→ms (= floor
+        // for this post-epoch corpus).
+        val src = Tables.eventsStream(ss, watch, watch)
+          .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
           .withWatermark("v_ts", "2 hours")
@@ -82,16 +81,22 @@ object StreamingJoin {
     import spark.implicits._
     outerScratch.retire()
     val watch = java.nio.file.Files.createTempDirectory("graft_stream_ssouter_")
-    // stage the REAL events (original ns parquet, read raw below) and a
-    // sentinel file carrying one far-future row PER ROLE
+    // stage the REAL events (the driver's raw parquet, read raw below) and
+    // a sentinel file carrying one far-future row PER ROLE; the sentinel's
+    // ts is encoded to MATCH the driver file's sniffed physical type so one
+    // declared stream schema reads both files
+    val staged = watch.resolve("a_events")
     java.nio.file.Files.copy(java.nio.file.Paths.get(sfDir, "events.parquet"),
-      watch.resolve("a_events"), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val maxNs = Tables.events(spark, sfDir)
+      staged, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tsType = spark.read.parquet(staged.toString).schema("ts").dataType
+    val maxMs = Tables.events(spark, sfDir)
       .agg(max(unix_millis(col("ts"))).as("m")).head().getLong(0)
-    val sentinelMs = maxNs + (4L * 3600 * 1000) // 2h watermark + 1h bound + 1h margin
-    Seq((-1L, sentinelMs * 1000000L, -1L, "view", 0.0, ""),
-        (-2L, sentinelMs * 1000000L, -2L, "purchase", 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinelMs = maxMs + (4L * 3600 * 1000) // 2h watermark + 1h bound + 1h margin
+    Seq((-1L, "view"), (-2L, "purchase"))
+      .toDF("event_id", "event_type")
+      .select(col("event_id"), Tables.tsLiteral(sentinelMs, tsType).as("ts"),
+        col("event_id").as("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
       .coalesce(1).write.mode("overwrite")
       .parquet(watch.resolve("z_sentinel").toString)
     val now = System.currentTimeMillis()
@@ -100,41 +105,33 @@ object StreamingJoin {
       .foreach(f => { f.setLastModified(now + 60_000); () })
 
     val table = s"graft_stream_ssouter_${outerSeq.incrementAndGet()}"
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try {
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      val src = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch.toString + "/*")
-        .withColumn("ts", expr("timestamp_millis(ts div 1000000)"))
-      val views = src.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-        .withWatermark("v_ts", "2 hours")
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "2 hours")
-      purchases.join(views,
-          col("p_user") === col("v_user") &&
-            col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR") &&
-            col("v_ts") <= col("p_ts"),
-          "left_outer")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(table)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-    } finally spark.conf.set(partKey, prevParts)
+    val ss = StreamingIndexer.drainSession(spark)
+    val src = Tables.eventsStream(ss, staged.toString, watch.toString + "/*",
+        maxFilesPerTrigger = Some(1))
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
     outerScratch.defer(
-      () => { spark.catalog.dropTempView(table); () },
+      () => { ss.catalog.dropTempView(table); () },
       () => graft.util.Scratch.deleteRecursively(watch))
-    spark.table(table)
+    ss.table(table)
       .filter(col("p_user") >= 0) // drop the sentinel's own rows
       .groupBy(col("event_id"), col("p_user").as("user_id"),
         unix_millis(col("p_ts")).as("purchase_ms"))

@@ -148,29 +148,25 @@ object StreamingSessionize {
       .foreach(f => { f.setLastModified(now + 60_000); () })
     val table = s"graft_stream_sessions_${drainSeq.incrementAndGet()}"
     // narrow the drain's state partitioning like StreamingIndexer
-    // .drainToTable: 32 state stores are pure setup cost at drain sizes
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try {
-      sessionStreamFrom(spark,
-          spark.readStream
-            .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(watch.toString + "/*"))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(table)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-    } finally spark.conf.set(partKey, prevParts)
+    // .drainToTable — on a cloned session so the caller's conf is untouched
+    val ss = StreamingIndexer.drainSession(spark)
+    sessionStreamFrom(ss,
+        ss.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(watch.toString + "/*"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
     drainScratch.defer(
-      () => { spark.catalog.dropTempView(table); () },
+      () => { ss.catalog.dropTempView(table); () },
       () => graft.util.Scratch.deleteRecursively(watch))
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms"))
-    spark.table(table)
+    ss.table(table)
       .filter(col("user_id") >= 0)
       .withColumn("session_no", row_number().over(w).cast("long"))
       .select("user_id", "session_no", "session_start_ms", "session_end_ms",

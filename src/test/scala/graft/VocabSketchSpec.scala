@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IndexQueries
+
+/** Vocabulary-cardinality sketches: the declared KMV query (oracle-checked
+  * by the driver) and the library-only HLL++ variant, both audited here
+  * against the exact per-language distinct count.
+  */
+class VocabSketchSpec extends SparkTestBase {
+
+  private lazy val exact: Map[String, Long] =
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+      .groupBy("lang").agg(countDistinct("term").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("vocabKMV: exact_vocab column is exact; estimate within 50% of truth") {
+    val rows = IndexQueries.vocabKMV(spark, sf, 64).collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (lang, k, est, ex) = (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(ex == exact(lang), s"$lang exact_vocab $ex != ${exact(lang)}")
+      assert(k <= 64)
+      // KMV relative error ~ 1/sqrt(k) ≈ 12.5% at k=64; 50% is a loose
+      // deterministic bound that still catches a broken hash or formula
+      assert(est > ex / 2 && est < ex * 2, s"$lang KMV estimate $est vs exact $ex")
+    }
+  }
+
+  test("vocabApprox (HLL++): exact column exact; approx within rsd bounds") {
+    val rows = IndexQueries.vocabApprox(spark, sf).collect()
+    rows.foreach { r =>
+      val (lang, ex, approx) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(ex == exact(lang), s"$lang exact_vocab $ex != ${exact(lang)}")
+      assert(approx > ex * 0.9 && approx < ex * 1.1,
+        s"$lang HLL++ approx $approx vs exact $ex (rsd=0.01 requested)")
+    }
+  }
+}
