@@ -80,6 +80,9 @@ object SparkEntry {
     "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // BPE merge training: 3 driver-coordinated rounds over word types
     "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    // tokenizer APPLICATION: per-lang compression accounting of the
+    // corpus encoded with the learned merges (word-type granularity)
+    "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     // schema evolution: mergeSchema across generations, NULL backfill
     "q_schema_evolution" -> ((s, d) => Formats.schemaEvolutionRead(s, d)),
     // winnowing fingerprints in use: candidate near-dup pairs via shared
@@ -134,6 +137,14 @@ object SparkEntry {
     // its sketch values are Spark-implementation-specific)
     "q_vocab_kmv"      -> ((s, d) => IndexQueries.vocabKMV(s, d, 64)),
     "q_shingle_kmv"    -> ((s, d) => IndexQueries.shingleKMV(s, d, 64)),
+    // CMS / Bloom: engine-exact frequency and membership sketches with a
+    // probe-set audit (estimate-vs-truth, claimed-vs-actual)
+    "q_cms_counts"     -> ((s, d) => Sketches.cmsEstimate(s, d)),
+    "q_bloom_audit"    -> ((s, d) => Sketches.bloomAudit(s, d)),
+    // GPT-style concat-and-chunk sequence packing over the token stream
+    // (two-phase distributed prefix sum; no text moves)
+    "q_seq_packing"    -> ((s, d) => Packing.packingHistogram(s, d)),
+    "q_pack_summary"   -> ((s, d) => Packing.packingSummary(s, d)),
     "q_doc_similarity" -> ((s, d) => IndexQueries.docSimilarity(s, d, 5, 5)),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
     "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
@@ -321,6 +332,76 @@ object SparkEntry {
       |                     w -> w <> '') AS ts
       |  FROM documents
       |)""".stripMargin
+
+  /** DuckDB rendering of [[graft.functions.HashFunctions.polyFold64]]
+    * applied to column `c` — shared by the sketch oracles.
+    */
+  private def foldSql(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, len($c)+1), i -> CAST(ord(substr($c,i,1)) AS BIGINT))),
+       |    (acc,x) -> (acc*131+x) % 2147483647) * 4294967296 +
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, len($c)+1), i -> CAST(ord(substr($c,i,1)) AS BIGINT))),
+       |    (acc,x) -> (acc*257+x) % 4294967291)""".stripMargin
+
+  /** The CMS/Bloom depth-row constants and probe set as SQL fragments —
+    * MUST mirror [[graft.operators.Sketches]].
+    */
+  private val sketchRowsSql =
+    "(VALUES (0,1,0),(1,31,17),(2,131,257),(3,1031,4099)) v(d,a,b)"
+  private val sketchProbesSql =
+    graft.operators.Sketches.DefaultProbes
+      .map(p => s"('$p')").mkString("(VALUES ", ",", ") p(term)")
+
+  /** BPE training-round CTE chain (seq0 → t3): learned pairs t1..t3 and
+    * intermediate sequences, shared by the q_bpe_train and q_bpe_encode
+    * oracles. MUST replay graft.operators.TextAnalysis.bpeMergedSeq
+    * bit-for-bit (doubled-separator canonical merges).
+    */
+  private val bpeCte =
+    s"""WITH $toksCte, flat AS (
+         |  SELECT unnest(ts) AS word FROM toks
+         |), words AS (
+         |  SELECT word, count(*) AS freq FROM flat GROUP BY 1
+         |), seq0 AS (
+         |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, freq
+         |  FROM words
+         |), p1 AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
+         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq0),
+         |       unnest(range(1, len(syms))) u(i)
+         |), t1 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p1
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+         |), seq1 AS (
+         |  SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+         |           ' ' || (SELECT replace(pair, ' ', '  ') FROM t1) || ' ',
+         |           ' ' || (SELECT replace(pair, ' ', '') FROM t1) || ' '),
+         |           '  ', ' ')) AS s,
+         |         freq
+         |  FROM seq0
+         |), p2 AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
+         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq1),
+         |       unnest(range(1, len(syms))) u(i)
+         |), t2 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p2
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+         |), seq2 AS (
+         |  SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+         |           ' ' || (SELECT replace(pair, ' ', '  ') FROM t2) || ' ',
+         |           ' ' || (SELECT replace(pair, ' ', '') FROM t2) || ' '),
+         |           '  ', ' ')) AS s,
+         |         freq
+         |  FROM seq1
+         |), p3 AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
+         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq2),
+         |       unnest(range(1, len(syms))) u(i)
+         |), t3 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p3
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+         |)""".stripMargin
 
   /** Engine-exact SimHash signature CTE chain, ending in
     * `sig(doc_id, simhash)` — the two-modulus polynomial char-fold of
@@ -1020,6 +1101,85 @@ object SparkEntry {
          |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
          |       n_exact
          |FROM m, e""".stripMargin,
+    // CMS cells, probe buckets, and min-over-rows estimate all replayed
+    // from the same embedded (a,b) rows and probe literals
+    "q_cms_counts" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n
+         |       FROM toks, unnest(ts) AS u(t) GROUP BY 1),
+         |hh AS (SELECT term, n, ${foldSql("term")} AS h FROM tc),
+         |rws AS (SELECT * FROM $sketchRowsSql),
+         |cells AS (SELECT d, ((a*(h%2147483647)+b)%2147483647)%512 AS bucket,
+         |                 CAST(sum(n) AS BIGINT) AS cell
+         |          FROM hh CROSS JOIN rws GROUP BY 1, 2),
+         |pr AS (SELECT * FROM $sketchProbesSql),
+         |ph AS (SELECT term, ${foldSql("term")} AS h FROM pr),
+         |pc AS (SELECT term, d, ((a*(h%2147483647)+b)%2147483647)%512 AS bucket
+         |       FROM ph CROSS JOIN rws),
+         |est AS (SELECT pc.term,
+         |          min(coalesce(cells.cell, CAST(0 AS BIGINT))) AS cms_estimate
+         |        FROM pc LEFT JOIN cells USING (d, bucket) GROUP BY 1)
+         |SELECT est.term, CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+         |       CAST(coalesce(tc.n, 0) AS BIGINT) AS exact_count
+         |FROM est LEFT JOIN tc ON est.term = tc.term
+         |ORDER BY est.term""".stripMargin,
+    // Bloom bit set, probe positions, and the all-bits-set membership
+    // test; ground truth joined so false positives are visible
+    "q_bloom_audit" ->
+      s"""WITH $toksCte,
+         |vv AS (SELECT DISTINCT t AS term FROM toks, unnest(ts) AS u(t)),
+         |vh AS (SELECT term, ${foldSql("term")} AS h FROM vv),
+         |rws AS (SELECT * FROM $sketchRowsSql),
+         |bits AS (SELECT DISTINCT ((a*(h%2147483647)+b)%2147483647)%65536 AS pos
+         |         FROM vh CROSS JOIN rws),
+         |pr AS (SELECT * FROM $sketchProbesSql),
+         |ph AS (SELECT term, ${foldSql("term")} AS h FROM pr),
+         |pb AS (SELECT DISTINCT term,
+         |         ((a*(h%2147483647)+b)%2147483647)%65536 AS pos
+         |       FROM ph CROSS JOIN rws),
+         |np AS (SELECT term, count(*) AS n_pos FROM pb GROUP BY 1),
+         |ns AS (SELECT pb.term, count(*) AS n_set
+         |       FROM pb JOIN bits USING (pos) GROUP BY 1)
+         |SELECT np.term,
+         |       CAST(CASE WHEN coalesce(ns.n_set, 0) = np.n_pos
+         |            THEN 1 ELSE 0 END AS INTEGER) AS claimed_present,
+         |       CAST(CASE WHEN vv2.term IS NOT NULL
+         |            THEN 1 ELSE 0 END AS INTEGER) AS actually_present
+         |FROM np LEFT JOIN ns ON np.term = ns.term
+         |        LEFT JOIN vv vv2 ON np.term = vv2.term
+         |ORDER BY np.term""".stripMargin,
+    // concat-and-chunk packing: plain cumulative sum in the oracle's
+    // world; the engine's two-phase prefix sum must equal it exactly
+    "q_seq_packing" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, CAST(len(ts) + 1 AS BIGINT) AS n FROM toks),
+         |c AS (SELECT doc_id, n,
+         |        coalesce(sum(n) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+         |      FROM d),
+         |w AS (SELECT doc_id, n, CAST(st // 512 AS BIGINT) AS fw,
+         |             CAST((st + n - 1) // 512 AS BIGINT) AS lw
+         |      FROM c),
+         |e AS (SELECT unnest(range(fw, lw + 1)) AS window_id FROM w),
+         |g AS (SELECT window_id, CAST(count(*) AS BIGINT) AS docs_in_window
+         |      FROM e GROUP BY 1)
+         |SELECT docs_in_window, CAST(count(*) AS BIGINT) AS n_windows
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pack_summary" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, CAST(len(ts) + 1 AS BIGINT) AS n FROM toks),
+         |c AS (SELECT doc_id, n,
+         |        coalesce(sum(n) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+         |      FROM d),
+         |w AS (SELECT n, st // 512 AS fw, (st + n - 1) // 512 AS lw FROM c)
+         |SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN lw > fw THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_split_docs,
+         |       CAST(max(lw) + 1 AS BIGINT) AS n_windows,
+         |       CAST(sum(n) - max(lw) * 512 AS BIGINT) AS last_fill
+         |FROM w""".stripMargin,
     // FastSS candidates are an optimization only — the oracle is the
     // naive all-pairs edit-distance join over the (small) vocabulary
     "q_typo_pairs" ->
@@ -1760,54 +1920,39 @@ object SparkEntry {
     // BPE: the oracle replays the identical 3 merge rounds — weighted
     // pair argmax (count desc, pair asc) + sentinel-padded replace
     "q_bpe_train" ->
-      s"""WITH $toksCte, flat AS (
-         |  SELECT unnest(ts) AS word FROM toks
-         |), words AS (
-         |  SELECT word, count(*) AS freq FROM flat GROUP BY 1
-         |), seq0 AS (
-         |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, freq
-         |  FROM words
-         |), p1 AS (
-         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
-         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq0),
-         |       unnest(range(1, len(syms))) u(i)
-         |), t1 AS (
-         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p1
-         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
-         |), seq1 AS (
-         |  SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
-         |           ' ' || (SELECT replace(pair, ' ', '  ') FROM t1) || ' ',
-         |           ' ' || (SELECT replace(pair, ' ', '') FROM t1) || ' '),
-         |           '  ', ' ')) AS s,
-         |         freq
-         |  FROM seq0
-         |), p2 AS (
-         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
-         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq1),
-         |       unnest(range(1, len(syms))) u(i)
-         |), t2 AS (
-         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p2
-         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
-         |), seq2 AS (
-         |  SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
-         |           ' ' || (SELECT replace(pair, ' ', '  ') FROM t2) || ' ',
-         |           ' ' || (SELECT replace(pair, ' ', '') FROM t2) || ' '),
-         |           '  ', ' ')) AS s,
-         |         freq
-         |  FROM seq1
-         |), p3 AS (
-         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, freq
-         |  FROM (SELECT string_split(s, ' ') AS syms, freq FROM seq2),
-         |       unnest(range(1, len(syms))) u(i)
-         |), t3 AS (
-         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p3
-         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
-         |)
+      s"""$bpeCte
          |SELECT * FROM (
          |  SELECT 1 AS round, pair AS merged_pair, n AS pair_count FROM t1
          |  UNION ALL SELECT 2, pair, n FROM t2
          |  UNION ALL SELECT 3, pair, n FROM t3)
          |ORDER BY round""".stripMargin,
+    // tokenizer application: seq3 applies the third learned merge, then
+    // word-type token counts re-weight per language — the identical
+    // type-granularity encode the engine runs
+    "q_bpe_encode" ->
+      s"""$bpeCte, seq3 AS (
+         |  SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+         |           ' ' || (SELECT replace(pair, ' ', '  ') FROM t3) || ' ',
+         |           ' ' || (SELECT replace(pair, ' ', '') FROM t3) || ' '),
+         |           '  ', ' ')) AS s,
+         |         freq
+         |  FROM seq2
+         |), enc AS (
+         |  SELECT replace(s, ' ', '') AS word,
+         |         CAST(len(string_split(s, ' ')) AS BIGINT) AS n_bpe
+         |  FROM seq3
+         |), bl AS (
+         |  SELECT lang, t AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM toks, unnest(ts) AS u(t) GROUP BY 1, 2
+         |)
+         |SELECT lang,
+         |       CAST(sum(freq) AS BIGINT) AS n_ws_tokens,
+         |       CAST(sum(freq * len(word)) AS BIGINT) AS n_chars,
+         |       CAST(sum(freq * n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(sum(freq * len(word)) AS DOUBLE)
+         |             / sum(freq * n_bpe), 6) AS chars_per_bpe_token
+         |FROM bl JOIN enc USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // fingerprint-sharing candidate pairs, df-cutoff 10, >= 2 shared
     "q_winnow_pairs" ->
       s"""$winnowCte, sel2 AS (

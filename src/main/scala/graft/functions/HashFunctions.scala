@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 
 /** Deterministic multiplicative hashing shared by the sampling / privacy /
   * split / sketch operators. The product runs in DECIMAL(38,0) so ANY
@@ -17,4 +18,31 @@ object HashFunctions {
   /** (id · Knuth) mod `m`, exact for any 64-bit id. */
   def knuthMod(id: Column, m: Long): Column =
     ((id.cast("decimal(38,0)") * Knuth) % m).cast("long")
+
+  /** Two-modulus polynomial char-fold over a string column: 63
+    * well-defined bits (h1 mod 2^31−1 in the high word, h2 mod the
+    * largest 32-bit prime in the low), every step exact in Int64 — the
+    * SAME hash is computable in the DuckDB oracle via `list_reduce` over
+    * `ord(substr(...))`, which is what makes the sketch operators
+    * (SimHash, KMV, CMS, Bloom) engine-exact rather than
+    * implementation-specific.
+    */
+  def polyFold64(s: Column): Column = {
+    def fold(base: Int, mod: Long) = aggregate(
+      transform(sequence(lit(1), length(s)),
+        i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => (acc * base + c) % mod)
+    fold(131, 2147483647L) * lit(4294967296L) + fold(257, 4294967291L)
+  }
+
+  /** Driver-side twin of [[polyFold64]] for literal probe strings (probe
+    * bucket ids can then be computed once on the driver instead of
+    * re-folding per row). Identical arithmetic: ASCII code points, exact
+    * Int64.
+    */
+  def polyFold64Lit(s: String): Long = {
+    def fold(base: Long, mod: Long): Long =
+      s.foldLeft(0L)((acc, c) => (acc * base + c.toLong) % mod)
+    fold(131, 2147483647L) * 4294967296L + fold(257, 4294967291L)
+  }
 }

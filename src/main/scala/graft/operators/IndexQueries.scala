@@ -250,19 +250,12 @@ object IndexQueries {
     * — because every step is integer/IEEE-exact — the whole sketch is
     * oracle-checked, not just spec-bounded.
     */
-  /** Two-modulus polynomial char-fold over a string column — same
-    * construction as Dedup.polyHash; hash space H = (2^31 − 1) · 2^32
-    * (h1 strictly below 2^31 − 1 rounds to the modulus; uniform enough
-    * for a cardinality estimate). Every step exact in Int64, so DuckDB
-    * reproduces it bit-for-bit.
+  /** Hash space of [[graft.functions.HashFunctions.polyFold64]]:
+    * H = (2^31 − 1) · 2^32 (h1 strictly below 2^31 − 1 rounds to the
+    * modulus; uniform enough for a cardinality estimate).
     */
-  private def polyFold64(s: Column): Column = {
-    def fold(base: Int, mod: Long) = aggregate(
-      transform(sequence(lit(1), length(s)),
-        i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(0L), (acc, c) => (acc * base + c) % mod)
-    fold(131, 2147483647L) * lit(4294967296L) + fold(257, 4294967291L)
-  }
+  private def polyFold64(s: Column): Column =
+    graft.functions.HashFunctions.polyFold64(s)
 
   private val KmvHashSpace = 2147483647.0 * 4294967296.0
 

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** SEQUENCE PACKING — the final shape of a pretraining data pipeline:
+  * concatenate every document (plus one EOS sentinel token each) in
+  * deterministic doc_id order and chunk the stream into fixed-size
+  * context windows. The packing itself is a pure function of per-doc
+  * token counts and a global prefix sum; no text moves.
+  *
+  * The global prefix sum is the scale problem: a single
+  * `Window.orderBy(doc_id)` serializes the whole corpus through one
+  * partition. Instead it runs TWO-PHASE, the classic distributed scan:
+  * docs land in doc_id-range buckets, each bucket computes its LOCAL
+  * running sum in parallel (window partitioned by bucket), and the
+  * per-bucket totals — `nBuckets` rows, metadata-sized — get their own
+  * cumulative offsets on a tiny frame that is broadcast back. At 1000
+  * executors the only serial step is the nBuckets-row scan.
+  */
+object Packing {
+
+  /** Per-doc packing manifest: (doc_id, n_tokens, start_off, first/last
+    * window) — `contextLen`-token windows over the EOS-joined stream.
+    */
+  private[graft] def packManifest(spark: SparkSession, sfDir: String,
+                                      contextLen: Int,
+                                      nBuckets: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (size(tokens(col("text"))) + 1).cast("long").as("n_tokens")) // +1 EOS
+    // doc_ids are dense from 0 (TESTDATA.md), so fixed-width ranges keep
+    // buckets balanced AND doc_id-ordered; the max-id lookup is one scalar
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val bSize = math.max(1L, maxId / nBuckets + 1)
+    val bucketed = docs.withColumn("bucket", expr(s"doc_id div $bSize"))
+    val localCum = bucketed.withColumn("local_cum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("bucket").orderBy("doc_id")) - col("n_tokens"))
+    val bucketTotals = bucketed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btot"))
+    val bucketOffsets = bucketTotals.withColumn("boff",
+      coalesce(sum(col("btot")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "boff")
+    localCum.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("start_off", col("boff") + col("local_cum"))
+      // `div`, not `/`: Column./ is true division (double) on longs
+      .withColumn("first_window", expr(s"start_off div $contextLen"))
+      .withColumn("last_window",
+        expr(s"(start_off + n_tokens - 1) div $contextLen"))
+      .select("doc_id", "n_tokens", "start_off", "first_window", "last_window")
+  }
+
+  /** Packing REPORT: how many context windows hold how many (partial or
+    * whole) documents — the fill-fragmentation histogram a data engineer
+    * reads before a training run (a long docs_in_window tail means the
+    * context length fragments documents; a fat docs_in_window=1 bucket at
+    * small counts means padding waste in unpacked loaders). One explode
+    * of each doc into the windows it touches (total rows =
+    * n_docs + n_windows − 1, linear), two small aggregations.
+    */
+  def packingHistogram(spark: SparkSession, sfDir: String,
+                       contextLen: Int = 512): DataFrame =
+    packManifest(spark, sfDir, contextLen)
+      .select(explode(sequence(col("first_window"), col("last_window")))
+        .as("window_id"))
+      .groupBy("window_id").agg(count(lit(1)).as("docs_in_window"))
+      .groupBy("docs_in_window").agg(count(lit(1)).as("n_windows"))
+      .orderBy("docs_in_window")
+
+  /** Packing SUMMARY: corpus-level invariants of the same manifest —
+    * total token stream length, window count, boundary-splitting doc
+    * count, and the exact fill of the final (only non-full) window.
+    */
+  def packingSummary(spark: SparkSession, sfDir: String,
+                     contextLen: Int = 512): DataFrame =
+    packManifest(spark, sfDir, contextLen)
+      .agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("last_window") > col("first_window"), 1L).otherwise(0L))
+          .as("n_split_docs"),
+        (max(col("last_window")) + 1).as("n_windows"))
+      .withColumn("last_fill",
+        col("total_tokens") - (col("n_windows") - 1) * contextLen)
+}

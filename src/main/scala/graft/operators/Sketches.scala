@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Mergeable frequency/membership sketches over the corpus vocabulary —
+  * the bounded-memory summaries a 100 TB pipeline ships between stages
+  * instead of the data itself (a CMS answers "how often?" in O(d·w), a
+  * Bloom filter answers "seen before?" in m bits; both union across
+  * shards by cellwise add / bitwise or).
+  *
+  * Everything here is a pure deterministic function of the data: bucket
+  * hashing is the engine-exact polynomial fold
+  * ([[graft.functions.HashFunctions.polyFold64]]) pushed through pairwise-
+  * independent `(a·h + b) mod P` rows, so the DuckDB oracle reproduces
+  * every cell, estimate, and membership bit — unlike Spark's built-in
+  * CountMinSketch/BloomFilter aggregates, whose layouts are
+  * implementation-specific and unverifiable across engines.
+  *
+  * The reference has no sketches — its closest analogue is the exact awk
+  * count-by-term reduce (`/root/reference/helper_reduce.c:141-160`); these
+  * are the sublinear summaries that replace exact counting when the
+  * vocabulary no longer fits a reducer.
+  */
+object Sketches {
+
+  private val P = 2147483647L // 2^31 − 1; (a·h' + b) stays well inside Int64
+
+  /** Depth-row parameters: small odd multipliers/offsets, fixed so both
+    * engines embed the same constants.
+    */
+  private val RowA = Seq(1L, 31L, 131L, 1031L)
+  private val RowB = Seq(0L, 17L, 257L, 4099L)
+  val Depth: Int = RowA.length
+
+  /** Bucket of hash `h` in row `d` with `width` buckets — all arithmetic
+    * mod P first so products never exceed 2^62.
+    */
+  private def bucket(h: Column, d: Int, width: Int): Column =
+    ((lit(RowA(d)) * (h % P) + lit(RowB(d))) % P) % width
+
+  private def bucketLit(h: Long, d: Int, width: Int): Long =
+    ((RowA(d) * (((h % P) + P) % P) + RowB(d)) % P) % width
+
+  /** COUNT-MIN SKETCH estimate vs exact truth for a fixed probe-term set.
+    *
+    * Build: one pass over the (term, total-tf) relation — itself one
+    * map-side-combined shuffle — exploding each term into its `Depth`
+    * (row, bucket) cells and summing; the materialized sketch is
+    * `Depth × width` cells regardless of corpus size. Serve: probe cells
+    * are computed DRIVER-SIDE from the literal probe strings (the same
+    * fold, [[HashFunctions.polyFold64Lit]]), so lookup touches `Depth`
+    * cells per probe — the sketch table is broadcast-joined against the
+    * tiny probe list, never shuffled. estimate = min over rows
+    * (CMS guarantee: estimate ≥ truth, overshoot bounded by collisions
+    * at ~N/width per row).
+    */
+  def cmsEstimate(spark: SparkSession, sfDir: String,
+                  width: Int = 512,
+                  probes: Seq[String] = DefaultProbes): DataFrame = {
+    import spark.implicits._
+    val termCounts = Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val h = HashFunctions.polyFold64(col("term"))
+    val cells = termCounts
+      .select(col("n"), posexplode(array(
+        (0 until Depth).map(d => bucket(h, d, width)): _*)).as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(sum(col("n")).as("cell"))
+    val probeCells = probes.flatMap { t =>
+      val ph = HashFunctions.polyFold64Lit(t)
+      (0 until Depth).map(d => (t, d, bucketLit(ph, d, width)))
+    }.toDF("term", "d", "bucket")
+    val est = probeCells.join(cells, Seq("d", "bucket"), "left")
+      .groupBy("term")
+      // an empty cell means nothing hashed there: the row's count is 0
+      .agg(min(coalesce(col("cell"), lit(0L))).as("cms_estimate"))
+    // semi-join the corpus-scale counts down to the probe rows FIRST
+    // (probes broadcast, map-side) — joining the 9-row estimate frame
+    // left-outer against the full vocabulary would shuffle the vocabulary
+    val exact = termCounts
+      .join(broadcast(probes.toDF("term")), Seq("term"), "left_semi")
+      .withColumnRenamed("n", "exact_count")
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), col("cms_estimate"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+      .orderBy("term")
+  }
+
+  /** BLOOM-FILTER membership audit for a fixed probe set.
+    *
+    * Build: the distinct vocabulary explodes into `Depth` bit positions
+    * (same hash rows as the CMS, modulus `mBits`); the filter is the
+    * DISTINCT position set — at most mBits rows, unioned across shards by
+    * plain distinct. Serve: probe positions are driver-computed literals;
+    * a probe is CLAIMED present iff all `Depth` of its bits are set.
+    * Reported against ground truth, so false positives are visible as
+    * claimed=1/actual=0 rows (false negatives are impossible — the audit
+    * doubles as a correctness proof of the filter).
+    */
+  def bloomAudit(spark: SparkSession, sfDir: String,
+                 mBits: Int = 65536,
+                 probes: Seq[String] = DefaultProbes): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("term"))
+      .distinct()
+    val h = HashFunctions.polyFold64(col("term"))
+    val bits = vocab
+      .select(explode(array(
+        (0 until Depth).map(d => bucket(h, d, mBits)): _*)).as("pos"))
+      .distinct()
+    val probeBits = probes.flatMap { t =>
+      val ph = HashFunctions.polyFold64Lit(t)
+      (0 until Depth).map(d => (t, bucketLit(ph, d, mBits)))
+    }.toDF("term", "pos").distinct()
+    val claimed = probeBits.join(bits, Seq("pos"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n_set"))
+    val nPos = probeBits.groupBy("term").agg(count(lit(1)).as("n_pos"))
+    // ground truth via semi-join (probes broadcast, map-side) — a
+    // left-outer against the corpus-scale vocabulary would shuffle it
+    val actual = vocab
+      .join(broadcast(probes.toDF("term")), Seq("term"), "left_semi")
+      .withColumn("present", lit(1))
+    nPos.join(claimed, Seq("term"), "left")
+      .join(actual, Seq("term"), "left")
+      .select(col("term"),
+        (coalesce(col("n_set"), lit(0L)) === col("n_pos"))
+          .cast("int").as("claimed_present"),
+        coalesce(col("present"), lit(0)).as("actually_present"))
+      .orderBy("term")
+  }
+
+  /** Probe mix: common terms, mid-frequency terms, and absent terms (the
+    * absent ones are what exercise the CMS overshoot and Bloom
+    * false-positive paths).
+    */
+  val DefaultProbes: Seq[String] = Seq(
+    "the", "of", "and", "data", "system", "quick",
+    "zyzzyva", "notaword", "qqqq")
+}

@@ -654,8 +654,15 @@ object TextAnalysis {
     * would consume the shared separator and skip every other merge. The
     * DuckDB oracle replays the identical rounds bit-for-bit.
     */
-  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
-    import spark.implicits._
+  /** The training loop shared by [[bpeTrain]] (reports the learned
+    * merges) and [[bpeEncode]] (applies them): returns the final merged
+    * symbol sequence per word TYPE and the per-round (pair, count) log.
+    * NOTE [[bpeTrain]] reports `rounds` learned pairs but its published
+    * contract applies only the first `rounds − 1` merges before counting
+    * the last round's pairs; the ENCODE path applies all `rounds`.
+    */
+  private[graft] def bpeMergedSeq(spark: SparkSession, sfDir: String,
+                                  rounds: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     val words = Tables.documents(spark, sfDir)
       .select(explodedTokens(col("text")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -681,7 +688,42 @@ object TextAnalysis {
           s"' $pairD ', ' $merged '), '  ', ' ')"))
         .as("s"), col("freq"))
     }
-    learned.toSeq.toDF("round", "merged_pair", "pair_count").orderBy("round")
+    (seq, learned.toSeq)
+  }
+
+  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    bpeMergedSeq(spark, sfDir, rounds)._2
+      .toDF("round", "merged_pair", "pair_count").orderBy("round")
+  }
+
+  /** TOKENIZER APPLICATION — encode the corpus with the merges [[bpeTrain]]
+    * learned and report per-language compression: whitespace-token count,
+    * character count (the char-level starting symbols), BPE-token count
+    * after `rounds` merges, and chars-per-BPE-token. Encoding happens at
+    * WORD-TYPE granularity (the merged form of each distinct word is
+    * computed once) and re-weights by per-language occurrence counts on
+    * the join back — the token stream itself is never re-tokenized, which
+    * is what makes applying a tokenizer tractable inside the engine at
+    * 100 TB (the real byte-level encode runs in the loader; this is the
+    * pipeline's compression accounting of it).
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
+    val (seq, _) = bpeMergedSeq(spark, sfDir, rounds)
+    val encoded = seq.select(
+      regexp_replace(col("s"), " ", "").as("word"),
+      size(split(col("s"), " ")).cast("long").as("n_bpe"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explodedTokens(col("text")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .join(encoded, "word")
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_ws_tokens"),
+        sum(col("freq") * length(col("word"))).as("n_chars"),
+        sum(col("freq") * col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy("lang")
   }
 
   /** The winnowing SELECTION (doc_id, n_grams, minkey) — shared by the

@@ -78,7 +78,17 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_quota_cap"       -> 2, // ONE source exchange (count + rank windows + rollup) + order
     "q_winnow_pairs"    -> 4, // selection (1 doc exchange) + fp df agg + pair agg + order; rare set broadcasts
     "q_postings_delta"  -> 1, // ONE term exchange (lag window + rollup ride it); top-100 via TakeOrdered
-    "q_json_extract"    -> 2  // map-side parse + type agg + order
+    "q_json_extract"    -> 2,  // map-side parse + type agg + order
+    // round-9 sketch/packing/tokenizer queries: the only FULL-data
+    // exchanges are the sketch/count builds; everything after is
+    // cell-table- or probe-sized (semi joins push below the aggs)
+    "q_cms_counts"      -> 5, // term agg + cell agg + tiny est/exact aggs + order
+    "q_bloom_audit"     -> 8, // vocab distinct + bit distinct + probe-sized aggs + order
+    "q_seq_packing"     -> 6, // bucket window + totals + offsets + 2 rollups + order
+    "q_pack_summary"    -> 4, // bucket window + totals + offsets + 1-row final
+    "q_bpe_encode"      -> 4, // word agg + (lang,word) agg + lang agg + order
+    "q_vocab_kmv"       -> 3, // (lang,term) distinct + ONE lang exchange + order
+    "q_simhash_pairs"   -> 3  // tok agg + signature agg + order; chunk join broadcasts at test scale
   )
 
   budgets.foreach { case (name, budget) =>

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sketches}
+
+/** Invariants of the sketch and packing operators beyond the oracle's
+  * value equality: the CMS one-sided error bound, Bloom's
+  * no-false-negative guarantee, and conservation laws of the packing
+  * manifest.
+  */
+class SketchesPackingSpec extends SparkTestBase {
+
+  test("CMS: estimate >= exact for every probe; exact for absent terms' truth") {
+    val rows = Sketches.cmsEstimate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (term, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS underestimated $term: $est < $exact")
+    }
+    val absent = rows.filter(_.getString(0) == "zyzzyva")
+    assert(absent.length == 1 && absent.head.getLong(2) == 0L)
+  }
+
+  test("Bloom: no false negatives — every present probe is claimed present") {
+    val rows = Sketches.bloomAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (term, claimed, actual) = (r.getString(0), r.getInt(1), r.getInt(2))
+      if (actual == 1)
+        assert(claimed == 1, s"Bloom false negative on $term")
+    }
+  }
+
+  test("packing: window coverage conserves tokens and matches the summary") {
+    val C = 512
+    val sum = Packing.packingSummary(spark, sf, C).head()
+    val (total, nDocs, nWindows, lastFill) =
+      (sum.getLong(0), sum.getLong(1), sum.getLong(3), sum.getLong(4))
+    assert(nWindows == (total + C - 1) / C,
+      s"window count $nWindows != ceil($total / $C)")
+    assert(lastFill > 0 && lastFill <= C)
+    val hist = Packing.packingHistogram(spark, sf, C)
+    // every window appears exactly once in the histogram's expansion
+    val histWindows = hist.agg(
+      org.apache.spark.sql.functions.sum(col("n_windows"))).head().getLong(0)
+    assert(histWindows == nWindows,
+      s"histogram covers $histWindows windows, summary says $nWindows")
+    // doc fragments: each split doc adds one fragment per extra window
+    val fragments = hist.agg(org.apache.spark.sql.functions.sum(
+      col("docs_in_window") * col("n_windows"))).head().getLong(0)
+    assert(fragments >= nDocs)
+    // two-phase prefix sum must tile the stream: fragments = n_docs +
+    // boundary crossings
+    val manifest = Packing.packManifest(spark, sf, C)
+    val crossings = manifest.agg(org.apache.spark.sql.functions.sum(
+      col("last_window") - col("first_window"))).head().getLong(0)
+    assert(fragments == nDocs + crossings)
+  }
+
+  test("packing: bucket count does not change the prefix sum") {
+    val a = Packing.packManifest(spark, sf, 512, nBuckets = 1)
+      .select("doc_id", "start_off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Packing.packManifest(spark, sf, 512, nBuckets = 7)
+      .select("doc_id", "start_off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, "two-phase prefix sum depends on bucket count")
+  }
+}
