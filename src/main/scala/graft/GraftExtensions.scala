@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.FunctionRegistryBridge
 
-import graft.functions.{CosineSimilarity, PolyHash}
+import graft.functions.{CosineSimilarity, PolyFold64, PolyHash}
 
 /** SQL-surface registration for graft's native expressions, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in —
@@ -41,6 +41,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "poly_hash(s) takes one argument")
         PolyHash(args.head)
+      }),
+    (new FunctionIdentifier("poly_fold64"),
+      new ExpressionInfo(classOf[PolyFold64].getName, "poly_fold64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_fold64(s) takes one argument")
+        PolyFold64(args.head)
       }))
 
   /** Register every graft function into a live session's registry. */

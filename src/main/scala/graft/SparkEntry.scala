@@ -315,6 +315,10 @@ object SparkEntry {
     // the batch oracle
     "q_streaming_sessions" -> ((s, d) => graft.streaming.StreamingSessionize.sessionsAvailableNow(s, d)),
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
+    // event-time RANGE frame (INTERVAL 1 HOUR PRECEDING) per user
+    "q_user_activity_window" -> ((s, d) => Events.userActivityWindow(s, d)),
+    // CUBE(source, lang): Expand-based multi-level rollup + grouping_id
+    "q_mixture_cube"   -> ((s, d) => TextAnalysis.mixtureCube(s, d)),
     "q_type_shares"    -> ((s, d) => Events.typeShares(s, d)),
     "q_top_users"      -> ((s, d) => Events.topUsers(s, d))
   )
@@ -2410,6 +2414,26 @@ object SparkEntry {
         |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS duration_s
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+    // event-time RANGE frame: both engines' RANGE BETWEEN includes ms
+    // peers; the decimal sum makes frame addition order irrelevant
+    "q_user_activity_window" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+        |                  CAST(value AS DECIMAL(14,2)) AS v
+        |           FROM events WHERE user_id < 30)
+        |SELECT event_id, user_id, event_type, ms,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+        |       CAST(sum(v) OVER w AS DOUBLE) AS value_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // CUBE: same grouping-set bit order (first column = high bit)
+    "q_mixture_cube" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
     // interval join: the oracle is the naive range join; the Spark plan
     // bins time so candidates stay bounded (Events.viewsBeforePurchase)
     "q_views_before_purchase" ->

@@ -25,9 +25,16 @@ object HashFunctions {
     * SAME hash is computable in the DuckDB oracle via `list_reduce` over
     * `ord(substr(...))`, which is what makes the sketch operators
     * (SimHash, KMV, CMS, Bloom) engine-exact rather than
-    * implementation-specific.
+    * implementation-specific. Dispatches to the native codegen'd
+    * [[PolyFold64]] expression; [[polyFold64Hof]] keeps the built-ins-only
+    * form for the equivalence spec.
     */
-  def polyFold64(s: Column): Column = {
+  def polyFold64(s: Column): Column = PolyFold64Expr.polyFold64(s)
+
+  /** The same fold via higher-order built-ins (ascii code points) — the
+    * reference implementation the native expression is pinned against.
+    */
+  def polyFold64Hof(s: Column): Column = {
     def fold(base: Int, mod: Long) = aggregate(
       transform(sequence(lit(1), length(s)),
         i => ascii(s.substr(i, lit(1))).cast("long")),

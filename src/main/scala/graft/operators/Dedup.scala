@@ -179,30 +179,18 @@ object Dedup {
     verifyPairs(shingleIndex(spark, sfDir), cand, threshold)
   }
 
-  /** Two-modulus polynomial char-fold hash: 63 well-defined bits
-    * (h1 mod 2^31−1 in the high word, h2 mod the largest 32-bit prime in
-    * the low), every step exact in Int64 — so the SAME hash is computable
-    * in the DuckDB oracle via `list_reduce` over `ord(substr(...))`,
-    * making the whole SimHash pipeline engine-exact (unlike xxhash64,
-    * which only Spark implements).
-    */
-  private def polyHash(term: Column, base: Int, mod: Long): Column =
-    aggregate(
-      transform(sequence(lit(1), length(term)),
-        i => ascii(term.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * base + c) % mod)
-
   /** 64-bit SimHash signatures over tf-weighted token hashes.
     * bit_i(sig) = sign of Σ_tokens tf · (±1 per hash bit) — one shuffle.
+    * The token hash is the shared two-modulus polynomial fold
+    * ([[graft.functions.HashFunctions.polyFold64]], native codegen'd
+    * expression), exact Int64 both engines reproduce — unlike xxhash64,
+    * which only Spark implements.
     */
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explodedTokens(col("text")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h",
-        polyHash(col("term"), 131, 2147483647L) * lit(4294967296L) +
-          polyHash(col("term"), 257, 4294967291L))
+      .withColumn("h", graft.functions.HashFunctions.polyFold64(col("term")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"s$i")

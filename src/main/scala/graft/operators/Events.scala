@@ -29,6 +29,34 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour", "event_type")
 
+  /** RANGE-frame moving aggregate — the event-TIME window frame (not row
+    * count): for each event of the audited user subset, how many events
+    * and how much value the SAME user produced in the preceding hour,
+    * `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW` expressed
+    * as a millisecond rangeBetween. The per-user frame scan rides ONE
+    * user-keyed exchange; the user filter is pushed to the parquet scan,
+    * so work is proportional to the audited subset, not the feed. Value
+    * sums run in decimal so frame-internal addition order can't wobble
+    * the double (the oracle computes the identical frame).
+    */
+  def userActivityWindow(spark: SparkSession, sfDir: String,
+                         maxUser: Long = 30): DataFrame = {
+    val byUserRange = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < maxUser)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        col("value").cast("decimal(14,2)").as("v"))
+      .withColumn("n_events_1h", count(lit(1)).over(byUserRange))
+      .withColumn("value_1h",
+        sum(col("v")).over(byUserRange).cast("double"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ms"), col("n_events_1h"), col("value_1h"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization: a session breaks after a 30-minute inactivity gap.
     * lag → gap flag → running sum = session number (one shuffle on
     * user_id; the standard sessionize-without-UDF shape).

@@ -444,6 +444,22 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** CUBE over (source, lang) — the multi-level OLAP rollup
+    * (GROUPING SETS / Expand-based aggregation, an operator class nothing
+    * else in the surface exercises): per-cell, per-source, per-lang, and
+    * grand totals in ONE pass over the corpus, disambiguated by
+    * grouping_id. The Expand multiplies rows by the 4 grouping sets
+    * BEFORE the exchange, but partial aggregation collapses them
+    * map-side, so the shuffle still carries only distinct group cells.
+    */
+  def mixtureCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy("gid", "source", "lang")
+
   /** Sequence-length histogram: document token counts bucketed by
     * `bucketWidth` — the distribution a packing planner reads to pick its
     * context budget (how much padding/truncation each budget would cost).

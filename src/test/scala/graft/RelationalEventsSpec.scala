@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Events, Relational}
 import graft.sources.Tables
 
@@ -95,6 +97,21 @@ class RelationalEventsSpec extends SparkTestBase {
       // max possible span: every consecutive gap just under 30 min
       assert(dur <= (n - 1) * 30 * 60 + 1,
         s"session longer than (n-1)×gap: $r")
+    }
+  }
+
+  test("RANGE-frame activity window: self-inclusive and monotone vs frame") {
+    val rows = Events.userActivityWindow(spark, sf, maxUser = 10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events_1h") >= 1, s"frame excludes self: $r")
+    }
+    // an event's frame count can never exceed the user's total events
+    val totals = Tables.events(spark, sf).filter(col("user_id") < 10)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events_1h") <= totals(r.getAs[Long]("user_id")))
     }
   }
 

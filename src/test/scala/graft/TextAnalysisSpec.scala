@@ -81,4 +81,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows.exists(r => r._3 < r._2),
       "every shingle counted as boilerplate — threshold not biting")
   }
+
+  test("mixture cube: grouping sets tile — grand total equals corpus count") {
+    val rows = TextAnalysis.mixtureCube(spark, sf).collect()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_docs") == total)
+    // each grouping level partitions the corpus
+    Seq(0L, 1L, 2L).foreach { gid =>
+      val level = rows.filter(_.getAs[Long]("gid") == gid)
+      assert(level.map(_.getAs[Long]("n_docs")).sum == total,
+        s"grouping level $gid does not tile the corpus")
+    }
+  }
 }
