@@ -270,13 +270,34 @@ object Dedup {
 
   private[graft] def dupClustersFromPairs(spark: SparkSession,
                                           pairs: DataFrame): DataFrame = {
-    // symmetric edge list, materialized once — reused every round
-    val edges = pairs
+    // symmetric edge list, materialized once — reused every round; the
+    // edge count rides the checkpoint job as an observe metric (no
+    // separate count action)
+    val obsEdges = new org.apache.spark.sql.Observation("graft_cc_edges")
+    val edges0 = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .observe(obsEdges, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    val nEdges = obsEdges.get.get("n") match {
+      case Some(n: Number) => n.longValue()
+      case _ => 0L
+    }
+    // size the LOOP's partitioning to the pair graph, not the session
+    // default: the graph is the dedup OUTPUT (pairs ≪ corpus), and every
+    // round re-exchanges only it — at drain/test sizes the session's 32
+    // partitions are per-round task-setup overhead, while a cluster-scale
+    // graph scales the count back up (~500k edges per partition). The
+    // explicit repartition on the key also pre-satisfies the join and
+    // aggregation distributions below, so each round is ONE narrow
+    // exchange (one extra setup checkpoint pays for itself by round two).
+    val nParts = math.max(4, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (nEdges / 500000L).toInt + 1))
+    val edges = edges0.repartition(nParts, col("src")).localCheckpoint(true)
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l"))
+      .repartition(nParts, col("v"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -294,6 +315,7 @@ object Dedup {
         .select(col("dst").as("v"), col("l"), lit(false).as("own"))
       val next = labels.select(col("v"), col("l"), lit(true).as("own"))
         .unionAll(viaEdges)
+        .repartition(nParts, col("v"))
         .groupBy("v")
         .agg(min("l").as("new_l"), max(when(col("own"), col("l"))).as("old_l"))
         .observe(obs,

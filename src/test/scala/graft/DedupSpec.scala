@@ -110,9 +110,10 @@ class DedupSpec extends SparkTestBase {
       Thread.sleep(200)
     }
     spark.sparkContext.removeSparkListener(listener)
-    assert(jobs.get() <= 7,
+    assert(jobs.get() <= 8,
       s"propagation used ${jobs.get()} jobs for 5 rounds — " +
-        "expected one per round plus 2 setup checkpoints")
+        "expected one per round plus 3 setup checkpoints (raw edges with " +
+        "observed count, graph-sized repartition, initial labels)")
     val got = labels.as[(Long, Long, Long)].collect().toSet
     assert(got === (30L to 34L).map(v => (v, 30L, 5L)).toSet)
   }
