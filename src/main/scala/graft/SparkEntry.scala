@@ -141,6 +141,13 @@ object SparkEntry {
     // probe-set audit (estimate-vs-truth, claimed-vs-actual)
     "q_cms_counts"     -> ((s, d) => Sketches.cmsEstimate(s, d)),
     "q_bloom_audit"    -> ((s, d) => Sketches.bloomAudit(s, d)),
+    // fixed-bin histogram percentile estimation vs exact truth — the
+    // approximate-quantile shape that avoids the global sort at scale
+    "q_hist_percentiles" -> ((s, d) => Sketches.histPercentiles(s, d)),
+    // CMS maintained as streaming state; drained state ≡ the batch
+    // sketch because cellwise add IS the sketch merge
+    "q_streaming_cms"  -> ((s, d) =>
+      graft.streaming.StreamingSketch.cmsCellsAvailableNow(s, d)),
     // GPT-style concat-and-chunk sequence packing over the token stream
     // (two-phase distributed prefix sum; no text moves)
     "q_seq_packing"    -> ((s, d) => Packing.packingHistogram(s, d)),
@@ -1152,6 +1159,42 @@ object SparkEntry {
          |FROM np LEFT JOIN ns ON np.term = ns.term
          |        LEFT JOIN vv vv2 ON np.term = vv2.term
          |ORDER BY np.term""".stripMargin,
+    // histogram percentiles: identical bin geometry, cumulative
+    // crossing, and interpolation arithmetic in both engines; exact
+    // truth via percentile/quantile_cont (same type-7 interpolation)
+    "q_hist_percentiles" ->
+      """WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax,
+        |                  CAST(count(*) AS BIGINT) AS n,
+        |                  quantile_cont(value, [0.5, 0.95, 0.99]) AS ex
+        |           FROM events),
+        |b AS (SELECT CASE WHEN vmax = vmin THEN 0
+        |             ELSE CAST(least(floor((value - vmin) / ((vmax - vmin) / 1000)), 999) AS BIGINT)
+        |             END AS bin,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events, s GROUP BY 1),
+        |c AS (SELECT bin, cnt,
+        |             CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        |      FROM b),
+        |t AS (SELECT i, CAST(p AS DOUBLE) AS p
+        |      FROM (VALUES (1, 0.5), (2, 0.95), (3, 0.99)) pp(i, p)),
+        |x AS (SELECT t.p, t.p * s.n AS tgt, s.ex[t.i] AS exact_v,
+        |             s.vmin, (s.vmax - s.vmin) / 1000 AS w
+        |      FROM t, s)
+        |SELECT x.p,
+        |       round(x.vmin + x.w * (c.bin + (x.tgt - (c.cum - c.cnt)) / c.cnt), 4) AS est_value,
+        |       round(x.exact_v, 4) AS exact_value,
+        |       round(abs(x.vmin + x.w * (c.bin + (x.tgt - (c.cum - c.cnt)) / c.cnt) - x.exact_v), 4) AS abs_err
+        |FROM x JOIN c ON (c.cum - c.cnt) < x.tgt AND x.tgt <= c.cum
+        |ORDER BY x.p""".stripMargin,
+    // streaming CMS state ≡ the batch sketch (sum aggregation is
+    // arrival-order-proof); same embedded (a,b) rows as q_cms_counts
+    "q_streaming_cms" ->
+      s"""WITH rws AS (SELECT * FROM $sketchRowsSql)
+         |SELECT d,
+         |       ((a * (user_id % 2147483647) + b) % 2147483647) % 256 AS bucket,
+         |       CAST(count(*) AS BIGINT) AS cell
+         |FROM events CROSS JOIN rws
+         |GROUP BY 1, 2 ORDER BY d, bucket""".stripMargin,
     // concat-and-chunk packing: plain cumulative sum in the oracle's
     // world; the engine's two-phase prefix sum must equal it exactly
     "q_seq_packing" ->

@@ -38,9 +38,10 @@ object Sketches {
   val Depth: Int = RowA.length
 
   /** Bucket of hash `h` in row `d` with `width` buckets — all arithmetic
-    * mod P first so products never exceed 2^62.
+    * mod P first so products never exceed 2^62. Exposed for the
+    * streaming sketch maintainer (any nonnegative long key works as `h`).
     */
-  private def bucket(h: Column, d: Int, width: Int): Column =
+  private[graft] def bucket(h: Column, d: Int, width: Int): Column =
     ((lit(RowA(d)) * (h % P) + lit(RowB(d))) % P) % width
 
   private def bucketLit(h: Long, d: Int, width: Int): Long =
@@ -59,18 +60,28 @@ object Sketches {
     * (CMS guarantee: estimate ≥ truth, overshoot bounded by collisions
     * at ~N/width per row).
     */
+  /** CMS cell table (d, bucket, cell) for a (term, n) count relation —
+    * exposed so shard-merge specs and the streaming maintainer can build
+    * cells over arbitrary subsets; sketches MERGE by cellwise sum.
+    */
+  private[graft] def cmsCells(termCounts: DataFrame, width: Int): DataFrame = {
+    val h = HashFunctions.polyFold64(col("term"))
+    termCounts
+      .select(col("n"), posexplode(array(
+        (0 until Depth).map(d => bucket(h, d, width)): _*)).as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(sum(col("n")).as("cell"))
+  }
+
+  private[graft] def termCountsOf(docs: DataFrame): DataFrame =
+    docs.select(explodedTokens(col("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+
   def cmsEstimate(spark: SparkSession, sfDir: String,
                   width: Int = 512,
                   probes: Seq[String] = DefaultProbes): DataFrame = {
     import spark.implicits._
-    val termCounts = Tables.documents(spark, sfDir)
-      .select(explodedTokens(col("text")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
-    val h = HashFunctions.polyFold64(col("term"))
-    val cells = termCounts
-      .select(col("n"), posexplode(array(
-        (0 until Depth).map(d => bucket(h, d, width)): _*)).as(Seq("d", "bucket")))
-      .groupBy("d", "bucket").agg(sum(col("n")).as("cell"))
+    val termCounts = termCountsOf(Tables.documents(spark, sfDir))
+    val cells = cmsCells(termCounts, width)
     val probeCells = probes.flatMap { t =>
       val ph = HashFunctions.polyFold64Lit(t)
       (0 until Depth).map(d => (t, d, bucketLit(ph, d, width)))
@@ -102,6 +113,17 @@ object Sketches {
     * claimed=1/actual=0 rows (false negatives are impossible — the audit
     * doubles as a correctness proof of the filter).
     */
+  /** Bloom bit set (pos) of a term relation — exposed for shard-merge
+    * specs; filters MERGE by distinct union (bitwise or).
+    */
+  private[graft] def bloomBits(vocab: DataFrame, mBits: Int): DataFrame = {
+    val h = HashFunctions.polyFold64(col("term"))
+    vocab
+      .select(explode(array(
+        (0 until Depth).map(d => bucket(h, d, mBits)): _*)).as("pos"))
+      .distinct()
+  }
+
   def bloomAudit(spark: SparkSession, sfDir: String,
                  mBits: Int = 65536,
                  probes: Seq[String] = DefaultProbes): DataFrame = {
@@ -109,11 +131,7 @@ object Sketches {
     val vocab = Tables.documents(spark, sfDir)
       .select(explodedTokens(col("text")).as("term"))
       .distinct()
-    val h = HashFunctions.polyFold64(col("term"))
-    val bits = vocab
-      .select(explode(array(
-        (0 until Depth).map(d => bucket(h, d, mBits)): _*)).as("pos"))
-      .distinct()
+    val bits = bloomBits(vocab, mBits)
     val probeBits = probes.flatMap { t =>
       val ph = HashFunctions.polyFold64Lit(t)
       (0 until Depth).map(d => (t, bucketLit(ph, d, mBits)))
@@ -142,4 +160,55 @@ object Sketches {
   val DefaultProbes: Seq[String] = Seq(
     "the", "of", "and", "data", "system", "quick",
     "zyzzyva", "notaword", "qqqq")
+
+  /** HISTOGRAM-percentile estimation vs exact truth — the approximate
+    * quantile shape that actually works at 100 TB, where the exact
+    * percentile's global sort is the bottleneck: one aggregation builds
+    * a fixed equi-width bin table (`nBins` rows regardless of data
+    * size, mergeable across shards by cellwise add), and each requested
+    * percentile is answered by linear interpolation inside its crossing
+    * bin. Everything is deterministic double arithmetic both engines
+    * replay exactly — unlike percentile_approx, whose sketch is
+    * implementation-specific. The cumulative window over the bin table
+    * and the crossing-bin join both run on ≤ `nBins` rows —
+    * metadata-sized, like the packing offsets frame. Exact truth rides
+    * the same scan for the audit.
+    */
+  def histPercentiles(spark: SparkSession, sfDir: String,
+                      nBins: Int = 1000,
+                      pcts: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val v = Tables.events(spark, sfDir).select(col("value").as("v"))
+    val stats = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+      count(lit(1)).as("n"),
+      expr(s"percentile(v, array(${pcts.mkString(", ")}))").as("ex"))
+    val hist = v.crossJoin(broadcast(stats))
+      .withColumn("w", (col("vmax") - col("vmin")) / nBins)
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(floor((col("v") - col("vmin")) / col("w")),
+            lit((nBins - 1).toLong)).cast("long")))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val targets = pcts.zipWithIndex.map { case (p, i) => (i + 1, p) }
+      .toDF("i", "p")
+      .crossJoin(broadcast(stats))
+      .select(col("p"), (col("p") * col("n")).as("tgt"),
+        element_at(col("ex"), col("i")).as("exact_v"),
+        col("vmin"), ((col("vmax") - col("vmin")) / nBins).as("w"))
+    targets.join(cum,
+        col("cum_before") < col("tgt") && col("tgt") <= col("cum"))
+      .select(col("p"),
+        round(col("vmin") + col("w") *
+          (col("bin") + (col("tgt") - col("cum_before")) / col("cnt")), 4)
+          .as("est_value"),
+        round(col("exact_v"), 4).as("exact_value"),
+        round(abs(col("vmin") + col("w") *
+          (col("bin") + (col("tgt") - col("cum_before")) / col("cnt"))
+          - col("exact_v")), 4).as("abs_err"))
+      .orderBy("p")
+  }
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** SKETCH-AT-INGEST: a Count-Min sketch of the event feed's user
+  * activity maintained as STREAMING STATE — the pattern that answers
+  * "which keys are hot, right now?" over an unbounded feed with fixed
+  * memory. The streaming aggregation's state is exactly the cell table
+  * (Depth × width rows, regardless of feed volume), every micro-batch
+  * folds its events in by cellwise add, and because cellwise add is the
+  * sketch's MERGE operation, the drained final state is bit-identical to
+  * the batch sketch over the same events — which is what lets the batch
+  * oracle verify a streaming sketch.
+  */
+object StreamingSketch {
+
+  private val cmsScratch = new graft.util.ScratchSlot
+
+  /** The user-activity CMS cell table after an AvailableNow drain of the
+    * staged events file — complete-mode streaming aggregation, state =
+    * the cells themselves. The driver-facing bounded twin of the
+    * unbounded maintainer (same plan, different trigger).
+    */
+  def cmsCellsAvailableNow(spark: SparkSession, sfDir: String,
+                           width: Int = 256): DataFrame =
+    StreamingIndexer.drainToTable(spark, sfDir, "events.parquet",
+      "stream_cms", cmsScratch) { (ss, watch) =>
+        graft.sources.Tables.eventsStream(ss, watch, watch)
+          .select(posexplode(array((0 until Sketches.Depth).map(d =>
+            Sketches.bucket(col("user_id"), d, width)): _*))
+            .as(Seq("d", "bucket")))
+          .groupBy("d", "bucket").agg(count(lit(1)).as("cell"))
+      }
+      .orderBy("d", "bucket")
+}

@@ -90,7 +90,9 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_vocab_kmv"       -> 3, // (lang,term) distinct + ONE lang exchange + order
     "q_simhash_pairs"   -> 3, // tok agg + signature agg + order; chunk join broadcasts at test scale
     "q_user_activity_window" -> 2, // ONE user exchange (both frames ride it) + order
-    "q_mixture_cube"    -> 2  // Expand collapses map-side; cell agg + order
+    "q_mixture_cube"    -> 2, // Expand collapses map-side; cell agg + order
+    "q_hist_percentiles" -> 4, // stats agg + bin agg + nBins-row cum window + order
+    "q_streaming_cms"   -> 0  // drained memory-table read; sort is on the drain side
   )
 
   budgets.foreach { case (name, budget) =>

@@ -58,6 +58,50 @@ class SketchesPackingSpec extends SparkTestBase {
     assert(fragments == nDocs + crossings)
   }
 
+  test("CMS merge law: shard cells summed cellwise == whole-corpus cells") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val width = 64
+    val whole = Sketches.cmsCells(
+      Sketches.termCountsOf(docs), width)
+    val a = Sketches.cmsCells(
+      Sketches.termCountsOf(docs.filter(col("doc_id") % 2 === 0)), width)
+    val b = Sketches.cmsCells(
+      Sketches.termCountsOf(docs.filter(col("doc_id") % 2 === 1)), width)
+    val merged = a.unionByName(b)
+      .groupBy("d", "bucket").agg(fsum(col("cell")).as("cell"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "cellwise-summed shard sketches differ from the whole-corpus sketch")
+  }
+
+  test("Bloom merge law: shard bit sets unioned == whole-corpus bit set") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def vocab(d: org.apache.spark.sql.DataFrame) =
+      d.select(graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+        .distinct()
+    val m = 4096
+    val whole = Sketches.bloomBits(vocab(docs), m)
+    val merged = Sketches.bloomBits(vocab(docs.filter(col("doc_id") % 2 === 0)), m)
+      .unionByName(Sketches.bloomBits(vocab(docs.filter(col("doc_id") % 2 === 1)), m))
+      .distinct()
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "unioned shard bit sets differ from the whole-corpus bit set")
+  }
+
+  test("histogram percentiles: estimate within one bin width of exact") {
+    val rows = Sketches.histPercentiles(spark, sf).collect()
+    assert(rows.length == 3)
+    val stats = graft.sources.Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.min(col("value")),
+        org.apache.spark.sql.functions.max(col("value"))).head()
+    val binW = (stats.getDouble(1) - stats.getDouble(0)) / 1000
+    rows.foreach { r =>
+      val err = r.getAs[Double]("abs_err")
+      assert(err <= binW + 1e-9,
+        s"p=${r.getAs[Double]("p")} estimate off by $err > bin width $binW")
+    }
+  }
+
   test("packing: bucket count does not change the prefix sum") {
     val a = Packing.packManifest(spark, sf, 512, nBuckets = 1)
       .select("doc_id", "start_off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
