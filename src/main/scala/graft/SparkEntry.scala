@@ -152,6 +152,10 @@ object SparkEntry {
     // (two-phase distributed prefix sum; no text moves)
     "q_seq_packing"    -> ((s, d) => Packing.packingHistogram(s, d)),
     "q_pack_summary"   -> ((s, d) => Packing.packingSummary(s, d)),
+    // append-only incremental packing: base manifest + offset-shifted
+    // delta must summarize identically to the monolithic re-pack (the
+    // oracle IS the monolithic recompute)
+    "q_ivm_packing"    -> ((s, d) => Packing.packingSummaryIncremental(s, d)),
     "q_doc_similarity" -> ((s, d) => IndexQueries.docSimilarity(s, d, 5, 5)),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
     "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
@@ -343,6 +347,26 @@ object SparkEntry {
       |                     w -> w <> '') AS ts
       |  FROM documents
       |)""".stripMargin
+
+  /** Monolithic full-corpus packing summary — the oracle for BOTH the
+    * direct q_pack_summary and the incremental q_ivm_packing (append ≡
+    * re-pack is exactly the claim under test).
+    */
+  private val packSummarySql =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, CAST(len(ts) + 1 AS BIGINT) AS n FROM toks),
+       |c AS (SELECT doc_id, n,
+       |        coalesce(sum(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+       |      FROM d),
+       |w AS (SELECT n, st // 512 AS fw, (st + n - 1) // 512 AS lw FROM c)
+       |SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN lw > fw THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_split_docs,
+       |       CAST(max(lw) + 1 AS BIGINT) AS n_windows,
+       |       CAST(sum(n) - max(lw) * 512 AS BIGINT) AS last_fill
+       |FROM w""".stripMargin
 
   /** DuckDB rendering of [[graft.functions.HashFunctions.polyFold64]]
     * applied to column `c` — shared by the sketch oracles.
@@ -1212,21 +1236,10 @@ object SparkEntry {
          |      FROM e GROUP BY 1)
          |SELECT docs_in_window, CAST(count(*) AS BIGINT) AS n_windows
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_pack_summary" ->
-      s"""WITH $toksCte,
-         |d AS (SELECT doc_id, CAST(len(ts) + 1 AS BIGINT) AS n FROM toks),
-         |c AS (SELECT doc_id, n,
-         |        coalesce(sum(n) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
-         |      FROM d),
-         |w AS (SELECT n, st // 512 AS fw, (st + n - 1) // 512 AS lw FROM c)
-         |SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
-         |       CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(CASE WHEN lw > fw THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_split_docs,
-         |       CAST(max(lw) + 1 AS BIGINT) AS n_windows,
-         |       CAST(sum(n) - max(lw) * 512 AS BIGINT) AS last_fill
-         |FROM w""".stripMargin,
+    "q_pack_summary" -> packSummarySql,
+    // the incremental (base + offset-shifted delta) packing must equal
+    // the monolithic re-pack — the oracle IS the monolithic recompute
+    "q_ivm_packing" -> packSummarySql,
     // FastSS candidates are an optimization only — the oracle is the
     // naive all-pairs edit-distance join over the (small) vocabulary
     "q_typo_pairs" ->

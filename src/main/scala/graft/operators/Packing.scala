@@ -24,18 +24,35 @@ import graft.sources.Tables
   */
 object Packing {
 
+  /** (doc_id, n_tokens) token counts of a corpus slice (+1 EOS each). */
+  private[graft] def countsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (size(tokens(col("text"))) + 1).cast("long").as("n_tokens"))
+
   /** Per-doc packing manifest: (doc_id, n_tokens, start_off, first/last
     * window) — `contextLen`-token windows over the EOS-joined stream.
     */
   private[graft] def packManifest(spark: SparkSession, sfDir: String,
                                       contextLen: Int,
-                                      nBuckets: Int = 32): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        (size(tokens(col("text"))) + 1).cast("long").as("n_tokens")) // +1 EOS
+                                      nBuckets: Int = 32): DataFrame =
+    manifestOfCounts(countsOf(Tables.documents(spark, sfDir)),
+      contextLen, nBuckets, baseOffset = 0L)
+
+  /** The manifest over an explicit (doc_id, n_tokens) relation, with
+    * every offset shifted by `baseOffset` — the hook that makes packing
+    * INCREMENTALLY MAINTAINABLE: an append-only delta (all doc_ids above
+    * the packed base) packs against the base's persisted total token
+    * count without touching the base manifest.
+    */
+  private[graft] def manifestOfCounts(docs: DataFrame, contextLen: Int,
+                                      nBuckets: Int,
+                                      baseOffset: Long): DataFrame = {
     // doc_ids are dense from 0 (TESTDATA.md), so fixed-width ranges keep
     // buckets balanced AND doc_id-ordered; the max-id lookup is one scalar
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     val bSize = math.max(1L, maxId / nBuckets + 1)
     val bucketed = docs.withColumn("bucket", expr(s"doc_id div $bSize"))
     val localCum = bucketed.withColumn("local_cum",
@@ -49,7 +66,7 @@ object Packing {
         lit(0L)))
       .select("bucket", "boff")
     localCum.join(broadcast(bucketOffsets), "bucket")
-      .withColumn("start_off", col("boff") + col("local_cum"))
+      .withColumn("start_off", col("boff") + col("local_cum") + baseOffset)
       // `div`, not `/`: Column./ is true division (double) on longs
       .withColumn("first_window", expr(s"start_off div $contextLen"))
       .withColumn("last_window",
@@ -78,9 +95,9 @@ object Packing {
     * total token stream length, window count, boundary-splitting doc
     * count, and the exact fill of the final (only non-full) window.
     */
-  def packingSummary(spark: SparkSession, sfDir: String,
-                     contextLen: Int = 512): DataFrame =
-    packManifest(spark, sfDir, contextLen)
+  private def summaryOfManifest(manifest: DataFrame,
+                                contextLen: Int): DataFrame =
+    manifest
       .agg(
         sum(col("n_tokens")).as("total_tokens"),
         count(lit(1)).as("n_docs"),
@@ -89,4 +106,32 @@ object Packing {
         (max(col("last_window")) + 1).as("n_windows"))
       .withColumn("last_fill",
         col("total_tokens") - (col("n_windows") - 1) * contextLen)
+
+  def packingSummary(spark: SparkSession, sfDir: String,
+                     contextLen: Int = 512): DataFrame =
+    summaryOfManifest(packManifest(spark, sfDir, contextLen), contextLen)
+
+  /** INCREMENTAL packing maintenance — why the manifest formulation
+    * matters at 100 TB: a crawl append (all new doc_ids above the packed
+    * base) extends the token stream at its END, so the delta packs
+    * against ONE persisted scalar (the base's total token count) and the
+    * base manifest is never touched or re-read beyond that scalar. This
+    * query splits the corpus at the midpoint id, packs the base, packs
+    * the delta with `baseOffset` = the base's total, and summarizes the
+    * CONCATENATED manifest — the driver's oracle checks it against the
+    * monolithic full-corpus packing, proving append ≡ re-pack.
+    */
+  def packingSummaryIncremental(spark: SparkSession, sfDir: String,
+                                contextLen: Int = 512): DataFrame = {
+    val counts = countsOf(Tables.documents(spark, sfDir))
+    val maxId = counts.agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId / 2
+    val base = manifestOfCounts(counts.filter(col("doc_id") <= split),
+      contextLen, 32, baseOffset = 0L)
+    // the one scalar a real pipeline persists between crawl batches
+    val baseTotal = base.agg(sum(col("n_tokens"))).head().getLong(0)
+    val delta = manifestOfCounts(counts.filter(col("doc_id") > split),
+      contextLen, 32, baseOffset = baseTotal)
+    summaryOfManifest(base.unionByName(delta), contextLen)
+  }
 }

@@ -92,7 +92,8 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_user_activity_window" -> 2, // ONE user exchange (both frames ride it) + order
     "q_mixture_cube"    -> 2, // Expand collapses map-side; cell agg + order
     "q_hist_percentiles" -> 4, // stats agg + bin agg + nBins-row cum window + order
-    "q_streaming_cms"   -> 0  // drained memory-table read; sort is on the drain side
+    "q_streaming_cms"   -> 0, // drained memory-table read; sort is on the drain side
+    "q_ivm_packing"     -> 8  // 2×(bucket window + totals + offsets) + union agg + final
   )
 
   budgets.foreach { case (name, budget) =>

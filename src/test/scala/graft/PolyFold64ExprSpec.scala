@@ -34,6 +34,20 @@ class PolyFold64ExprSpec extends SparkTestBase {
       .asInstanceOf[Long] === HashFunctions.polyFold64Lit("ab"))
   }
 
+  test("property: native eval == driver literal fold for arbitrary ASCII strings") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // printable ASCII incl. spaces/punctuation — the fold is defined on
+    // bytes; ASCII is where byte==code point (the engine-exact contract)
+    val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val prop = Prop.forAll(asciiGen) { s =>
+      graft.functions.PolyFold64(Literal(s)).eval(null)
+        .asInstanceOf[Long] == graft.functions.HashFunctions.polyFold64Lit(s)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("two instances in one codegen scope compile (freshName'd locals)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
