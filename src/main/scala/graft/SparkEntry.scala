@@ -54,6 +54,11 @@ object SparkEntry {
     // path drained with an AvailableNow trigger — streaming state must
     // converge to the batch answer under the batch oracle
     "q_streaming_index" -> ((s, d) => graft.streaming.StreamingIndexer.indexAvailableNow(s, d)),
+    // two file batches, two query incarnations, ONE checkpoint: the
+    // resumed run recovers state + file log, reads only the delta, and
+    // converges to batch postings (exactly-once restart)
+    "q_streaming_resume" -> ((s, d) =>
+      graft.streaming.StreamingIndexer.indexResumeAvailableNow(s, d)),
     // build a scratch index, upsert a changed doc, return the whole index —
     // oracle computes postings over the modified corpus: hash match proves
     // upsert ≡ rebuild (the reference's re-index, minus its duplication bug)
@@ -568,6 +573,12 @@ object SparkEntry {
     // streaming drain of the same corpus — identical oracle: the complete-
     // mode aggregation state must equal the one-shot batch index
     "q_streaming_index" ->
+      s"""$postingsCte
+         |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
+         |FROM postings ORDER BY term, doc_id""".stripMargin,
+    // resume must converge to the SAME batch postings — recovery loses
+    // nothing, duplicates nothing
+    "q_streaming_resume" ->
       s"""$postingsCte
          |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
          |FROM postings ORDER BY term, doc_id""".stripMargin,

@@ -114,6 +114,70 @@ object StreamingIndexer {
         col("term"), col("doc_id"), col("tf"))
       .orderBy("term", "doc_id")
 
+  private val resumeScratch = new graft.util.ScratchSlot
+  private val resumeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** CHECKPOINT RESUME — the exactly-once restart story an unbounded
+    * deployment lives on: the corpus arrives as TWO file batches drained
+    * through ONE checkpoint by two separate query incarnations. The
+    * second run recovers the aggregation state and the file-source log
+    * from the checkpoint, processes ONLY the new file, and its
+    * complete-mode output is the full converged index — the oracle's
+    * hash match against batch postings over the whole corpus proves
+    * recovery loses nothing and duplicates nothing (the reference's
+    * re-index loop re-reads everything per request,
+    * `/root/reference/minigoogle.c:49-60`; checkpointed state is the
+    * scale-out replacement). Returns the final index; the spec variant
+    * also reports run 2's input-row count to pin "only the delta was
+    * read".
+    */
+  def indexResumeAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    indexResumeWithStats(spark, sfDir)._1
+
+  private[graft] def indexResumeWithStats(spark: SparkSession,
+                                          sfDir: String): (DataFrame, Long) = {
+    import java.nio.file.Files
+    resumeScratch.retire()
+    val root = Files.createTempDirectory("graft_stream_resume_")
+    val watch = root.resolve("watch")
+    val cp = root.resolve("cp")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId / 2
+    docs.filter(col("doc_id") <= split).coalesce(1)
+      .write.parquet(watch.resolve("a").toString)
+    val ss = drainSession(spark)
+    def drain(table: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = postingsStream(ss, watch.toString + "/*").writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val t1 = s"graft_stream_resume_a_${resumeSeq.incrementAndGet()}"
+    drain(t1)
+    ss.catalog.dropTempView(t1)
+    // the "next crawl batch" lands; a NEW query incarnation resumes from
+    // the same checkpoint
+    docs.filter(col("doc_id") > split).coalesce(1)
+      .write.parquet(watch.resolve("b").toString)
+    val t2 = s"graft_stream_resume_b_${resumeSeq.incrementAndGet()}"
+    val q2 = drain(t2)
+    val run2Rows = q2.recentProgress.map(_.numInputRows).sum
+    resumeScratch.defer(
+      () => { ss.catalog.dropTempView(t2); () },
+      () => graft.util.Scratch.deleteRecursively(root))
+    val out = ss.table(t2)
+      .select(substring(col("term"), 1, 1).as("first_letter"),
+        col("term"), col("doc_id"), col("tf"))
+      .orderBy("term", "doc_id")
+    (out, run2Rows)
+  }
+
   /** THE watermarked hourly window aggregation — single definition shared
     * by the unbounded spec-facing stream ([[hourlyRollupStream]]) and the
     * oracle-checked AvailableNow drain ([[hourlyRollupAvailableNow]]), so

@@ -93,7 +93,8 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_mixture_cube"    -> 2, // Expand collapses map-side; cell agg + order
     "q_hist_percentiles" -> 4, // stats agg + bin agg + nBins-row cum window + order
     "q_streaming_cms"   -> 0, // drained memory-table read; sort is on the drain side
-    "q_ivm_packing"     -> 8  // 2×(bucket window + totals + offsets) + union agg + final
+    "q_ivm_packing"     -> 8, // 2×(bucket window + totals + offsets) + union agg + final
+    "q_streaming_resume" -> 1 // drained memory-table read + output order
   )
 
   budgets.foreach { case (name, budget) =>

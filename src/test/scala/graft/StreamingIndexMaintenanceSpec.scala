@@ -49,4 +49,25 @@ class StreamingIndexMaintenanceSpec extends SparkTestBase {
       assert(served === expected)
     } finally q.stop()
   }
+
+  test("checkpoint resume: run 2 reads ONLY the delta file, output converges") {
+    val (out, run2Rows) =
+      graft.streaming.StreamingIndexer.indexResumeWithStats(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0)
+    val deltaDocs = docs.filter(col("doc_id") > maxId / 2).count()
+    // exactly-once restart: the recovered file log admits only file b
+    assert(run2Rows === deltaDocs,
+      s"resumed run read $run2Rows rows, delta batch has $deltaDocs docs")
+    val got = out.select("term", "doc_id", "tf")
+      .as[(String, Long, Long)].collect().toSet
+    val expected = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === expected,
+      "recovered state + delta does not equal batch postings over the corpus")
+  }
 }
