@@ -42,6 +42,27 @@ class SchemaCanarySpec extends SparkTestBase {
     }
   }
 
+  test("canary: key columns keep the dtypes the engine's driver code depends on") {
+    // several operators pull these with getLong/getDouble on collected
+    // rows — a silent int64→int32 (or double→decimal) regeneration would
+    // throw at run time deep inside a query; fail it HERE by name instead
+    val expectedTypes: Seq[(String, String, DataType)] = Seq(
+      ("documents", "doc_id", LongType),
+      ("documents", "n_chars", LongType),
+      ("events", "event_id", LongType),
+      ("events", "user_id", LongType),
+      ("events", "value", DoubleType),
+      ("embeddings", "vec_id", LongType),
+      ("lineitem", "l_orderkey", LongType),
+      ("lineitem", "l_quantity", DoubleType),
+      ("orders", "o_totalprice", DoubleType))
+    val bad = expectedTypes.flatMap { case (t, c, want) =>
+      val got = Tables.table(spark, sf, t).schema(c).dataType
+      if (got == want) None else Some(s"$t.$c: $got (engine expects $want)")
+    }
+    assert(bad.isEmpty, s"key dtypes drifted: ${bad.mkString("; ")}")
+  }
+
   test("canary: events.ts normalizes to TimestampType whatever the file encodes") {
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType == TimestampType,
