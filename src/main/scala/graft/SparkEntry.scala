@@ -59,6 +59,13 @@ object SparkEntry {
     // converges to batch postings (exactly-once restart)
     "q_streaming_resume" -> ((s, d) =>
       graft.streaming.StreamingIndexer.indexResumeAvailableNow(s, d)),
+    // DataSource V2 interop: postings written in the REFERENCE'S native
+    // ./index/<letter> text format, read back through the custom V2
+    // source (filter pushdown prunes to letter files at planning time)
+    "q_refindex_scan" -> ((s, d) =>
+      graft.sources.v2.RefIndexInterop.refIndexScan(s, d)),
+    "q_refindex_lookup" -> ((s, d) =>
+      graft.sources.v2.RefIndexInterop.refIndexLookup(s, d, "the")),
     // build a scratch index, upsert a changed doc, return the whole index —
     // oracle computes postings over the modified corpus: hash match proves
     // upsert ≡ rebuild (the reference's re-index, minus its duplication bug)
@@ -582,6 +589,16 @@ object SparkEntry {
       s"""$postingsCte
          |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf
          |FROM postings ORDER BY term, doc_id""".stripMargin,
+    // V2-source round-trip through the reference's text format must be
+    // lossless vs batch postings
+    "q_refindex_scan" ->
+      s"""$postingsCte
+         |SELECT term, doc_id, tf FROM postings
+         |ORDER BY term, doc_id""".stripMargin,
+    "q_refindex_lookup" ->
+      s"""$postingsCte
+         |SELECT term, doc_id, tf FROM postings
+         |WHERE term = 'the' ORDER BY doc_id""".stripMargin,
     "q_index_upsert" ->
       s"""$upsertPostingsCte
          |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf

@@ -94,7 +94,9 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_hist_percentiles" -> 4, // stats agg + bin agg + nBins-row cum window + order
     "q_streaming_cms"   -> 0, // drained memory-table read; sort is on the drain side
     "q_ivm_packing"     -> 8, // 2×(bucket window + totals + offsets) + union agg + final
-    "q_streaming_resume" -> 1 // drained memory-table read + output order
+    "q_streaming_resume" -> 1, // drained memory-table read + output order
+    "q_refindex_scan"   -> 1, // V2 letter-file partitions + output order
+    "q_refindex_lookup" -> 1  // ONE letter file (pushed pruning) + order
   )
 
   budgets.foreach { case (name, budget) =>
