@@ -1,6 +1,5 @@
 package graft.sources.v2
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -18,11 +17,14 @@ object RefIndexInterop {
 
   /** Write the corpus postings in the reference's format
     * (`/root/reference/helper_reduce.c:238-256`: 26 files `a`…`z`, one
-    * `term doc count` line per posting). The per-letter driver-side
-    * write is FORMAT-FAITHFUL, not a scale compromise — the format
-    * itself serializes each letter through a single appended file, which
-    * is exactly its scaling ceiling (and why the main engine replaced it
-    * with letter-partitioned parquet).
+    * `term doc count` line per posting) through the V2 WRITER — a fully
+    * distributed write: the write's required distribution clusters each
+    * letter into one task, the required ordering sorts (term, doc_id)
+    * within it, and the driver's two-phase commit renames the per-letter
+    * temp files into place. The format's own one-file-per-letter design
+    * is its scaling ceiling (which is why the main engine replaced it
+    * with letter-partitioned parquet) — but the write is as parallel as
+    * the format allows.
     */
   private[graft] def ensureRefIndex(spark: SparkSession, sfDir: String): String =
     built.getOrElseUpdate(sfDir, {
@@ -30,17 +32,14 @@ object RefIndexInterop {
         "graft_refindex_" + Integer.toHexString(sfDir.hashCode))
       graft.util.Scratch.deleteRecursively(dir)
       Files.createDirectories(dir)
-      val rows = graft.operators.Indexer.postings(spark, sfDir)
-        .select(col("term"), col("doc_id"), col("tf"))
-        .orderBy("term", "doc_id")
-        .collect()
-      rows.groupBy(_.getString(0).substring(0, 1)).foreach {
-        case (letter, rs) =>
-          val body = rs.map(r =>
-            s"${r.getString(0)} ${r.getLong(1)} ${r.getLong(2)}\n").mkString
-          Files.write(dir.resolve(letter),
-            body.getBytes(StandardCharsets.UTF_8))
-      }
+      graft.operators.Indexer.postings(spark, sfDir)
+        .select(substring(col("term"), 1, 1).as("first_letter"),
+          col("term"), col("doc_id"), col("tf"))
+        .write
+        .format(classOf[RefIndexSource].getName)
+        .option("path", dir.toString)
+        .mode("overwrite")
+        .save()
       dir.toString
     })
 
@@ -55,7 +54,9 @@ object RefIndexInterop {
     * engine) is lossless.
     */
   def refIndexScan(spark: SparkSession, sfDir: String): DataFrame =
-    readRefIndex(spark, sfDir).orderBy("term", "doc_id")
+    readRefIndex(spark, sfDir)
+      .select("term", "doc_id", "tf") // column pruning reaches the reader
+      .orderBy("term", "doc_id")
 
   /** Term lookup through the V2 source: the pushed `term = …` filter
     * prunes the scan to ONE letter file at planning time (the
@@ -66,5 +67,6 @@ object RefIndexInterop {
                      term: String): DataFrame =
     readRefIndex(spark, sfDir)
       .filter(col("term") === term)
+      .select("term", "doc_id", "tf")
       .orderBy("doc_id")
 }

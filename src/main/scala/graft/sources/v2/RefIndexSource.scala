@@ -50,7 +50,13 @@ class RefIndexSource extends TableProvider {
 }
 
 object RefIndexSource {
+  /** `first_letter` is part of the table schema (derived from the file
+    * name on read) so the V2 WRITE can require a clustered distribution
+    * on an input column — each letter lands in exactly one task, which
+    * is what makes the one-file-per-letter format writable in parallel.
+    */
   val schema: StructType = StructType(Seq(
+    StructField("first_letter", StringType, nullable = false),
     StructField("term", StringType, nullable = false),
     StructField("doc_id", LongType, nullable = false),
     StructField("tf", LongType, nullable = false)))
@@ -64,8 +70,9 @@ object RefIndexSource {
       else Some(s.substring(0, s.offsetByCodePoints(0, 1)))
     f match {
       case EqualTo("term", v: String) => firstCp(v).map(Set(_))
+      case EqualTo("first_letter", v: String) => firstCp(v).map(Set(_))
       case StringStartsWith("term", p) => firstCp(p).map(Set(_))
-      case In("term", vs) =>
+      case In(c, vs) if c == "term" || c == "first_letter" =>
         val ls = vs.toSeq.map {
           case s: String => firstCp(s)
           case _ => None
@@ -77,14 +84,20 @@ object RefIndexSource {
   }
 }
 
-class RefIndexTable(path: String) extends Table with SupportsRead {
+class RefIndexTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_ref_index($path)"
   override def schema(): StructType = RefIndexSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RefIndexScanBuilder(path)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new RefIndexWriteBuilder(path, info.schema())
 }
 
 class RefIndexScanBuilder(path: String)
@@ -144,6 +157,128 @@ class RefIndexReaderFactory(required: StructType)
       partition.asInstanceOf[RefIndexInputPartition].file, required)
 }
 
+// ——— V2 WRITE: the distributed producer of the reference format ———
+
+/** The write half of the interop: `RequiresDistributionAndOrdering`
+  * demands a first_letter-CLUSTERED distribution (each letter lands in
+  * exactly one task, so the one-file-per-letter format is writable in
+  * parallel with no cross-task conflicts) and a (term, doc_id) sort
+  * within partitions (deterministic, reference-style sorted files —
+  * the reference sorts each reduce output, `helper_reduce.c:153`).
+  * Tasks write dot-prefixed temp files next to the target (invisible to
+  * the reader's single-char filter) and the driver's commit renames
+  * them into place — the classic two-phase commit of a file sink.
+  */
+class RefIndexWriteBuilder(path: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new RefIndexWrite(path, writeSchema, doTruncate)
+}
+
+class RefIndexWrite(path: String, writeSchema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("first_letter")))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("term"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
+  override def requiredNumPartitions(): Int = 0 // planner's choice
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new RefIndexBatchWrite(path, writeSchema, truncate)
+}
+
+case class RefIndexCommit(files: Seq[(String, String)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class RefIndexBatchWrite(path: String, writeSchema: StructType,
+                         truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RefIndexWriterFactory(path, writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncate)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.length == 1)
+        .foreach(f => { f.delete(); () })
+    messages.foreach {
+      case RefIndexCommit(files) => files.foreach { case (letter, tmp) =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(path, letter),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      case other => throw new IllegalStateException(s"unexpected commit $other")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case RefIndexCommit(files) => files.foreach { case (_, tmp) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)); ()
+      }
+      case _ => ()
+    }
+}
+
+class RefIndexWriterFactory(path: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new RefIndexDataWriter(path, writeSchema, taskId)
+}
+
+class RefIndexDataWriter(path: String, writeSchema: StructType, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val letterIdx = writeSchema.fieldIndex("first_letter")
+  private val termIdx = writeSchema.fieldIndex("term")
+  private val docIdx = writeSchema.fieldIndex("doc_id")
+  private val tfIdx = writeSchema.fieldIndex("tf")
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, java.io.BufferedWriter)]
+
+  override def write(row: InternalRow): Unit = {
+    val letter = row.getUTF8String(letterIdx).toString
+    val (_, w) = writers.getOrElseUpdate(letter, {
+      val tmp = s"$path/.tmp_${letter}_$taskId"
+      new java.io.File(path).mkdirs()
+      (tmp, new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(tmp),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    })
+    w.write(row.getUTF8String(termIdx).toString)
+    w.write(' ')
+    w.write(row.getLong(docIdx).toString)
+    w.write(' ')
+    w.write(row.getLong(tfIdx).toString)
+    w.write('\n')
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_._2.close())
+    RefIndexCommit(writers.map { case (l, (tmp, _)) => (l, tmp) }.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (tmp, w) =>
+      w.close(); java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)); ()
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
 /** Streams one letter file line by line; `term doc count` parsed with
   * zero intermediate allocation beyond the projected values.
   */
@@ -166,6 +301,9 @@ class RefIndexPartitionReader(file: String, required: StructType)
       require(s1 > 0 && s2 > s1,
         s"malformed ref-index line in $file: '$line'")
       val values = required.fieldNames.map {
+        case "first_letter" =>
+          val t = line.substring(0, s1)
+          UTF8String.fromString(t.substring(0, t.offsetByCodePoints(0, 1)))
         case "term"   => UTF8String.fromString(line.substring(0, s1))
         case "doc_id" => line.substring(s1 + 1, s2).toLong
         case "tf"     => line.substring(s2 + 1).trim.toLong

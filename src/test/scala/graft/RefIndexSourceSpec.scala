@@ -53,6 +53,40 @@ class RefIndexSourceSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("V2 write: letter-clustered, term-sorted, deterministic, no temp litter") {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_refindex_wtest")
+    graft.util.Scratch.deleteRecursively(dir)
+    def writeOnce(): Map[String, String] = {
+      graft.operators.Indexer.postings(spark, sf)
+        .select(org.apache.spark.sql.functions.substring(col("term"), 1, 1)
+          .as("first_letter"), col("term"), col("doc_id"), col("tf"))
+        .write.format(classOf[RefIndexSource].getName)
+        .option("path", dir.toString).mode("overwrite").save()
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .map(f => f.getName ->
+          new String(Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)).toMap
+    }
+    val first = writeOnce()
+    assert(first.keySet.forall(_.length == 1),
+      s"temp/extra files left behind: ${first.keySet.filter(_.length != 1)}")
+    assert(first.nonEmpty)
+    // required ordering → every file sorted by (term, doc_id)
+    first.foreach { case (letter, body) =>
+      val keys = body.split("\n").filter(_.nonEmpty).map { l =>
+        val p = l.split(" "); (p(0), p(1).toLong)
+      }
+      assert(keys.sameElements(keys.sortBy(identity)),
+        s"letter file $letter is not (term, doc_id)-sorted")
+      assert(keys.forall(_._1.startsWith(letter)),
+        s"letter file $letter contains foreign terms")
+    }
+    val second = writeOnce()
+    assert(first === second, "two V2 writes are not byte-identical")
+    graft.util.Scratch.deleteRecursively(dir)
+  }
+
   test("column pruning: projected read materializes only requested fields") {
     val df = load().select("tf")
     assert(df.schema.fieldNames.toSeq === Seq("tf"))
