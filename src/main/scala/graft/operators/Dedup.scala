@@ -63,10 +63,12 @@ object Dedup {
 
   private val shinglesBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
-  private[graft] def ensureShingles(spark: SparkSession, sfDir: String): String =
-    shinglesBuilt.getOrElseUpdate(sfDir, {
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_shingles_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+  private[graft] def ensureShingles(spark: SparkSession, sfDir: String): String = {
+    // keyed on the RESOLVED path (not sfDir) so a spark.graft.scratchDir
+    // change mid-JVM builds under the new root instead of serving the old
+    val path = graft.util.Scratch.dir(spark,
+      "graft_shingles_" + Integer.toHexString(sfDir.hashCode))
+    shinglesBuilt.getOrElseUpdate(path, {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .select(col("doc_id"),
@@ -74,6 +76,7 @@ object Dedup {
         .write.mode("overwrite").parquet(path)
       path
     })
+  }
 
   /** Exact-verify candidate pairs: intersect counts from the shingle index
     * restricted to candidates, Jaccard from |A|+|B|−|A∩B|. Shared by the
@@ -257,16 +260,17 @@ object Dedup {
     * the suite; every consumer after the first reads a 3-column parquet.
     */
   private[graft] def ensureClusters(spark: SparkSession, sfDir: String,
-                                    threshold: Double): String =
-    clustersBuilt.getOrElseUpdate((sfDir, threshold), {
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_dupclusters_" + Integer.toHexString(sfDir.hashCode) +
-          "_" + (threshold * 100).toInt).getAbsolutePath
+                                    threshold: Double): String = {
+    val path = graft.util.Scratch.dir(spark,
+      "graft_dupclusters_" + Integer.toHexString(sfDir.hashCode) +
+        "_" + (threshold * 100).toInt)
+    clustersBuilt.getOrElseUpdate((path, threshold), {
       dupClustersFromPairs(spark,
         ngramJaccardPairs(spark, sfDir, threshold).select("doc_a", "doc_b"))
         .write.mode("overwrite").parquet(path)
       path
     })
+  }
 
   private[graft] def dupClustersFromPairs(spark: SparkSession,
                                           pairs: DataFrame): DataFrame = {

@@ -25,13 +25,17 @@ object MaterializedIndex {
   /** Path of the materialized index for `sfDir`, building it on first use
     * in this JVM (subsequent calls are free — build-once/query-many).
     */
-  def ensure(spark: SparkSession, sfDir: String): String =
-    built.getOrElseUpdate(sfDir, {
-      val path = new File(System.getProperty("java.io.tmpdir"),
-        "graft_index_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    // keyed on the resolved scratch path so spark.graft.scratchDir (shared
+    // storage on a real cluster — see [[graft.util.Scratch.root]]) is
+    // honored even when it changes within one JVM
+    val path = graft.util.Scratch.dir(spark,
+      "graft_index_" + Integer.toHexString(sfDir.hashCode))
+    built.getOrElseUpdate(path, {
       Indexer.writeIndex(spark, sfDir, path)
       path
     })
+  }
 
   /** The postings relation served from the materialized index — the
     * build-once/query-many source for every operator that consumes
@@ -80,10 +84,10 @@ object MaterializedIndex {
     * lifecycle; the positions column adds ~tf ints per posting, the
     * standard space/serve trade every search engine makes.
     */
-  def ensurePositional(spark: SparkSession, sfDir: String): String =
-    posBuilt.getOrElseUpdate(sfDir, {
-      val path = new File(System.getProperty("java.io.tmpdir"),
-        "graft_posindex_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+  def ensurePositional(spark: SparkSession, sfDir: String): String = {
+    val path = graft.util.Scratch.dir(spark,
+      "graft_posindex_" + Integer.toHexString(sfDir.hashCode))
+    posBuilt.getOrElseUpdate(path, {
       graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           posexplode(graft.functions.TextFunctions.tokens(col("text"))))
@@ -98,6 +102,7 @@ object MaterializedIndex {
         .write.mode("overwrite").partitionBy("first_letter").parquet(path)
       path
     })
+  }
 
   /** Phrase search SERVED from the positional index: prune to the
     * phrase's letters, join the n posting lists on doc_id (each list is

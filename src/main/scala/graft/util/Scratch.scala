@@ -54,6 +54,25 @@ object ScratchSlot {
 }
 
 object Scratch {
+
+  /** Root for materialized scratch RELATIONS (shingle index, dup-cluster
+    * labels, serving indexes) — data that executors write and later plan
+    * branches read back. Defaults to the local tmpdir, which is correct in
+    * local mode; a multi-node cluster MUST point `spark.graft.scratchDir`
+    * at shared storage (HDFS/S3/NFS), because a bare local path is
+    * per-node there: each executor would persist its own private shard and
+    * the reading side would see at most 1/N of the relation.
+    */
+  def root(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("spark.graft.scratchDir",
+      System.getProperty("java.io.tmpdir"))
+
+  /** A named scratch path under [[root]]. Joined with Hadoop `Path` (not
+    * `java.io.File`) so URI roots like `hdfs://nn/graft-scratch` survive.
+    */
+  def dir(spark: org.apache.spark.sql.SparkSession, name: String): String =
+    new org.apache.hadoop.fs.Path(root(spark), name).toString
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

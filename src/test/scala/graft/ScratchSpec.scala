@@ -70,6 +70,29 @@ class ScratchSpec extends SparkTestBase {
     }
   }
 
+  /** Cluster-safety: a multi-node deployment points spark.graft.scratchDir
+    * at shared storage; every materialized scratch relation must honor it
+    * (a bare local tmpdir is per-node there — executors would write
+    * private copies the readers never see).
+    */
+  test("spark.graft.scratchDir reroutes materialized scratch relations") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scratch_root_").toString
+    spark.conf.set("spark.graft.scratchDir", root)
+    try {
+      val sh = graft.operators.Dedup.ensureShingles(spark, sf)
+      val ix = graft.operators.MaterializedIndex.ensure(spark, sf)
+      val cl = graft.operators.Dedup.ensureClusters(spark, sf, 0.5)
+      for (p <- Seq(sh, ix, cl)) {
+        assert(p.startsWith(root), s"scratch path $p escaped root $root")
+        assert(spark.read.parquet(p).count() > 0, s"empty scratch relation $p")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.scratchDir")
+      graft.util.Scratch.deleteRecursively(root)
+    }
+  }
+
   test("streaming drain drops the previous staging dir and memory table") {
     assertOneGeneration("graft_stream_index_") {
       StreamingIndexer.indexAvailableNow(spark, sf).collect()
