@@ -69,11 +69,36 @@ object Similarity {
   // bucket size) at real scale.
   private val NumTables = 4
   private val BitsPerTable = 4
-  private val Dim = 64
-  private[operators] val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
+
+  /** The testdata's embedding width — the default the STATIC oracle SQL is
+    * generated against ([[lshPlaneRows]]/[[ivfCentroidRows]] with no
+    * argument). The engine itself never assumes it: every query path reads
+    * the width off the table via [[embeddingDim]].
+    */
+  private val DefaultDim = 64
+
+  /** Embedding dimensionality READ FROM THE TABLE (first row's array
+    * length), memoized per corpus dir: the same code must run unchanged on
+    * 768-dim production embeddings, so nothing downstream may bake in the
+    * testdata's 64. One limit-1 row fetch per corpus per JVM.
+    */
+  private val dimCache = scala.collection.concurrent.TrieMap[String, Int]()
+  private[graft] def embeddingDim(spark: SparkSession, sfDir: String): Int =
+    dimCache.getOrElseUpdate(sfDir,
+      Tables.embeddings(spark, sfDir)
+        .select(size(col("embedding"))).limit(1)
+        .collect().headOption.map(_.getInt(0)).getOrElse(DefaultDim))
+
+  // Plane/centroid tables are generated PER DIM (memoized): same seed, so
+  // dim=64 reproduces the exact constants the static oracle SQL embeds,
+  // while any other width gets its own consistent table.
+  private val planesCache =
+    scala.collection.concurrent.TrieMap[Int, Array[Array[Double]]]()
+  private[operators] def planesFor(dim: Int): Array[Array[Double]] =
+    planesCache.getOrElseUpdate(dim, {
+      val rnd = new scala.util.Random(7)
+      Array.fill(NumTables * BitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+    })
 
   /** The seeded hyperplanes, exposed so the DuckDB oracle can embed them
     * as literals: the planes are data-independent constants, the dot
@@ -83,31 +108,32 @@ object Similarity {
     * Returns (tableIdx, 2^bit weight, plane weights) per plane.
     */
   def lshPlaneRows: Seq[(Int, Long, Seq[Double])] =
-    planes.toSeq.zipWithIndex.map { case (w, i) =>
+    planesFor(DefaultDim).toSeq.zipWithIndex.map { case (w, i) =>
       (i / BitsPerTable, 1L << (i % BitsPerTable), w.toSeq)
     }
 
   // all hyperplanes as ONE typed literal (array<array<double>>): inlining
-  // 16×64 scalar literals per reference bloats the plan and codegen —
+  // 16×dim scalar literals per reference bloats the plan and codegen —
   // a single literal + element_at keeps the expression tree tiny
-  private lazy val planesLit: Column =
-    typedlit(planes.map(_.toSeq).toSeq)
+  private val planesLitCache = scala.collection.concurrent.TrieMap[Int, Column]()
+  private def planesLit(dim: Int): Column =
+    planesLitCache.getOrElseUpdate(dim, typedlit(planesFor(dim).map(_.toSeq).toSeq))
 
   /** Bucket id within table `t` = sign bits of the vector against that
     * table's hyperplanes (pure map-side; one shared literal plane array).
     * Bits accumulate as acc·2+bit — a deterministic bucket numbering.
     */
-  private[operators] def bucketOf(v: Column, t: Int): Column =
+  private[operators] def bucketOf(v: Column, t: Int, dim: Int): Column =
     (0 until BitsPerTable).map { b =>
-      val plane = element_at(planesLit, t * BitsPerTable + b + 1)
+      val plane = element_at(planesLit(dim), t * BitsPerTable + b + 1)
       when(dot(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** One row per (vector, table) with its bucket id. */
-  private def bucketed(df: DataFrame): DataFrame =
+  private def bucketed(df: DataFrame, dim: Int): DataFrame =
     df.select(col("*"),
         posexplode(array((0 until NumTables).map(t =>
-          bucketOf(col("embedding"), t)): _*)))
+          bucketOf(col("embedding"), t, dim)): _*)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
 
@@ -126,9 +152,10 @@ object Similarity {
     */
   def annTopK(spark: SparkSession, sfDir: String,
               nQueries: Int, k: Int): DataFrame = {
-    val emb = bucketed(Tables.embeddings(spark, sfDir))
+    val dim = embeddingDim(spark, sfDir)
+    val emb = bucketed(Tables.embeddings(spark, sfDir), dim)
     val q = bucketed(Tables.embeddings(spark, sfDir)
-        .filter(col("vec_id") < nQueries))
+        .filter(col("vec_id") < nQueries), dim)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
     val scored = emb.join(broadcast(q), Seq("tbl", "bucket"))
@@ -255,19 +282,26 @@ object Similarity {
   // double arithmetic that DuckDB reproduces bit-for-bit from embedded
   // literals, the same trick lshPlaneRows plays for q_ann_topk.
   private val ServeCells = 8
-  private[operators] val serveCentroids: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(23)
-    Array.fill(ServeCells)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
+  private val serveCentsCache =
+    scala.collection.concurrent.TrieMap[Int, Array[Array[Double]]]()
+  private[operators] def serveCentroidsFor(dim: Int): Array[Array[Double]] =
+    serveCentsCache.getOrElseUpdate(dim, {
+      val rnd = new scala.util.Random(23)
+      Array.fill(ServeCells)(Array.fill(dim)(rnd.nextGaussian()))
+    })
 
   /** The fixed serve centroids, exposed so the DuckDB oracle can embed
     * them as literals (Double.toString is shortest-round-trip).
     */
   def ivfCentroidRows: Seq[(Int, Seq[Double])] =
-    serveCentroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    serveCentroidsFor(DefaultDim).toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
 
-  private lazy val serveCentsLit: Column =
-    typedlit(serveCentroids.map(_.toSeq).toSeq)
+  private val serveCentsLitCache =
+    scala.collection.concurrent.TrieMap[Int, Column]()
+  private def serveCentsLit(dim: Int): Column =
+    serveCentsLitCache.getOrElseUpdate(dim,
+      typedlit(serveCentroidsFor(dim).map(_.toSeq).toSeq))
 
   /** Cosine of `v` against every serve centroid, as one array<double> —
     * computed in its own projection (Catalyst does not CSE higher-order
@@ -280,8 +314,8 @@ object Similarity {
     * zero-norm QUERY is still NULL-vs-NaN; serving assumes unit-normish
     * query embeddings, as every upstream embedder produces.)
     */
-  private def serveCellScores(v: Column): Column =
-    transform(serveCentsLit, c => coalesce(cosine(v, c), lit(-2.0)))
+  private def serveCellScores(v: Column, dim: Int): Column =
+    transform(serveCentsLit(dim), c => coalesce(cosine(v, c), lit(-2.0)))
 
   /** Argmax over the score array, ties to the lowest cell id
     * (strictly-greater replaces — mirrored by `ORDER BY s DESC, cent_id`
@@ -306,9 +340,10 @@ object Similarity {
     */
   def ivfServeTopK(spark: SparkSession, sfDir: String,
                    nQueries: Int, k: Int, nprobe: Int = 3): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val withScores = emb.select(col("vec_id"), col("embedding"),
-      serveCellScores(col("embedding")).as("cs"))
+      serveCellScores(col("embedding"), dim).as("cs"))
     val assigned = withScores.select(col("vec_id"), col("embedding"),
       argmaxCell(col("cs")).as("cent_id"))
     // per-query probe list: sort (−score, id) ascending = score desc with
@@ -374,9 +409,10 @@ object Similarity {
     * q_ivf_serve artifact and keeps the oracle bit-exact.
     */
   def semDedup(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
     val assigned = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
-        argmaxCell(serveCellScores(col("embedding"))).as("cent_id"))
+        argmaxCell(serveCellScores(col("embedding"), dim)).as("cent_id"))
     val lower = assigned
       .select(col("cent_id"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"))

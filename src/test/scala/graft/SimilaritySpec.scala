@@ -59,6 +59,52 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.8, s"mean IVF recall $mean below 0.8 — k-means cells or probing broken?")
   }
 
+  test("LSH/IVF paths run on a non-64-dim corpus (dim read from schema)") {
+    // 16-dim synthetic corpus shaped like an sfDir: the planes/centroids
+    // must be generated at the TABLE's width, not the testdata's 64 — a
+    // baked-in 64 would dot 64-weight planes against 16-long vectors.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dim16_").toString
+    try {
+      val rnd = new scala.util.Random(11)
+      val rows = (0L until 80L).map { i =>
+        (i, Seq.fill(16)(rnd.nextGaussian().toFloat), (i % 4).toInt)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      assert(graft.operators.Similarity.embeddingDim(spark, dir) === 16)
+
+      val vecs = rows.map { case (id, v, _) => id -> v }.toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble; i += 1
+        }
+        BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val ann = Similarity.annTopK(spark, dir, 3, 5)
+        .select("query_id", "vec_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(ann.nonEmpty, "annTopK empty on 16-dim corpus")
+      ann.foreach { case (q, v, c) =>
+        assert(c === cos(vecs(q), vecs(v)),
+          s"ann cosine for ($q,$v) is not the true 16-dim cosine")
+      }
+      val serve = Similarity.ivfServeTopK(spark, dir, 3, 5)
+        .select("query_id", "vec_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(serve.nonEmpty, "ivfServeTopK empty on 16-dim corpus")
+      serve.foreach { case (q, v, c) =>
+        assert(c === cos(vecs(q), vecs(v)),
+          s"serve cosine for ($q,$v) is not the true 16-dim cosine")
+      }
+      val kept = Similarity.semDedup(spark, dir, 0.3).collect()
+      assert(kept.nonEmpty, "semDedup empty on 16-dim corpus")
+    } finally graft.util.Scratch.deleteRecursively(dir)
+  }
+
   test("embedStats covers every label once") {
     val got = Similarity.embedStats(spark, sf)
       .as[(Int, Long, Double)].collect()
