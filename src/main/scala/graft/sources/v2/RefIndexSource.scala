@@ -32,10 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `SupportsPushDownRequiredColumns`: per-line parsing materializes
   *    only the projected columns.
   *
-  * One InputPartition per (surviving) letter file mirrors the format's
-  * own parallelism cap: the reference serializes each letter through one
-  * file, so a letter is the natural split unit (a 100 TB deployment
-  * would shard WITHIN letters — but then it wouldn't be this format).
+  * Surviving letter files are further split into NEWLINE-ALIGNED
+  * byte ranges (`splitBytes` reader option, default 32 MiB) — the same
+  * within-file split the reference's own mapper performs at word
+  * boundaries (`/root/reference/worker.c:210-220`), so scan parallelism
+  * is sized by data volume, not capped at 26 by the file-per-letter
+  * layout. Range semantics are the classic text-split contract: a
+  * non-zero-offset reader discards its first (partial) line, every
+  * reader reads THROUGH its end to finish the last line it started —
+  * each line is read exactly once.
   */
 class RefIndexSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -50,6 +55,12 @@ class RefIndexSource extends TableProvider {
 }
 
 object RefIndexSource {
+  /** Default byte-range split size for letter files (32 MiB) — small
+    * enough that a skew-letter file fans out across executors, large
+    * enough that per-split setup stays noise.
+    */
+  val DefaultSplitBytes: Long = 32L << 20
+
   /** `first_letter` is part of the table schema (derived from the file
     * name on read) so the V2 WRITE can require a clustered distribution
     * on an input column — each letter lands in exactly one task, which
@@ -93,14 +104,15 @@ class RefIndexTable(path: String) extends Table
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RefIndexScanBuilder(path)
+    new RefIndexScanBuilder(path,
+      math.max(1L, options.getLong("splitBytes", RefIndexSource.DefaultSplitBytes)))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     new RefIndexWriteBuilder(path, info.schema())
 }
 
-class RefIndexScanBuilder(path: String)
+class RefIndexScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -123,16 +135,17 @@ class RefIndexScanBuilder(path: String)
   override def build(): Scan = {
     // conjunction of filters → intersection of their letter supersets
     val letters = letterSets.reduceOption(_ intersect _)
-    new RefIndexScan(path, letters, required)
+    new RefIndexScan(path, letters, required, splitBytes)
   }
 }
 
 class RefIndexScan(path: String, letters: Option[Set[String]],
-                   required: StructType) extends Scan with Batch {
+                   required: StructType, splitBytes: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_ref_index path=$path prunedLetters=${letters.map(_.toSeq.sorted.mkString(",")).getOrElse("*")}"
+    s"graft_ref_index path=$path prunedLetters=${letters.map(_.toSeq.sorted.mkString(",")).getOrElse("*")} splitBytes=$splitBytes"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -140,7 +153,18 @@ class RefIndexScan(path: String, letters: Option[Set[String]],
       .filter(f => f.isFile && f.getName.length == 1)
       .filter(f => letters.forall(_.contains(f.getName)))
       .sortBy(_.getName)
-      .map(f => RefIndexInputPartition(f.getAbsolutePath): InputPartition)
+      .flatMap { f =>
+        // newline-aligned byte ranges within each letter file — the
+        // reference's own within-file split (worker.c:210-220), so a
+        // skewed letter fans out instead of capping parallelism at 26
+        val len = f.length()
+        val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+        (0L until n).map { i =>
+          val s = i * splitBytes
+          RefIndexInputPartition(f.getAbsolutePath, s,
+            math.min(splitBytes, len - s)): InputPartition
+        }
+      }
       .toArray
   }
 
@@ -148,13 +172,15 @@ class RefIndexScan(path: String, letters: Option[Set[String]],
     new RefIndexReaderFactory(required)
 }
 
-case class RefIndexInputPartition(file: String) extends InputPartition
+case class RefIndexInputPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 class RefIndexReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RefIndexPartitionReader(
-      partition.asInstanceOf[RefIndexInputPartition].file, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RefIndexInputPartition]
+    new RefIndexPartitionReader(p.file, p.start, p.length, required)
+  }
 }
 
 // ——— V2 WRITE: the distributed producer of the reference format ———
@@ -279,21 +305,77 @@ class RefIndexDataWriter(path: String, writeSchema: StructType, taskId: Long)
   override def close(): Unit = ()
 }
 
-/** Streams one letter file line by line; `term doc count` parsed with
-  * zero intermediate allocation beyond the projected values.
+/** Streams the byte range `[start, start+length)` of one letter file
+  * line by line; `term doc count` parsed with zero intermediate
+  * allocation beyond the projected values.
+  *
+  * Range contract (the classic Hadoop text-split semantics): a reader
+  * at a non-zero offset discards everything up to its first newline
+  * (that partial line belongs to the previous range), and every reader
+  * keeps reading while the NEXT line starts at a position <= end — so
+  * the line straddling a boundary, and the line starting exactly AT a
+  * boundary, are each read by exactly one range. Byte positions are
+  * tracked on the raw stream (lines may be multi-byte UTF-8).
   */
-class RefIndexPartitionReader(file: String, required: StructType)
+class RefIndexPartitionReader(file: String, start: Long, length: Long,
+                              required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(
-      new java.io.FileInputStream(file),
-      java.nio.charset.StandardCharsets.UTF_8))
+  private val in = new java.io.BufferedInputStream(
+    new java.io.FileInputStream(file), 1 << 16)
+  private val end = start + length
+  private var pos = 0L
+  private val lineBuf = new java.io.ByteArrayOutputStream(64)
   private var row: InternalRow = _
 
+  locally {
+    var toSkip = start
+    while (toSkip > 0) {
+      val skipped = in.skip(toSkip)
+      if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+    }
+    pos = start
+    if (start > 0) discardPartialLine()
+  }
+
+  private def discardPartialLine(): Unit = {
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b == -1) done = true
+      else { pos += 1; if (b == '\n') done = true }
+    }
+  }
+
+  /** Next line (without terminator), or null at EOF; advances `pos` by
+    * every byte consumed including the newline.
+    */
+  private def readLine(): String = {
+    lineBuf.reset()
+    var done = false
+    var any = false
+    while (!done) {
+      val b = in.read()
+      if (b == -1) done = true
+      else {
+        pos += 1; any = true
+        if (b == '\n') done = true else lineBuf.write(b)
+      }
+    }
+    if (!any) null
+    else new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null && line.isEmpty) line = reader.readLine()
+    var line: String = null
+    var scan = true
+    while (scan) {
+      if (pos > end) { line = null; scan = false } // next line is the next range's
+      else {
+        line = readLine()
+        if (line == null || line.nonEmpty) scan = false // EOF or a real line
+      }
+    }
     if (line == null) { false }
     else {
       val s1 = line.indexOf(' ')
@@ -315,5 +397,5 @@ class RefIndexPartitionReader(file: String, required: StructType)
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }

@@ -87,6 +87,53 @@ class RefIndexSourceSpec extends SparkTestBase {
     graft.util.Scratch.deleteRecursively(dir)
   }
 
+  test("byte-range splits: a letter file fans out into >1 partition, rows exact") {
+    val path = RefIndexInterop.ensureRefIndex(spark, sf)
+    val nFiles = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).count(f => f.isFile && f.getName.length == 1)
+    val split = spark.read.format(classOf[RefIndexSource].getName)
+      .option("path", path).option("splitBytes", 512).load()
+    assert(split.rdd.getNumPartitions > nFiles,
+      s"512-byte splits yielded ${split.rdd.getNumPartitions} partitions " +
+        s"for $nFiles files — within-file splitting is not happening")
+    val got = split.select("term", "doc_id", "tf")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val whole = load().select("term", "doc_id", "tf")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got === whole,
+      "byte-range scan lost or duplicated rows at split boundaries")
+    // pruning still composes with splitting
+    val lk = spark.read.format(classOf[RefIndexSource].getName)
+      .option("path", path).option("splitBytes", 512).load()
+      .filter(col("term") === "the")
+      .select("doc_id", "tf").as[(Long, Long)].collect().toSet
+    val lkWhole = load().filter(col("term") === "the")
+      .select("doc_id", "tf").as[(Long, Long)].collect().toSet
+    assert(lk === lkWhole && lk.nonEmpty)
+  }
+
+  test("byte-range splits: every boundary placement reads each line exactly once") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_refindex_split_")
+    try {
+      val body = "aa 1 2\nab 10 3\nabc 100 42\nazz 7 1\n"
+      Files.write(Paths.get(dir.toString, "a"),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val expected = body.split("\n").map { l =>
+        val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong)
+      }.sorted.toSeq
+      // sweep split sizes 1..body.length: every possible boundary position
+      // lands mid-line, at a line start, and at the newline itself
+      for (sb <- 1 to body.length) {
+        val got = spark.read.format(classOf[RefIndexSource].getName)
+          .option("path", dir.toString).option("splitBytes", sb).load()
+          .select("term", "doc_id", "tf")
+          .as[(String, Long, Long)].collect().sorted.toSeq
+        assert(got === expected, s"splitBytes=$sb broke exactly-once reads")
+      }
+    } finally graft.util.Scratch.deleteRecursively(dir)
+  }
+
   test("column pruning: projected read materializes only requested fields") {
     val df = load().select("tf")
     assert(df.schema.fieldNames.toSeq === Seq("tf"))
