@@ -238,9 +238,11 @@ object Dedup {
     * Spark-first iterative min-label propagation: labels(v) starts at v;
     * each round takes the min over v's neighborhood; a fixpoint is a valid
     * component labeling. The loop is a DRIVER loop over DataFrame ops —
-    * the same shape GraphX/GraphFrames use — with `localCheckpoint` per
-    * round to truncate lineage (on a cluster: `checkpoint` to reliable
-    * storage). Scale posture: the graph is the DEDUP OUTPUT (pairs ≪
+    * the same shape GraphX/GraphFrames use — with a per-round checkpoint
+    * to truncate lineage: `localCheckpoint` by default, or RELIABLE
+    * `checkpoint` into `spark.graft.checkpointDir` when set (a cluster
+    * deployment points it at shared storage so an executor loss mid-loop
+    * costs one round, not the whole propagation). Scale posture: the graph is the DEDUP OUTPUT (pairs ≪
     * corpus), every round is one shuffle of that small edge set, and
     * rounds ≤ component diameter (near-dup clusters are shallow; the cap
     * of 50 covers a 2^50-vertex path in the small-star worst case).
@@ -272,17 +274,32 @@ object Dedup {
     })
   }
 
+  /** Per-round lineage truncation for the CC loop. `localCheckpoint`
+    * stores blocks on executors — fast, but an executor loss on a real
+    * cluster means recompute-from-nothing mid-loop. When
+    * `spark.graft.checkpointDir` is set (shared storage on a cluster),
+    * rounds checkpoint RELIABLY there instead; the first caller wins the
+    * SparkContext-wide checkpoint dir, as that is a context-level knob.
+    */
+  private def roundCheckpoint(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   private[graft] def dupClustersFromPairs(spark: SparkSession,
                                           pairs: DataFrame): DataFrame = {
     // symmetric edge list, materialized once — reused every round; the
     // edge count rides the checkpoint job as an observe metric (no
     // separate count action)
     val obsEdges = new org.apache.spark.sql.Observation("graft_cc_edges")
-    val edges0 = pairs
+    val edges0 = roundCheckpoint(spark, pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .observe(obsEdges, count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .observe(obsEdges, count(lit(1)).as("n")))
     val nEdges = obsEdges.get.get("n") match {
       case Some(n: Number) => n.longValue()
       case _ => 0L
@@ -298,11 +315,12 @@ object Dedup {
     val nParts = math.max(4, math.min(
       spark.sessionState.conf.numShufflePartitions,
       (nEdges / 500000L).toInt + 1))
-    val edges = edges0.repartition(nParts, col("src")).localCheckpoint(true)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("l"))
-      .repartition(nParts, col("v"))
-      .localCheckpoint(true)
+    val edges = roundCheckpoint(spark,
+      edges0.repartition(nParts, col("src")))
+    var labels = roundCheckpoint(spark,
+      edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("l"))
+        .repartition(nParts, col("v")))
     var converged = false
     var iter = 0
     // fixpoint detection rides INSIDE the propagation job: the min-label
@@ -317,15 +335,15 @@ object Dedup {
       val obs = new org.apache.spark.sql.Observation(s"graft_cc_$iter")
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("l"), lit(false).as("own"))
-      val next = labels.select(col("v"), col("l"), lit(true).as("own"))
-        .unionAll(viaEdges)
-        .repartition(nParts, col("v"))
-        .groupBy("v")
-        .agg(min("l").as("new_l"), max(when(col("own"), col("l"))).as("old_l"))
-        .observe(obs,
-          max(when(col("new_l") < col("old_l"), 1).otherwise(0)).as("changed"))
-        .select(col("v"), col("new_l").as("l"))
-        .localCheckpoint(true)
+      val next = roundCheckpoint(spark,
+        labels.select(col("v"), col("l"), lit(true).as("own"))
+          .unionAll(viaEdges)
+          .repartition(nParts, col("v"))
+          .groupBy("v")
+          .agg(min("l").as("new_l"), max(when(col("own"), col("l"))).as("old_l"))
+          .observe(obs,
+            max(when(col("new_l") < col("old_l"), 1).otherwise(0)).as("changed"))
+          .select(col("v"), col("new_l").as("l")))
       labels = next
       // empty vertex set → metric is NULL → nothing left to converge
       converged = obs.get.get("changed").forall {

@@ -74,6 +74,26 @@ class DedupSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("dupClusters with spark.graft.checkpointDir checkpoints reliably, same labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val got = Dedup.dupClustersFromPairs(spark, pairs)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+        (10L, 10L, 2L), (11L, 10L, 2L)))
+      // reliable checkpoint data actually landed under the configured dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).getOrElse(Array.empty).exists(anyFile)
+      assert(anyFile(new java.io.File(dir)),
+        s"no checkpoint data written under $dir — rounds still local-only")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      graft.util.Scratch.deleteRecursively(dir)
+    }
+  }
+
   test("dupClusters propagation runs one Spark job per round") {
     // path 30-31-32-33-34: min-label needs 4 changing rounds + 1 confirming
     // round = 5. Jobs = 2 setup checkpoints + 1 per round = 7; the r2
