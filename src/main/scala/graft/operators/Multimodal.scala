@@ -11,11 +11,13 @@ import graft.sources.Tables
   *
   * The Spark-side shape is the real thing — binary columns, metadata
   * struct, `mapPartitions` batch processing with a case-class Encoder (the
-  * Scala analogue of `mapInPandas` batches) — while the decoder itself is
-  * a STUB: this container has no image/audio codecs, so `decodeStub`
-  * produces a deterministic fake "decoded frame" from the bytes. Swapping
-  * in a real JNI/codec call changes only that one function; schema,
-  * partitioning and batch flow are unchanged and tested.
+  * Scala analogue of `mapInPandas` batches). The IMAGE modality decodes
+  * for real: PNG payloads (sniffed by signature) go through the pure-JVM
+  * `javax.imageio` codec into a luminance histogram. Audio/video decoding
+  * remains a documented STUB (no codecs in this container): `decodeStub`
+  * produces a deterministic fake "decoded frame" from the bytes, and
+  * swapping in a real JNI/codec call changes only that one function —
+  * schema, partitioning and batch flow are unchanged and tested.
   */
 object Multimodal {
 
@@ -59,16 +61,75 @@ object Multimodal {
     acc.map(s => (s / 255.0).toFloat)
   }
 
+  // ——— REAL image decode (pure-JVM javax.imageio PNG) ———
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+
+  /** PNG payload sniff (8-byte signature). Dispatch is by content, not
+    * kind metadata: the synthesized corpus assets carry text bytes under
+    * kind=image and must keep flowing through the deterministic stub the
+    * oracle reproduces, while genuine PNG blobs get the real codec.
+    */
+  private[graft] def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= PngMagic.length &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOf(payload, PngMagic.length), PngMagic)
+
+  /** REAL image feature extraction — javax.imageio is a pure-JVM PNG
+    * codec, so this half of the modality needs no native libs: decode
+    * the payload and fold a FeatureDim-bin LUMINANCE HISTOGRAM
+    * (integer-weighted BT.601 luma, exact integer counts, one final
+    * division — same determinism discipline as [[decodeStub]]).
+    * Audio/video payloads keep the documented stub (their codecs are
+    * not in this container).
+    */
+  private[graft] def decodePngFeatures(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "PNG-signature payload failed to decode")
+    val hist = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        hist(lum * FeatureDim / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    hist.map(c => (c.toDouble / n).toFloat)
+  }
+
   /** Partition-wise batch feature extraction: one decoder instance per
     * partition (the expensive-init amortization pattern of mapInPandas),
-    * streaming through rows without materializing the partition.
+    * streaming through rows without materializing the partition. PNG
+    * payloads take the real [[decodePngFeatures]] codec; everything else
+    * the deterministic stub.
     */
-  def extractFeatures(spark: SparkSession, sfDir: String): Dataset[AssetFeatures] = {
+  def extractFeatures(spark: SparkSession, sfDir: String): Dataset[AssetFeatures] =
+    extractFeaturesFrom(spark, {
+      import spark.implicits._
+      assets(spark, sfDir).as[Asset]
+    })
+
+  /** The same pipeline over any asset relation (streaming sources, test
+    * frames with genuine PNG payloads, a binaryFile read in production).
+    */
+  def extractFeaturesFrom(spark: SparkSession,
+                          in: Dataset[Asset]): Dataset[AssetFeatures] = {
     import spark.implicits._
-    assets(spark, sfDir).as[Asset].mapPartitions { it =>
-      // per-partition init of the (stub) decoder would happen here
+    in.mapPartitions { it =>
+      // per-partition init of the non-PNG (stub) decoders would happen here
       it.map { a =>
-        AssetFeatures(a.asset_id, a.kind, a.payload.length, decodeStub(a.payload))
+        val feats =
+          if (a.kind == "image" && isPng(a.payload)) decodePngFeatures(a.payload)
+          else decodeStub(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length, feats)
       }
     }
   }

@@ -23,6 +23,45 @@ class MultimodalStreamingSpec extends SparkTestBase {
     assert(Multimodal.decodeStub(one._2).sameElements(expected))
   }
 
+  test("multimodal: real PNG payloads decode through javax.imageio to exact pixel stats") {
+    // synthesize genuine PNGs with known pixels: asset 1 all-black (luma 0,
+    // histogram bin 0), asset 2 all-white (luma 255, last bin), asset 3
+    // half black / half mid-gray (128 -> bin 8 of 16)
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer")
+      out.toByteArray
+    }
+    val black = png(4, 4, (_, _) => 0x000000)
+    val white = png(4, 4, (_, _) => 0xFFFFFF)
+    val halfGray = png(4, 4, (x, _) => if (x < 2) 0x000000 else 0x808080)
+    val in = Seq(
+      Multimodal.Asset(1L, "image", black, 4, 4),
+      Multimodal.Asset(2L, "image", white, 4, 4),
+      Multimodal.Asset(3L, "image", halfGray, 4, 4),
+      Multimodal.Asset(4L, "audio", "not a png".getBytes("UTF-8"), 0, 0))
+      .toDS()
+    val feats = Multimodal.extractFeaturesFrom(spark, in).collect()
+      .map(f => f.asset_id -> f).toMap
+    def hist(bins: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](Multimodal.FeatureDim)
+      bins.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    assert(feats(1L).features.sameElements(hist(0 -> 1.0f)),
+      "all-black PNG must land fully in luma bin 0")
+    assert(feats(2L).features.sameElements(hist(15 -> 1.0f)),
+      "all-white PNG must land fully in the last luma bin")
+    assert(feats(3L).features.sameElements(hist(0 -> 0.5f, 8 -> 0.5f)),
+      "half-black/half-gray PNG must split bins 0 and 8 evenly")
+    // non-PNG payloads keep the deterministic stub fold
+    assert(feats(4L).features.sameElements(
+      Multimodal.decodeStub("not a png".getBytes("UTF-8"))))
+  }
+
   test("multimodal featureStats: kinds partition the corpus") {
     val rows = Multimodal.featureStats(spark, sf).collect()
     assert(rows.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
