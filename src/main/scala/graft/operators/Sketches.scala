@@ -39,12 +39,16 @@ object Sketches {
 
   /** Bucket of hash `h` in row `d` with `width` buckets — all arithmetic
     * mod P first so products never exceed 2^62. Exposed for the
-    * streaming sketch maintainer (any nonnegative long key works as `h`).
+    * streaming sketch maintainer. The inner `(h % P + P) % P`
+    * normalization (mirroring [[bucketLit]]) keeps NEGATIVE keys — e.g.
+    * a -1 sentinel user_id through the streaming CMS — in [0, P) so the
+    * engine-side bucket always matches a driver-computed probe bucket;
+    * Scala/SQL `%` both preserve the dividend's sign.
     */
   private[graft] def bucket(h: Column, d: Int, width: Int): Column =
-    ((lit(RowA(d)) * (h % P) + lit(RowB(d))) % P) % width
+    ((lit(RowA(d)) * ((h % P + P) % P) + lit(RowB(d))) % P) % width
 
-  private def bucketLit(h: Long, d: Int, width: Int): Long =
+  private[graft] def bucketLit(h: Long, d: Int, width: Int): Long =
     ((RowA(d) * (((h % P) + P) % P) + RowB(d)) % P) % width
 
   /** COUNT-MIN SKETCH estimate vs exact truth for a fixed probe-term set.

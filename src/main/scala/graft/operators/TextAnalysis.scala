@@ -677,14 +677,34 @@ object TextAnalysis {
     * contract applies only the first `rounds − 1` merges before counting
     * the last round's pairs; the ENCODE path applies all `rounds`.
     */
-  /** Learned merges memoized per (sfDir, rounds): training drives one
-    * driver action per round, but the RESULT is a tiny pure value, and
-    * the merged sequence can be rebuilt LAZILY from it — so a repeat call
-    * (bench second pass; bpeEncode after bpeTrain) replays the merges
-    * with zero training actions.
+  /** Learned merges memoized per (corpus fingerprint, rounds): training
+    * drives one driver action per round, but the RESULT is a tiny pure
+    * value, and the merged sequence can be rebuilt LAZILY from it — so a
+    * repeat call (bench second pass; bpeEncode after bpeTrain) replays
+    * the merges with zero training actions. The key includes the newest
+    * mtime under documents.parquet (not the path alone) so a regenerated
+    * corpus at the same path can never serve stale merges; the bench
+    * discloses the warm-pass hit via [[lastBpeWasCacheHit]].
     */
   private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, String, Long)]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(Int, String, Long)]]
+
+  /** True when the last [[bpeMergedSeq]] call replayed cached merges
+    * instead of training — lets the bench report the q_bpe_train warm
+    * pass honestly (like cache_hits.clustered_layout).
+    */
+  @volatile var lastBpeWasCacheHit: Boolean = false
+
+  /** Newest lastModified anywhere under documents.parquet — a rewritten
+    * multi-file parquet dir need not bump its own mtime.
+    */
+  private def corpusFingerprint(sfDir: String): Long = {
+    def newest(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      (f.lastModified() +: kids.map(newest)).max
+    }
+    newest(new java.io.File(sfDir, "documents.parquet"))
+  }
 
   private def charSeq(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -707,11 +727,14 @@ object TextAnalysis {
 
   private[graft] def bpeMergedSeq(spark: SparkSession, sfDir: String,
                                   rounds: Int): (DataFrame, Seq[(Int, String, Long)]) = {
-    bpeMergeCache.get((sfDir, rounds)) match {
+    val key = (sfDir, corpusFingerprint(sfDir), rounds)
+    bpeMergeCache.get(key) match {
       case Some(learned) =>
+        lastBpeWasCacheHit = true
         (learned.foldLeft(charSeq(spark, sfDir)) {
           case (seq, (_, pair, _)) => applyMerge(seq, pair) }, learned)
       case None =>
+        lastBpeWasCacheHit = false
         var seq = charSeq(spark, sfDir)
         val learned = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
         for (r <- 1 to rounds) {
@@ -727,7 +750,7 @@ object TextAnalysis {
           learned += ((r, pair, n))
           seq = applyMerge(seq, pair)
         }
-        bpeMergeCache.putIfAbsent((sfDir, rounds), learned.toSeq)
+        bpeMergeCache.putIfAbsent(key, learned.toSeq)
         (seq, learned.toSeq)
     }
   }

@@ -292,13 +292,26 @@ class RefIndexDataWriter(path: String, writeSchema: StructType, taskId: Long)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writers.values.foreach(_._2.close())
+    // close EVERY writer before deciding the outcome: a flush failure on
+    // one letter (disk full) must not leave later letters' buffers open,
+    // and the raised error hands ALL recorded temp paths to abort()
+    var failure: Throwable = null
+    writers.values.foreach { case (_, w) =>
+      try w.close()
+      catch { case t: Throwable => if (failure == null) failure = t }
+    }
+    if (failure != null) throw failure
     RefIndexCommit(writers.map { case (l, (tmp, _)) => (l, tmp) }.toSeq)
   }
 
   override def abort(): Unit = {
+    // best-effort per entry: one close() throwing (half-closed writer
+    // after a failed commit flush) must not skip deleting the REMAINING
+    // temp files — every recorded path is deleted regardless of state
     writers.values.foreach { case (tmp, w) =>
-      w.close(); java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)); ()
+      try w.close() catch { case _: Throwable => () }
+      try { java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)); () }
+      catch { case _: Throwable => () }
     }
   }
 

@@ -167,7 +167,19 @@ object StreamingIndexer {
       .write.parquet(watch.resolve("b").toString)
     val t2 = s"graft_stream_resume_b_${resumeSeq.incrementAndGet()}"
     val q2 = drain(t2)
-    val run2Rows = q2.recentProgress.map(_.numInputRows).sum
+    // recentProgress is a ring buffer of the last
+    // spark.sql.streaming.numRecentProgressUpdates entries (default 100);
+    // summing a TRUNCATED buffer would undercount silently and make the
+    // delta-only assertion downstream pass vacuously. Today's drain is a
+    // handful of micro-batches — enforce that loudly rather than assume.
+    val progress = q2.recentProgress
+    val retention =
+      ss.conf.get("spark.sql.streaming.numRecentProgressUpdates").toInt
+    require(progress.length < retention,
+      s"resume drain produced ${progress.length} progress updates, at the " +
+        s"retention limit $retention — recentProgress may be truncated; " +
+        "count input rows with a StreamingQueryListener instead")
+    val run2Rows = progress.map(_.numInputRows).sum
     resumeScratch.defer(
       () => { ss.catalog.dropTempView(t2); () },
       () => graft.util.Scratch.deleteRecursively(root))

@@ -11,6 +11,23 @@ import graft.operators.{Packing, Sketches}
   */
 class SketchesPackingSpec extends SparkTestBase {
 
+  test("CMS bucket: engine-side bucket of a NEGATIVE key matches the driver probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a -1 sentinel user_id (or any negative hash) must land in the same
+    // cell engine-side as the driver-computed probe bucket — Scala and
+    // SQL % both preserve sign, so both sides need the +P normalization
+    val keys = Seq(-1L, -987654321L, Long.MinValue + 1, 0L, 42L)
+    val df = keys.toDF("h")
+    for (d <- 0 until Sketches.Depth) {
+      val got = df.select(Sketches.bucket(col("h"), d, 1024).as("b"))
+        .as[Long].collect().toSeq
+      val want = keys.map(Sketches.bucketLit(_, d, 1024))
+      assert(got === want, s"row $d: engine buckets diverge from probe buckets")
+      got.foreach(b => assert(b >= 0 && b < 1024))
+    }
+  }
+
   test("CMS: estimate >= exact for every probe; exact for absent terms' truth") {
     val rows = Sketches.cmsEstimate(spark, sf).collect()
     assert(rows.nonEmpty)
