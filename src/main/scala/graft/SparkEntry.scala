@@ -36,8 +36,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val sfDir = "/root/testdata/sf0.001"
-    val indexPath = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_entry_index").getAbsolutePath
+    val indexPath = graft.util.Scratch.dir(spark, "graft_entry_index")
     Indexer.writeIndex(spark, sfDir, indexPath)
     val updated = graft.sources.Tables.documents(spark, sfDir)
       .filter(col("doc_id") === 0)

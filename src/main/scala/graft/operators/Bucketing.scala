@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,16 +34,18 @@ object Bucketing {
   def ensureBucketed(spark: SparkSession, sfDir: String): (String, String) = {
     val ot = tblName("graft_orders_b", sfDir)
     val lt = tblName("graft_lineitem_b", sfDir)
+    // table data lands under the configurable scratch root (shared
+    // storage on a cluster — executors must read each other's buckets)
     if (!spark.catalog.tableExists(ot)) {
       Tables.orders(spark, sfDir).write
         .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", new File(System.getProperty("java.io.tmpdir"), ot).getAbsolutePath)
+        .option("path", graft.util.Scratch.dir(spark, ot))
         .mode("overwrite").format("parquet").saveAsTable(ot)
     }
     if (!spark.catalog.tableExists(lt)) {
       Tables.lineitem(spark, sfDir).write
         .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", new File(System.getProperty("java.io.tmpdir"), lt).getAbsolutePath)
+        .option("path", graft.util.Scratch.dir(spark, lt))
         .mode("overwrite").format("parquet").saveAsTable(lt)
     }
     (ot, lt)

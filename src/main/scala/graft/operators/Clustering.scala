@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,20 +85,36 @@ object Clustering {
     * BUMP THIS whenever the written format changes (column types, Z bit
     * budget, rectangle-relevant encoding): the mtime staleness check only
     * sees source-data changes, so without a version a machine holding a
-    * pre-change copy in java.io.tmpdir would keep serving the old layout.
-    * v2 = LTZ-micros shipdate + range-normalized 31-bit Morton Z.
+    * pre-change copy in the scratch root would keep serving the old
+    * layout. v2 = LTZ-micros shipdate + range-normalized 31-bit Morton Z.
     */
   private val LayoutVersion = 2
 
-  private def clusterDir(sfDir: String): File =
-    new File(System.getProperty("java.io.tmpdir"),
-      s"graft_lineitem_z_v${LayoutVersion}_" + Integer.toHexString(sfDir.hashCode))
+  // The layout cache lives under the configurable scratch root
+  // ([[graft.util.Scratch.root]] — local tmpdir by default, shared
+  // storage on a cluster) and all existence/mtime/sweep bookkeeping goes
+  // through the Hadoop FileSystem API, so the SAME staleness logic works
+  // on file://, hdfs://, s3a://, … paths.
+  private def clusterDirName(sfDir: String): String =
+    s"graft_lineitem_z_v${LayoutVersion}_" + Integer.toHexString(sfDir.hashCode)
 
-  /** Newest lastModified anywhere under `p` (p itself for a plain file). */
-  private def newestMtime(p: File): Long = {
-    val kids = Option(p.listFiles()).getOrElse(Array.empty[File])
-    (p.lastModified() +: kids.map(newestMtime)).max
-  }
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Newest modification time anywhere under `p` (p itself for a plain
+    * file); 0 when `p` does not exist.
+    */
+  private def newestMtime(fs: FileSystem, p: Path): Long =
+    if (!fs.exists(p)) 0L
+    else {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).map(s => newestMtime(fs, s.getPath)).toSeq).max
+    }
+
+  private def mtimeOf(fs: FileSystem, p: Path): Long =
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
 
   /** True when [[ensureClustered]] found a fresh on-disk copy and skipped
     * the build — lets the bench report cache-hit vs real build honestly.
@@ -113,27 +129,30 @@ object Clustering {
     * never serve stale tiles.
     */
   def ensureClustered(spark: SparkSession, sfDir: String): String = {
-    val dir = clusterDir(sfDir)
-    val success = new File(dir, "_SUCCESS")
+    val root = new Path(graft.util.Scratch.root(spark))
+    val dir = new Path(root, clusterDirName(sfDir))
+    val fs = fsOf(spark, dir)
+    val success = new Path(dir, "_SUCCESS")
     // newest mtime anywhere under the source path: a multi-file parquet
     // directory rewritten in place need not bump the directory's own mtime
-    val srcMtime = newestMtime(new File(sfDir, "lineitem.parquet"))
-    lastEnsureWasCacheHit = success.exists() && success.lastModified() >= srcMtime
+    val srcPath = new Path(sfDir, "lineitem.parquet")
+    val srcMtime = newestMtime(fsOf(spark, srcPath), srcPath)
+    lastEnsureWasCacheHit = mtimeOf(fs, success) >= srcMtime && srcMtime > 0
     if (!lastEnsureWasCacheHit) {
       // Sweep orphaned layout dirs for the SAME corpus left by earlier
       // LayoutVersions (v1 had no version segment at all): a version bump
       // renames the cache dir, and without this each bump would strand one
-      // full lineitem copy (plus manifest) per machine in java.io.tmpdir.
+      // full lineitem copy (plus manifest) per machine in the scratch root.
       val hex = Integer.toHexString(sfDir.hashCode)
       val keepPrefix = s"graft_lineitem_z_v${LayoutVersion}_$hex"
-      Option(new File(System.getProperty("java.io.tmpdir")).listFiles())
-        .getOrElse(Array.empty[File])
-        .filter { f =>
-          val n = f.getName
-          n.startsWith("graft_lineitem_z_") && n.contains(hex) &&
-            !n.startsWith(keepPrefix)
-        }
-        .foreach(f => graft.util.Scratch.deleteRecursively(f.toPath))
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter { s =>
+            val n = s.getPath.getName
+            n.startsWith("graft_lineitem_z_") && n.contains(hex) &&
+              !n.startsWith(keepPrefix)
+          }
+          .foreach(s => { fs.delete(s.getPath, true); () })
       // The source parquet stores shipdate with isAdjustedToUTC=false, which
       // Spark 4 reads as TIMESTAMP_NTZ — a type its parquet filter
       // conversion cannot row-group-skip on (bigint/date/LTZ-timestamp
@@ -165,29 +184,30 @@ object Clustering {
           .repartitionByRange(NumFiles, col("zv"))
           .sortWithinPartitions("zv")
           .drop("zv")
-          .write.mode("overwrite").parquet(dir.getAbsolutePath)
+          .write.mode("overwrite").parquet(dir.toString)
       } finally spark.conf.set(tsTypeKey, prev)
     }
     // file-level stats manifest: one row of per-file min/max envelopes,
     // collected with ONE Spark job over the written layout and stored
     // beside it — the metadata layer a table format would keep. Rebuilt
     // whenever the layout was rebuilt or a layout predates the manifest.
-    val mSuccess = new File(manifestDir(sfDir), "_SUCCESS")
+    val mDir = manifestPath(spark, sfDir)
+    val mSuccess = new Path(mDir, "_SUCCESS")
     if (!lastEnsureWasCacheHit ||
-        !mSuccess.exists() || mSuccess.lastModified() < success.lastModified()) {
-      spark.read.parquet(dir.getAbsolutePath)
+        mtimeOf(fs, mSuccess) < mtimeOf(fs, success)) {
+      spark.read.parquet(dir.toString)
         .groupBy(input_file_name().as("file"))
         .agg(
           min("l_shipdate").as("ship_min"), max("l_shipdate").as("ship_max"),
           min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(manifestDir(sfDir).getAbsolutePath)
+        .parquet(mDir.toString)
     }
-    dir.getAbsolutePath
+    dir.toString
   }
 
-  private def manifestDir(sfDir: String): File =
-    new File(clusterDir(sfDir).getAbsolutePath + "_manifest")
+  private def manifestPath(spark: SparkSession, sfDir: String): Path =
+    new Path(graft.util.Scratch.root(spark), clusterDirName(sfDir) + "_manifest")
 
   /** The clustered copy as a DataFrame. */
   def clusteredLineitem(spark: SparkSession, sfDir: String): DataFrame =
@@ -225,7 +245,7 @@ object Clustering {
     */
   def prunedRectRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureClustered(spark, sfDir)
-    val keep = spark.read.parquet(manifestDir(sfDir).getAbsolutePath)
+    val keep = spark.read.parquet(manifestPath(spark, sfDir).toString)
       .where(col("ship_max") >= lit(RectLo) && col("ship_min") <= lit(RectHi)
         && col("pk_max") >= 1 && col("pk_min") <= 100)
       .select("file")
