@@ -230,6 +230,9 @@ object SparkEntry {
     "q_streaming_dedup" -> ((s, d) => graft.streaming.StreamingDedup.dedupAvailableNow(s, d)),
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
+    // new-batch (doc_id ≡ 7 mod 10) LSH'd against the existing corpus only —
+    // O(batch), never re-pairs the corpus; exact-verified like q_minhash_lsh
+    "q_incremental_neardup" -> ((s, d) => Dedup.incrementalNeardup(s, d, 0.8)),
     "q_simhash"        -> ((s, d) => Dedup.simhashSignatures(s, d)),
     // pigeonhole chunk banding (Manku WWW'07) + exact Hamming verify;
     // recall is GUARANTEED at maxDist=3, so the brute-force oracle matches
@@ -1354,6 +1357,32 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Like q_minhash_lsh, the incremental path exact-verifies every LSH
+    // candidate, so its output is ⊆ the exact batch×corpus join (DedupSpec
+    // asserts set-equality at test scale) and shares the exact oracle: all
+    // (new, old) pairs sharing a shingle with J ≥ 0.8, reduced to each new
+    // doc's best match (highest Jaccard, ties to the smallest old doc_id).
+    "q_incremental_neardup" ->
+      s"""$shingleCte, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh)
+         |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |best AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |         count(*) OVER (PARTITION BY doc_a) AS n_matches,
+         |         row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
+         |  FROM j)
+         |SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard,
+         |       CAST(n_matches AS BIGINT) AS n_matches
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // Connected components are expressible in ANSI SQL via a recursive
     // CTE: reach(v,l) enumerates every (vertex, reachable-label) pair over
     // the symmetric near-dup edge list, so MIN(l) per v is the component

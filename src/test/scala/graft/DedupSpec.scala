@@ -29,6 +29,27 @@ class DedupSpec extends SparkTestBase {
     assert(exact === lsh, s"LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
   }
 
+  test("incrementalNeardup == exact batch-vs-corpus matches reduced to best match") {
+    // ngramJaccardPairs is exact all-pairs; restrict it to (new=doc_id≡7
+    // mod 10, old=rest) in either orientation and reduce per new doc to
+    // (best jaccard, ties to min old id, match count) — the incremental
+    // LSH path must reproduce that exactly (same recall argument as the
+    // LSH==exact test above: exact verify kills false positives, banding
+    // misses with P≈2e-4).
+    val exact = Dedup.ngramJaccardPairs(spark, sf, 0.8)
+      .as[(Long, Long, Double)].collect()
+    val directed = exact.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (n, o, _) => n % 10 == 7 && o % 10 != 7 }
+    assert(directed.nonEmpty, "fixture has no new-batch near-dup to check")
+    val want = directed.groupBy(_._1).map { case (n, ms) =>
+      val (_, bestOld, bestJ) = ms.minBy { case (_, o, j) => (-j, o) }
+      (n, bestOld, bestJ, ms.length.toLong)
+    }.toSet
+    val got = Dedup.incrementalNeardup(spark, sf, 0.8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("simhash: identical texts get identical signatures; near-dups are close") {
     val sigs = Dedup.simhashSignatures(spark, sf)
       .as[(Long, Long)].collect().toMap
