@@ -11,13 +11,15 @@ import graft.sources.Tables
   *
   * The Spark-side shape is the real thing — binary columns, metadata
   * struct, `mapPartitions` batch processing with a case-class Encoder (the
-  * Scala analogue of `mapInPandas` batches). The IMAGE modality decodes
-  * for real: PNG payloads (sniffed by signature) go through the pure-JVM
-  * `javax.imageio` codec into a luminance histogram. Audio/video decoding
-  * remains a documented STUB (no codecs in this container): `decodeStub`
-  * produces a deterministic fake "decoded frame" from the bytes, and
-  * swapping in a real JNI/codec call changes only that one function —
-  * schema, partitioning and batch flow are unchanged and tested.
+  * Scala analogue of `mapInPandas` batches). The IMAGE and AUDIO
+  * modalities decode for real: PNG payloads (sniffed by signature) go
+  * through the pure-JVM `javax.imageio` codec into a luminance histogram,
+  * and RIFF/WAVE payloads through the pure-JVM `javax.sound.sampled` PCM
+  * codec into an amplitude histogram. Video decoding remains a documented
+  * STUB (no video codec in this container): `decodeStub` produces a
+  * deterministic fake "decoded frame" from the bytes, and swapping in a
+  * real JNI/codec call changes only that one function — schema,
+  * partitioning and batch flow are unchanged and tested.
   */
 object Multimodal {
 
@@ -105,11 +107,61 @@ object Multimodal {
     hist.map(c => (c.toDouble / n).toFloat)
   }
 
+  // ——— REAL audio decode (pure-JVM javax.sound.sampled WAV/PCM) ———
+
+  private val RiffMagic = "RIFF".getBytes("US-ASCII")
+  private val WaveMagic = "WAVE".getBytes("US-ASCII")
+
+  /** RIFF/WAVE container sniff (bytes 0–3 "RIFF", 8–11 "WAVE"). Content
+    * dispatch for the same reason as [[isPng]]: synthesized corpus assets
+    * carry text bytes under kind=audio and must keep the oracle-reproduced
+    * stub; genuine WAV blobs get the real codec.
+    */
+  private[graft] def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 0, 4), RiffMagic) &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 8, 12), WaveMagic)
+
+  /** REAL audio feature extraction — javax.sound.sampled parses WAV/PCM
+    * in pure JVM, so this modality needs no native libs either: decode
+    * the payload and fold a FeatureDim-bin AMPLITUDE HISTOGRAM over the
+    * 16-bit samples (exact integer bin math, one final division — the
+    * same determinism discipline as [[decodePngFeatures]]).
+    */
+  private[graft] def decodeWavFeatures(payload: Array[Byte]): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+        s"unsupported WAV format (want 16-bit signed PCM): $fmt")
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val hist = new Array[Long](FeatureDim)
+      var n = 0L
+      while (bb.remaining() >= 2) {
+        // |−32768| clamps into the top bin; all other |s| ≤ 32767
+        val amp = math.min(math.abs(bb.getShort.toInt), 32767)
+        hist(amp * FeatureDim / 32768) += 1
+        n += 1
+      }
+      require(n > 0, "WAV payload contains no samples")
+      hist.map(c => (c.toDouble / n).toFloat)
+    } finally in.close()
+  }
+
   /** Partition-wise batch feature extraction: one decoder instance per
     * partition (the expensive-init amortization pattern of mapInPandas),
     * streaming through rows without materializing the partition. PNG
-    * payloads take the real [[decodePngFeatures]] codec; everything else
-    * the deterministic stub.
+    * payloads take the real [[decodePngFeatures]] codec, WAV payloads the
+    * real [[decodeWavFeatures]] codec; everything else the deterministic
+    * stub.
     */
   def extractFeatures(spark: SparkSession, sfDir: String): Dataset[AssetFeatures] =
     extractFeaturesFrom(spark, {
@@ -128,6 +180,7 @@ object Multimodal {
       it.map { a =>
         val feats =
           if (a.kind == "image" && isPng(a.payload)) decodePngFeatures(a.payload)
+          else if (a.kind == "audio" && isWav(a.payload)) decodeWavFeatures(a.payload)
           else decodeStub(a.payload)
         AssetFeatures(a.asset_id, a.kind, a.payload.length, feats)
       }

@@ -62,6 +62,50 @@ class MultimodalStreamingSpec extends SparkTestBase {
       Multimodal.decodeStub("not a png".getBytes("UTF-8"))))
   }
 
+  test("multimodal: real WAV payloads decode through javax.sound.sampled to exact sample stats") {
+    // synthesize genuine 16-bit PCM WAVs with known samples: asset 1 all
+    // silence (amp 0, histogram bin 0), asset 2 full-scale (32767, last
+    // bin), asset 3 alternating silence / half-scale (16384 -> bin 8 of 16)
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val silence = wav(Array.fill[Short](64)(0))
+    val fullScale = wav(Array.fill[Short](64)(32767))
+    val halfAlt = wav(Array.tabulate[Short](64)(i => if (i % 2 == 0) 0 else 16384))
+    val in = Seq(
+      Multimodal.Asset(1L, "audio", silence, 0, 0),
+      Multimodal.Asset(2L, "audio", fullScale, 0, 0),
+      Multimodal.Asset(3L, "audio", halfAlt, 0, 0),
+      Multimodal.Asset(4L, "video", "not a wav".getBytes("UTF-8"), 0, 0))
+      .toDS()
+    val feats = Multimodal.extractFeaturesFrom(spark, in).collect()
+      .map(f => f.asset_id -> f).toMap
+    def hist(bins: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](Multimodal.FeatureDim)
+      bins.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    assert(feats(1L).features.sameElements(hist(0 -> 1.0f)),
+      "all-silence WAV must land fully in amplitude bin 0")
+    assert(feats(2L).features.sameElements(hist(15 -> 1.0f)),
+      "full-scale WAV must land fully in the last amplitude bin")
+    assert(feats(3L).features.sameElements(hist(0 -> 0.5f, 8 -> 0.5f)),
+      "alternating silence/half-scale WAV must split bins 0 and 8 evenly")
+    // non-WAV payloads keep the deterministic stub fold
+    assert(feats(4L).features.sameElements(
+      Multimodal.decodeStub("not a wav".getBytes("UTF-8"))))
+  }
+
   test("multimodal featureStats: kinds partition the corpus") {
     val rows = Multimodal.featureStats(spark, sf).collect()
     assert(rows.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
