@@ -96,7 +96,12 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_ivm_packing"     -> 8, // 2×(bucket window + totals + offsets) + union agg + final
     "q_streaming_resume" -> 1, // drained memory-table read + output order
     "q_refindex_scan"   -> 1, // V2 letter-file partitions + output order
-    "q_refindex_lookup" -> 1  // ONE letter file (pushed pruning) + order
+    "q_refindex_lookup" -> 1,  // ONE letter file (pushed pruning) + order
+    // CRITICALLY none of the exchanges below is old-corpus-pair-sized:
+    // 2 signature aggs + candidate distinct + sizes agg + verify agg +
+    // best-match window + order — the bucket join and the per-doc
+    // reduction stay batch/candidate-sized
+    "q_incremental_neardup" -> 7
   )
 
   budgets.foreach { case (name, budget) =>
