@@ -229,6 +229,8 @@ object SparkEntry {
     // so the batch oracle applies bit-for-bit
     "q_streaming_dedup" -> ((s, d) => graft.streaming.StreamingDedup.dedupAvailableNow(s, d)),
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
+    // asymmetric: docs whose shingles are ≥90% subsumed by another doc
+    "q_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d, 0.9)),
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
     // new-batch (doc_id ≡ 7 mod 10) LSH'd against the existing corpus only —
     // O(batch), never re-pairs the corpus; exact-verified like q_minhash_lsh
@@ -1356,6 +1358,19 @@ object SparkEntry {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Containment prefix-filters with exact verify (the prefix bound is a
+    // theorem, not a probability), so the plain all-pairs SQL is the oracle.
+    "q_containment_pairs" ->
+      s"""$shingleCte, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id <> y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |WHERE round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
     // Like q_minhash_lsh, the incremental path exact-verifies every LSH
     // candidate, so its output is ⊆ the exact batch×corpus join (DedupSpec

@@ -135,6 +135,55 @@ object Dedup {
     verifyPairs(sh, cand, threshold)
   }
 
+  /** CONTAINMENT pairs — the asymmetric complement of [[ngramJaccardPairs]]:
+    * C(A,B) = |A∩B| / |A| ≥ t finds docs whose content is SUBSUMED by
+    * another (quotes, excerpts, copies with added boilerplate), which
+    * symmetric Jaccard misses whenever |B| ≫ |A|. Same prefix-filter
+    * discipline, adapted to the asymmetric measure: if C(A,B) ≥ t then B
+    * misses at most ⌊(1−t)·|A|⌋ of A's shingles, so among the first
+    * |A| − ⌈t·|A|⌉ + 1 rarity-ordered shingles of A at least one is in B —
+    * A's PREFIX joins against the FULL shingle index (the contained side
+    * prunes, the containing side can be any size; a candidate also needs
+    * |B| ≥ t·|A|). Rarity ordering keeps candidate fan-out at
+    * Σ_prefix df over RARE shingles; exact verify keeps precision 1.0.
+    * Output is directed: (doc_a contained-in doc_b); mutual near-identity
+    * yields both orientations.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+                       threshold: Double): DataFrame = {
+    val sh = shingleIndex(spark, sfDir)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    val prefix = sh.join(freq, "sh")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc_id", "sh", "n_sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh_full"))
+    val cand = prefix.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .join(sizes.withColumnRenamed("doc_id", "bid"),
+        col("y.doc_id") === col("bid") &&
+          col("n_sh_full") >= lit(threshold) * col("n_sh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = sh.as("sa")
+      .join(cand, col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh_full", "n_a"), "doc_a")
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // MinHash parameters: k independent permutations h_j(x) = (a_j·x + b_j) mod p
   // over murmur3 shingle hashes; seeded so signatures are reproducible.
   private val MinhashP = 2147483647L // 2^31 − 1 (Mersenne prime)

@@ -29,6 +29,28 @@ class DedupSpec extends SparkTestBase {
     assert(exact === lsh, s"LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
   }
 
+  test("containmentPairs == brute-force asymmetric containment at 0.9") {
+    // prefix filtering for containment is a theorem (pigeonhole over the
+    // ⌊(1−t)·|A|⌋ misses), not a probabilistic recall bound — the output
+    // must EQUAL the brute-force all-pairs result, both orientations
+    val shingles = graft.operators.Dedup.shingleIndex(spark, sf)
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val want = (for {
+      (a, sa) <- shingles.toSeq
+      (b, sb) <- shingles.toSeq if a != b
+      c = (sa & sb).size.toDouble / sa.size
+      cr = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cr >= 0.9
+    } yield (a, b, cr)).toSet
+    assert(want.nonEmpty, "fixture has no containment pair to check")
+    // symmetric near-identity must appear in both orientations somewhere
+    assert(want.exists { case (a, b, _) => want.exists(p => p._1 == b && p._2 == a) })
+    val got = Dedup.containmentPairs(spark, sf, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
   test("incrementalNeardup == exact batch-vs-corpus matches reduced to best match") {
     // ngramJaccardPairs is exact all-pairs; restrict it to (new=doc_id≡7
     // mod 10, old=rest) in either orientation and reduce per new doc to
