@@ -101,7 +101,11 @@ class PlanBudgetSpec extends SparkTestBase {
     // 2 signature aggs + candidate distinct + sizes agg + verify agg +
     // best-match window + order — the bucket join and the per-doc
     // reduction stay batch/candidate-sized
-    "q_incremental_neardup" -> 7
+    "q_incremental_neardup" -> 7,
+    // df agg + ONE doc exchange (size + prefix windows ride it) + verify
+    // agg + order; the prefix-vs-index join and size gate broadcast at
+    // test scale and stay candidate-sized at 100 TB
+    "q_containment_pairs" -> 4
   )
 
   budgets.foreach { case (name, budget) =>
