@@ -147,6 +147,9 @@ object SparkEntry {
     // HLL++ variant, IndexQueries.vocabApprox, stays library+spec-only:
     // its sketch values are Spark-implementation-specific)
     "q_vocab_kmv"      -> ((s, d) => IndexQueries.vocabKMV(s, d, 64)),
+    // KMV set algebra: pairwise vocabulary overlap from the k-row
+    // sketches alone (exact inter/union as the audit leg)
+    "q_vocab_overlap"  -> ((s, d) => IndexQueries.vocabOverlapKMV(s, d, 64)),
     "q_shingle_kmv"    -> ((s, d) => IndexQueries.shingleKMV(s, d, 64)),
     // CMS / Bloom: engine-exact frequency and membership sketches with a
     // probe-set audit (estimate-vs-truth, claimed-vs-actual)
@@ -808,6 +811,49 @@ object SparkEntry {
          |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
          |       exact_vocab
          |FROM a ORDER BY lang""".stripMargin,
+    // KMV set algebra over the same per-lang sketches: ρ = fraction of
+    // K(A∪B) in both K(A) and K(B) estimates Jaccard; exact audit leg
+    "q_vocab_overlap" ->
+      s"""WITH $toksCte, t AS (
+         |  SELECT DISTINCT lang, t AS term FROM toks, unnest(ts) AS u(t)),
+         |hs AS (SELECT lang, ${foldSql("term")} AS h FROM t),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hs),
+         |kmin AS (SELECT lang, h FROM r WHERE rn <= 64),
+         |langs AS (SELECT DISTINCT lang FROM kmin),
+         |lp AS (SELECT x.lang AS lang_a, y.lang AS lang_b
+         |       FROM langs x JOIN langs y ON x.lang < y.lang),
+         |mh AS (
+         |  SELECT lang_a, lang_b, h,
+         |         max(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS in_a,
+         |         max(CASE WHEN lang <> lang_a THEN 1 ELSE 0 END) AS in_b
+         |  FROM lp JOIN kmin ON lang = lang_a OR lang = lang_b
+         |  GROUP BY 1, 2, 3),
+         |tk AS (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b
+         |                                    ORDER BY h) AS rn FROM mh),
+         |est AS (
+         |  SELECT lang_a, lang_b, count(*) AS k, max(h) AS kth_min,
+         |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+         |  FROM tk WHERE rn <= 64 GROUP BY 1, 2),
+         |ex0 AS (
+         |  SELECT lang_a, lang_b, term,
+         |         max(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS a,
+         |         max(CASE WHEN lang <> lang_a THEN 1 ELSE 0 END) AS b
+         |  FROM lp JOIN t ON lang = lang_a OR lang = lang_b
+         |  GROUP BY 1, 2, 3),
+         |ex AS (
+         |  SELECT lang_a, lang_b,
+         |         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact,
+         |         CAST(count(*) AS BIGINT) AS union_exact
+         |  FROM ex0 GROUP BY 1, 2)
+         |SELECT lang_a, lang_b,
+         |       round(CAST(n_both AS DOUBLE) / k, 6) AS jaccard_est,
+         |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS union_est,
+         |       inter_exact, union_exact,
+         |       round(CAST(inter_exact AS DOUBLE) / union_exact, 6) AS jaccard_exact
+         |FROM est JOIN ex USING (lang_a, lang_b)
+         |ORDER BY lang_a, lang_b""".stripMargin,
     "q_doc_similarity" ->
       s"""$postingsCte, df AS (
          |  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term

@@ -305,6 +305,67 @@ object IndexQueries {
       .orderBy("lang")
   }
 
+  /** KMV SET ALGEBRA — estimated vocabulary OVERLAP between language
+    * pairs from the sketches alone (Beyer et al., SIGMOD'07): the k-min
+    * sketch of A∪B is the k smallest of K(A) ∪ K(B) (mergeability, same
+    * argument as [[Incremental.incrementalDistinctSketch]]), and the
+    * fraction ρ of K(A∪B) present in BOTH K(A) and K(B) estimates
+    * Jaccard(A,B); ρ · |A∪B|-estimate recovers the intersection size.
+    * This is what sketches buy at 100 TB: pairwise overlap across n
+    * partitions of a corpus from n·k stored rows, no re-scan, no
+    * pairwise distinct-count over the data. The exact inter/union/Jaccard
+    * columns are the audit leg (computed from the data like
+    * [[vocabKMV]]'s exact_vocab; the pair estimates never touch it).
+    * Everything is a pure function of the data via the engine-exact
+    * polynomial hash, so the DuckDB oracle reproduces estimate AND truth
+    * bit-for-bit.
+    */
+  def vocabOverlapKMV(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = Tables.documents(spark, sfDir)
+      .select(col("lang"), explodedTokens(col("text")).as("term"))
+      .distinct()
+    val byLang = Window.partitionBy("lang").orderBy("h")
+    val kmin = lt.select(col("lang"), polyFold64(col("term")).as("h"))
+      .withColumn("rn", row_number().over(byLang))
+      .filter(col("rn") <= k).select("lang", "h")
+    val langs = kmin.select("lang").distinct()
+    val lp = langs.as("x").join(langs.as("y"), col("x.lang") < col("y.lang"))
+      .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+    // per pair: merged sketch rows with per-side membership flags (the
+    // same hash can enter from both sides — one row, both flags)
+    val mh = broadcast(lp)
+      .join(kmin, col("lang") === col("lang_a") || col("lang") === col("lang_b"))
+      .groupBy("lang_a", "lang_b", "h")
+      .agg(max(when(col("lang") === col("lang_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("lang") =!= col("lang_a"), 1).otherwise(0)).as("in_b"))
+    val byPair = Window.partitionBy("lang_a", "lang_b").orderBy("h")
+    val est = mh.withColumn("rn", row_number().over(byPair))
+      .filter(col("rn") <= k)
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+    val exact = broadcast(lp)
+      .join(lt, col("lang") === col("lang_a") || col("lang") === col("lang_b"))
+      .groupBy("lang_a", "lang_b", "term")
+      .agg(max(when(col("lang") === col("lang_a"), 1).otherwise(0)).as("a"),
+        max(when(col("lang") =!= col("lang_a"), 1).otherwise(0)).as("b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("inter_exact"),
+        count(lit(1)).as("union_exact"))
+    est.join(exact, Seq("lang_a", "lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        round(col("n_both").cast("double") / col("k"), 6).as("jaccard_est"),
+        floor(((col("k") - 1) * lit(KmvHashSpace)) / col("kth_min") + 0.5)
+          .cast("long").as("union_est"),
+        col("inter_exact"), col("union_exact"),
+        round(col("inter_exact").cast("double") / col("union_exact"), 6)
+          .as("jaccard_exact"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** Posting-list DELTA + VARINT cost model — the classic IR index
     * compression, computed relationally: per term, doc_ids sorted and
     * gap-encoded (first id absolute, then differences via lag over the

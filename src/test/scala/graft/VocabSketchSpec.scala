@@ -29,6 +29,39 @@ class VocabSketchSpec extends SparkTestBase {
     }
   }
 
+  test("vocabOverlapKMV == brute-force KMV set algebra; exact audit leg exact") {
+    val k = 64
+    // brute-force: per-lang hash sets + term sets collected once
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+      .distinct()
+      .select(col("lang"), col("term"),
+        graft.functions.HashFunctions.polyFold64(col("term")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val terms = rows.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val hashes = rows.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._3).toSet }
+    val kmin = hashes.map { case (l, hs) => l -> hs.toSeq.sorted.take(k) }
+    val space = 2147483647.0 * 4294967296.0
+    val want = (for {
+      la <- kmin.keys.toSeq; lb <- kmin.keys.toSeq if la < lb
+      merged = (kmin(la) ++ kmin(lb)).distinct.sorted.take(k)
+      kk = merged.length
+      kthMin = merged.last
+      nBoth = merged.count(h => kmin(la).contains(h) && kmin(lb).contains(h))
+      interEx = (terms(la) & terms(lb)).size.toLong
+      unionEx = (terms(la) | terms(lb)).size.toLong
+    } yield (la, lb,
+      BigDecimal(nBoth.toDouble / kk).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      math.floor((kk - 1) * space / kthMin + 0.5).toLong,
+      interEx, unionEx,
+      BigDecimal(interEx.toDouble / unionEx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = IndexQueries.vocabOverlapKMV(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("vocabApprox (HLL++): exact column exact; approx within rsd bounds") {
     val rows = IndexQueries.vocabApprox(spark, sf).collect()
     rows.foreach { r =>
