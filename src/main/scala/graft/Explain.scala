@@ -22,7 +22,8 @@ object Explain {
       else Seq("q_index_build", "q5_region_revenue", "q_minhash_lsh",
         "q_cosine_topk", "q_sessionize", "q1_pricing",
         "q2_min_cost_supp", "q_winnowing", "q_ivm_join", "q_novelty",
-        "q_cms_counts", "q_seq_packing", "q_user_activity_window")
+        "q_cms_counts", "q_seq_packing", "q_user_activity_window",
+        "q_incremental_neardup", "q_containment_pairs", "q_vocab_overlap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
