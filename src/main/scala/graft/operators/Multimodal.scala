@@ -28,7 +28,8 @@ object Multimodal {
   case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
                    width: Int, height: Int)
   case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Int,
-                           features: Array[Float])
+                           features: Array[Float], decode_ok: Boolean,
+                           decode_error: String)
 
   /** Synthesize an asset table from the documents corpus: payload = utf-8
     * bytes of the text standing in for an encoded image; metadata derived
@@ -178,11 +179,28 @@ object Multimodal {
     in.mapPartitions { it =>
       // per-partition init of the non-PNG (stub) decoders would happen here
       it.map { a =>
-        val feats =
-          if (a.kind == "image" && isPng(a.payload)) decodePngFeatures(a.payload)
-          else if (a.kind == "audio" && isWav(a.payload)) decodeWavFeatures(a.payload)
-          else decodeStub(a.payload)
-        AssetFeatures(a.asset_id, a.kind, a.payload.length, feats)
+        // PERMISSIVE decode (the JsonCorpus quarantine discipline applied
+        // to blobs): a payload that SNIFFS as a real format but fails its
+        // codec quarantines the ROW (decode_ok=false, empty features,
+        // error preserved) instead of failing the job — at 100 TB a
+        // handful of truncated blobs per billion is the norm, and one
+        // corrupt asset must not kill the pipeline. The quarantined rows
+        // stay queryable for triage.
+        val decoded: Either[Throwable, Array[Float]] =
+          try Right {
+            if (a.kind == "image" && isPng(a.payload)) decodePngFeatures(a.payload)
+            else if (a.kind == "audio" && isWav(a.payload)) decodeWavFeatures(a.payload)
+            else decodeStub(a.payload)
+          } catch { case scala.util.control.NonFatal(e) => Left(e) }
+        decoded match {
+          case Right(feats) =>
+            AssetFeatures(a.asset_id, a.kind, a.payload.length, feats,
+              decode_ok = true, decode_error = "")
+          case Left(e) =>
+            AssetFeatures(a.asset_id, a.kind, a.payload.length,
+              Array.empty[Float], decode_ok = false,
+              decode_error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
   }
@@ -193,6 +211,7 @@ object Multimodal {
     */
   def featureStats(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(spark, sfDir).toDF()
+      .filter(col("decode_ok")) // stats are over decodable assets only
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n"),

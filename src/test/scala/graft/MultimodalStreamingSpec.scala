@@ -106,6 +106,29 @@ class MultimodalStreamingSpec extends SparkTestBase {
       Multimodal.decodeStub("not a wav".getBytes("UTF-8"))))
   }
 
+  test("multimodal: corrupt sniffed payloads quarantine the row, not the job") {
+    // byte strings that pass the container sniff but fail their codec:
+    // a PNG signature with garbage after it, and a RIFF/WAVE header with
+    // a truncated body — plus one healthy stub row to prove the partition
+    // keeps flowing past the failures
+    val fakePng = (Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)) ++ "garbage".getBytes("UTF-8")
+    val fakeWav = "RIFF1234WAVEgarbage".getBytes("US-ASCII")
+    val in = Seq(
+      Multimodal.Asset(1L, "image", fakePng, 4, 4),
+      Multimodal.Asset(2L, "audio", fakeWav, 0, 0),
+      Multimodal.Asset(3L, "video", "plain bytes".getBytes("UTF-8"), 0, 0))
+      .toDS()
+    val feats = Multimodal.extractFeaturesFrom(spark, in).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(!feats(1L).decode_ok && feats(1L).features.isEmpty &&
+      feats(1L).decode_error.nonEmpty, s"png quarantine: ${feats(1L)}")
+    assert(!feats(2L).decode_ok && feats(2L).features.isEmpty &&
+      feats(2L).decode_error.nonEmpty, s"wav quarantine: ${feats(2L)}")
+    assert(feats(3L).decode_ok && feats(3L).features.sameElements(
+      Multimodal.decodeStub("plain bytes".getBytes("UTF-8"))))
+  }
+
   test("multimodal featureStats: kinds partition the corpus") {
     val rows = Multimodal.featureStats(spark, sf).collect()
     assert(rows.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
