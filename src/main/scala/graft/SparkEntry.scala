@@ -251,6 +251,9 @@ object SparkEntry {
     "q_frame_sample"   -> ((s, d) => Multimodal.frameSampleStats(s, d, 4)),
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
+    // PQ/ADC serving: rank by code distance, floats touched only for the
+    // k winners' exact-cosine audit
+    "q_pq_topk"        -> ((s, d) => Similarity.pqTopK(s, d, 10, 10)),
     // the TRAINED IVF (Similarity.ivfTopK, k-means centroids) stays
     // library+spec-only — data-derived centroids are not reproducible in
     // static oracle SQL; the serve path with shipped centroids is the
@@ -576,6 +579,12 @@ object SparkEntry {
   private def ivfCentroidValues: String =
     operators.Similarity.ivfCentroidRows.map { case (i, c) =>
       s"($i, CAST([${c.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n  ")
+
+  /** The fixed PQ codebooks as SQL VALUES rows (m, c, weights). */
+  private def pqCodebookValues: String =
+    operators.Similarity.pqCodebookRows.map { case (m, c, w) =>
+      s"($m, $c, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
     }.mkString(",\n  ")
 
   def oracleSql: Map[String, String] = Map(
@@ -1641,6 +1650,54 @@ object SparkEntry {
          |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
          |      FROM scored)
          |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // q_pq_topk: codebooks are embedded literals, sub-distances are exact
+    // products + sequential sums, the ADC fold runs in subspace order on
+    // both engines (list(pd ORDER BY m)), and the argmin/top-k tie rules
+    // (lowest code id / lowest vec_id) are mirrored — fully deterministic
+    "q_pq_topk" ->
+      s"""WITH cb(m, c, w) AS (VALUES
+         |  $pqCodebookValues),
+         |dists AS (
+         |  SELECT e.vec_id, cb.m, cb.c,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i])
+         |              * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i]))) AS d
+         |  FROM embeddings e CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |sub AS (
+         |  SELECT k.vec_id, k.m, cb.w
+         |  FROM codes k JOIN cb ON cb.m = k.m AND cb.c = k.c),
+         |pairsums AS (
+         |  SELECT q.vec_id AS query_id, s.vec_id, s.m,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i])
+         |              * (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i]))) AS pd
+         |  FROM embeddings q CROSS JOIN sub s
+         |  WHERE q.vec_id < 10 AND s.vec_id <> q.vec_id),
+         |adc AS (
+         |  SELECT query_id, vec_id,
+         |         round(list_sum(list(pd ORDER BY m)), 6) AS adc_dist
+         |  FROM pairsums GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, vec_id, adc_dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc_dist, vec_id) AS INTEGER) AS rnk
+         |  FROM adc)
+         |SELECT r.query_id, r.vec_id, r.adc_dist,
+         |       CASE WHEN cosine IS NULL OR isnan(cosine) THEN -2.0
+         |            ELSE cosine END AS cosine,
+         |       r.rnk
+         |FROM (
+         |  SELECT r.*, round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |  FROM r
+         |  JOIN embeddings e  ON e.vec_id  = r.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = r.query_id
+         |  WHERE r.rnk <= 10) r
          |ORDER BY query_id, rnk""".stripMargin,
     // q_semdedup: same fixed-centroid assignment as q_ivf_serve, then the
     // min-id-keeper dominance rule inside each cell; all doubles bit-exact

@@ -435,6 +435,130 @@ object Similarity {
       .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
       .orderBy("label")
 
+  // ——— Product quantization (PQ) + ADC serving ———
+  //
+  // The compression that makes billion-vector ANN tiers fit in RAM
+  // (Jégou et al., TPAMI'11): split each D-dim vector into M subvectors,
+  // quantize each against its own C-entry codebook, store M small code
+  // ids (M bytes at C=16 ≤ 256) instead of 4·D bytes — 32× here. Serving
+  // uses ASYMMETRIC distance (ADC): the query stays full-precision and
+  // its distance to a corpus vector is the sum of per-subspace distances
+  // to the CODES, so ranking never touches the original corpus floats.
+  // Like the IVF serve path, codebooks arrive as fixed literals (trained
+  // offline, shipped as a small artifact — production's shape), which
+  // makes encode, ADC, and top-k fully deterministic double arithmetic
+  // the DuckDB oracle replays bit-for-bit from embedded VALUES.
+  private val PqM = 8 // subspaces
+  private val PqCodes = 16 // codes per subspace → 4-bit codes
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap[Int, Array[Array[Array[Double]]]]()
+  private[operators] def pqCodebooksFor(dim: Int): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(dim, {
+      require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
+      val rnd = new scala.util.Random(47)
+      Array.fill(PqM)(Array.fill(PqCodes)(Array.fill(dim / PqM)(rnd.nextGaussian())))
+    })
+
+  /** The fixed codebooks as (m, c, weights) rows for the oracle's VALUES
+    * literal — same shortest-round-trip trick as [[lshPlaneRows]].
+    */
+  def pqCodebookRows: Seq[(Int, Int, Seq[Double])] =
+    for {
+      (codes, m) <- pqCodebooksFor(DefaultDim).toSeq.zipWithIndex
+      (w, c) <- codes.toSeq.zipWithIndex
+    } yield (m, c, w.toSeq)
+
+  private val pqLitCache = scala.collection.concurrent.TrieMap[Int, Column]()
+  private def pqLit(dim: Int): Column =
+    pqLitCache.getOrElseUpdate(dim,
+      typedlit(pqCodebooksFor(dim).map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** Squared L2 between subspace `m` (0-based Column) of float vector `v`
+    * and a code (array<double>): products exact (float→double cast before
+    * the subtract), sum sequential — the determinism contract of
+    * [[graft.functions.VectorFunctions]].
+    */
+  private def pqSubDist(v: Column, m: Column, code: Column, subDim: Int): Column =
+    aggregate(
+      zip_with(slice(v, m * subDim + 1, lit(subDim)), code,
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ codes of a vector: per subspace, the argmin-distance code id
+    * (strictly-less fold → ties to the lowest id, mirrored by
+    * `ORDER BY d, c` in the oracle). Pure projection — encoding the
+    * corpus never shuffles it.
+    */
+  private[operators] def pqEncode(v: Column, dim: Int): Column = {
+    val sub = dim / PqM
+    transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val dists = transform(element_at(pqLit(dim), m + 1),
+        code => pqSubDist(v, m, code, sub))
+      aggregate(
+        zip_with(dists, sequence(lit(0), lit(PqCodes - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc),
+        acc => acc.getField("i"))
+    })
+  }
+
+  /** ADC distance: Σ_m ‖q_sub(m) − codebook[m][codes(m)]‖², folded in
+    * subspace order (sequential — the oracle mirrors with
+    * `list_sum(list(pd ORDER BY m))`).
+    */
+  private def pqAdcDist(q: Column, codes: Column, dim: Int): Column = {
+    val sub = dim / PqM
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(PqM - 1)),
+        (c, m) => struct(c.as("c"), m.as("m"))),
+      lit(0.0),
+      (acc, x) => acc + pqSubDist(q, x.getField("m"),
+        element_at(element_at(pqLit(dim), x.getField("m") + 1),
+          x.getField("c") + 1), sub))
+  }
+
+  /** PQ-compressed top-k serving: encode the corpus (pure projection, 32×
+    * smaller than the floats), broadcast the full-precision queries, rank
+    * every corpus vector by ADC distance (asc, ties to lowest vec_id) with
+    * the same O(k)-per-query partial top-k as [[cosineTopK]] — the corpus
+    * never shuffles and its floats are touched ONLY for the k winners'
+    * exact-cosine audit column (k·queries rows). At 100 TB the scan reads
+    * M-byte codes instead of 4·D-byte vectors; that bandwidth cut is the
+    * whole point of PQ.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String,
+             nQueries: Int, k: Int): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.select(col("vec_id"),
+      pqEncode(col("embedding"), dim).as("codes"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-round(pqAdcDist(col("q_emb"), col("codes"), dim), 6)).as("s"))
+    val topk = udaf(new TopKByScore(k))
+    val winners = scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("s"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (-col("col.score")).as("adc_dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+    winners
+      .join(emb.select(col("vec_id"), col("embedding").as("v_emb")), "vec_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qq")), "query_id")
+      .select(col("query_id"), col("vec_id"), col("adc_dist"),
+        coalesce(round(cosineNative(col("qq"), col("v_emb")), 6), lit(-2.0))
+          .as("cosine"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * memory/bandwidth cut that makes a 100 TB ANN corpus fit executor
     * memory: scale = max|x|/127 per vector, qᵢ = ⌊xᵢ/scale + 0.5⌋ ∈

@@ -105,7 +105,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // df agg + ONE doc exchange (size + prefix windows ride it) + verify
     // agg + order; the prefix-vs-index join and size gate broadcast at
     // test scale and stay candidate-sized at 100 TB
-    "q_containment_pairs" -> 4
+    "q_containment_pairs" -> 4,
+    // broadcast queries; O(k)/query partial top-k agg + output order —
+    // the encoded corpus never shuffles (same posture as q_cosine_topk)
+    "q_pq_topk" -> 2
   )
 
   budgets.foreach { case (name, budget) =>

@@ -105,6 +105,61 @@ class SimilaritySpec extends SparkTestBase {
     } finally graft.util.Scratch.deleteRecursively(dir)
   }
 
+  test("pqTopK == driver-side PQ encode + ADC ranking, bit-for-bit") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val dim = vecs.head._2.length
+    // rebuild codebooks[m][c] from the public rows accessor
+    val cb = Similarity.pqCodebookRows
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray).toArray).toArray
+    val m = cb.length; val sub = dim / m
+    def subDist(v: Seq[Float], mi: Int, code: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < sub) {
+        val d = v(mi * sub + i).toDouble - code(i); s += d * d; i += 1
+      }
+      s
+    }
+    def encode(v: Seq[Float]): Array[Int] =
+      Array.tabulate(m) { mi =>
+        // strictly-less fold: first (lowest id) minimum wins
+        var best = Double.MaxValue; var bi = -1; var c = 0
+        while (c < cb(mi).length) {
+          val d = subDist(v, mi, cb(mi)(c)); if (d < best) { best = d; bi = c }
+          c += 1
+        }
+        bi
+      }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val codes = vecs.map { case (id, v) => id -> encode(v) }.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    val want = (for {
+      (qid, q) <- vecs.toSeq if qid < 10
+      winners = vecs.filter(_._1 != qid)
+        .map { case (id, _) =>
+          var adc = 0.0; var mi = 0
+          while (mi < m) { adc += subDist(q, mi, cb(mi)(codes(id)(mi))); mi += 1 }
+          (id, r6(adc))
+        }
+        .sortBy { case (id, d) => (d, id) }.take(10)
+      ((id, d), rk) <- winners.zipWithIndex
+    } yield (qid, id, d, r6(cos(q, byId(id))), rk + 1)).toSet
+    val got = Similarity.pqTopK(spark, sf, 10, 10)
+      .as[(Long, Long, Double, Double, Int)].collect().toSet
+    assert(got === want)
+  }
+
   test("embedStats covers every label once") {
     val got = Similarity.embedStats(spark, sf)
       .as[(Int, Long, Double)].collect()
