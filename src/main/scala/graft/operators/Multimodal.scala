@@ -46,8 +46,10 @@ object Multimodal {
       (col("n_chars") % 640 + 32).cast("int").as("width"),
       (col("n_chars") % 480 + 32).cast("int").as("height"))
 
-  /** STUB decoder: a real implementation would decode the payload with an
-    * image/audio codec here (??? in this container — no codec libs).
+  /** STUB decoder for payloads no pure-JVM codec covers (video; synthetic
+    * text-byte assets): PNG and WAV payloads take the REAL codecs below,
+    * everything else this deterministic fake — a production build swaps in
+    * a JNI codec call here (??? in this container — no video codec libs).
     * Deterministic fake: fold the bytes into a fixed-size float vector so
     * tests can assert exact values and the pipeline is end-to-end runnable.
     * Accumulation is INTEGER (exact) with a single final division, so the
