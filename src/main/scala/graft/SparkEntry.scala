@@ -254,6 +254,8 @@ object SparkEntry {
     // PQ/ADC serving: rank by code distance, floats touched only for the
     // k winners' exact-cosine audit
     "q_pq_topk"        -> ((s, d) => Similarity.pqTopK(s, d, 10, 10)),
+    // sign-bit prefilter (1 bit/dim) + exact rerank of the 30 best
+    "q_binary_topk"    -> ((s, d) => Similarity.binaryTopK(s, d, 10, 10)),
     // the TRAINED IVF (Similarity.ivfTopK, k-means centroids) stays
     // library+spec-only — data-derived centroids are not reproducible in
     // static oracle SQL; the serve path with shipped centroids is the
@@ -1698,6 +1700,50 @@ object SparkEntry {
          |  JOIN embeddings e  ON e.vec_id  = r.vec_id
          |  JOIN embeddings qe ON qe.vec_id = r.query_id
          |  WHERE r.rnk <= 10) r
+         |ORDER BY query_id, rnk""".stripMargin,
+    // q_binary_topk: the sign-bit words, Hamming ranking (ties to lowest
+    // vec_id), and rerank cut are all exact integer arithmetic; the final
+    // cosine is the usual exact-double rerank — fully deterministic
+    "q_binary_topk" ->
+      s"""WITH bits AS (
+         |  SELECT vec_id, embedding,
+         |         -- bit 63 as the min-BIGINT literal: DuckDB range-checks
+         |         -- 1<<63, but the sign-bit pattern is the same long Spark
+         |         -- builds with shiftleft
+         |         list_reduce(list_transform(range(1, 65),
+         |           i -> CASE WHEN CAST(embedding[i] AS DOUBLE) < 0
+         |                     THEN CAST(0 AS BIGINT)
+         |                     WHEN i = 64
+         |                     THEN CAST(-9223372036854775808 AS BIGINT)
+         |                     ELSE (CAST(1 AS BIGINT) << (i - 1)) END),
+         |           (a, b) -> a | b) AS w0
+         |  FROM embeddings),
+         |ham AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id,
+         |         bit_count(xor(q.w0, v.w0)) AS hamming
+         |  FROM bits q CROSS JOIN bits v
+         |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY hamming, vec_id) AS rn
+         |    FROM ham) WHERE rn <= 30),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |           round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |    FROM cand c
+         |    JOIN embeddings e  ON e.vec_id  = c.vec_id
+         |    JOIN embeddings qe ON qe.vec_id = c.query_id)),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
     // q_semdedup: same fixed-centroid assignment as q_ivf_serve, then the
     // min-id-keeper dominance rule inside each cell; all doubles bit-exact

@@ -559,6 +559,62 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ——— Binary (sign-bit) quantization + Hamming prefilter ———
+
+  /** Sign-bit words of a float vector: bit b of word w is set when
+    * component w·64+b is ≥ 0 — 1 bit/dim (a 32× cut, and Hamming distance
+    * is one xor+popcount per 64 dims). The standard first-stage filter of
+    * a binary-quantized vector index; built with the same static 64-when
+    * reduction as the SimHash signature.
+    */
+  private def signWords(v: Column, dim: Int): Column = {
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      (0 until math.min(64, dim - w * 64)).map { b =>
+        when(element_at(v, w * 64 + b + 1) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Binary-quantized top-k: Hamming-rank the corpus sign bits against
+    * each query's (bits never shuffle; broadcast queries + the O(n)/query
+    * partial top-n), keep the `rerank` best candidates (ties to lowest
+    * vec_id — Hamming ties are common), then exact-cosine re-rank ONLY
+    * those. The corpus floats are touched for rerank·queries rows; the
+    * ranking scan reads 1 bit/dim. Same recall/precision shape as a
+    * production binary-prefilter tier; output schema matches
+    * [[cosineTopK]] so the two are directly comparable.
+    */
+  def binaryTopK(spark: SparkSession, sfDir: String,
+                 nQueries: Int, k: Int, rerank: Int = 30): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.select(col("vec_id"), signWords(col("embedding"), dim).as("bits"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        signWords(col("embedding"), dim).as("q_bits"))
+    val hamming = aggregate(
+      zip_with(col("bits"), col("q_bits"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val topn = udaf(new TopKByScore(rerank))
+    val cand = corpus.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (-hamming.cast("double")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(topn(col("s"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("embedding").as("v_emb")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qq"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        coalesce(round(cosineNative(col("qq"), col("v_emb")), 6), lit(-2.0))
+          .as("cosine"))
+    topKPerQuery(rescored, k)
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * memory/bandwidth cut that makes a 100 TB ANN corpus fit executor
     * memory: scale = max|x|/127 per vector, qᵢ = ⌊xᵢ/scale + 0.5⌋ ∈

@@ -108,7 +108,10 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_containment_pairs" -> 4,
     // broadcast queries; O(k)/query partial top-k agg + output order —
     // the encoded corpus never shuffles (same posture as q_cosine_topk)
-    "q_pq_topk" -> 2
+    "q_pq_topk" -> 2,
+    // bits never shuffle; Hamming partial top-n agg + final top-k agg
+    // (rerank joins broadcast; order rides the k-sized output)
+    "q_binary_topk" -> 2
   )
 
   budgets.foreach { case (name, budget) =>

@@ -160,6 +160,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("binaryTopK == driver-side sign-bit prefilter + exact rerank") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def signBits(v: Seq[Float]): Long = {
+      var w = 0L; var i = 0
+      while (i < v.length) { if (v(i) >= 0) w |= (1L << i); i += 1 }
+      w
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bits = vecs.map { case (id, v) => id -> signBits(v) }.toMap
+    val byId = vecs.toMap
+    val want = (for {
+      (qid, q) <- vecs.toSeq if qid < 10
+      cand = vecs.filter(_._1 != qid)
+        .map { case (id, _) =>
+          (id, java.lang.Long.bitCount(bits(qid) ^ bits(id)))
+        }
+        .sortBy { case (id, h) => (h, id) }.take(30)
+      winners = cand.map { case (id, _) => (id, r6(cos(q, byId(id)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      ((id, c), rk) <- winners.zipWithIndex
+    } yield (qid, id, c, rk + 1)).toSet
+    val got = Similarity.binaryTopK(spark, sf, 10, 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+  }
+
   test("embedStats covers every label once") {
     val got = Similarity.embedStats(spark, sf)
       .as[(Int, Long, Double)].collect()
