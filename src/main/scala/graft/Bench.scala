@@ -72,7 +72,9 @@ object Bench {
       "bucketed_tables_materialize" ->
         (() => { graft.operators.Bucketing.ensureBucketed(spark, sfDir); () }),
       "clustered_layout_materialize" ->
-        (() => { graft.operators.Clustering.ensureClustered(spark, sfDir); () }))
+        (() => { graft.operators.Clustering.ensureClustered(spark, sfDir); () }),
+      "bloom_manifest_materialize" ->
+        (() => { graft.operators.BloomSkip.ensureBloom(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()
@@ -130,7 +132,8 @@ object Bench {
       "shingles_materialize" -> "b_shingles",
       "dup_clusters_materialize" -> "b_clusters",
       "bucketed_tables_materialize" -> "b_bucketed",
-      "clustered_layout_materialize" -> "b_zorder")
+      "clustered_layout_materialize" -> "b_zorder",
+      "bloom_manifest_materialize" -> "b_bloom")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = fmt(best ++ buildSecs.map {
       case (n, s) => n -> Right(s) }, 3)

@@ -321,6 +321,9 @@ object SparkEntry {
     // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
     "q_large_orders"   -> ((s, d) => Relational.largeQuantityOrders(s, d, 250)),
     "q_bucketed_join"  -> ((s, d) => Bucketing.bucketedOrderRevenue(s, d)),
+    // per-file Bloom skipping: point lookup on a column the Z-layout's
+    // min/max envelopes can't prune; result is bloom-invariant
+    "q_bloom_skip_lookup" -> ((s, d) => BloomSkip.bloomPrunedLookup(s, d, 42L)),
     "q_clustered_scan" -> ((s, d) => Clustering.clusteredRectRevenue(s, d)),
     // same rectangle served with PLANNING-time file pruning via the
     // stats manifest (the table-format metadata layer analogue)
@@ -2619,6 +2622,13 @@ object SparkEntry {
          |  AND l_partkey BETWEEN 1 AND 100
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // Bloom skipping changes which FILES are opened, never the rows —
+    // no false negatives, so the plain point query is the oracle
+    "q_bloom_skip_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey = 42
+        |ORDER BY l_linenumber""".stripMargin,
     // salting changes shuffle routing only — the oracle is the plain join
     "q_skew_join" ->
       """SELECT l_suppkey AS suppkey, s_name, count(*) AS n_items,
