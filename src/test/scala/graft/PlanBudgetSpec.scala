@@ -111,7 +111,10 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_pq_topk" -> 2,
     // bits never shuffle; Hamming partial top-n agg + final top-k agg
     // (rerank joins broadcast; order rides the k-sized output)
-    "q_binary_topk" -> 2
+    "q_binary_topk" -> 2,
+    // bloom-kept files scan + output order only; the manifest probe
+    // runs at query build (collect of the surviving file list)
+    "q_bloom_skip_lookup" -> 1
   )
 
   budgets.foreach { case (name, budget) =>
