@@ -92,7 +92,9 @@ object Bench {
       "clustered_layout" ->
         (if (graft.operators.Clustering.lastEnsureWasCacheHit) 1 else 0),
       "bpe_merges" ->
-        (if (graft.operators.TextAnalysis.lastBpeWasCacheHit) 1 else 0))
+        (if (graft.operators.TextAnalysis.lastBpeWasCacheHit) 1 else 0),
+      "bloom_manifest" ->
+        (if (graft.operators.BloomSkip.lastEnsureWasCacheHit) 1 else 0))
     val cacheHitsJson =
       cacheHits.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -64,6 +64,13 @@ object BloomSkip {
   private def mtimeOf(fs: FileSystem, p: Path): Long =
     if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
 
+  /** True when the last [[ensureBloom]] served a still-fresh manifest
+    * (possibly written by an earlier JVM into the shared scratch root)
+    * instead of building — lets the bench disclose a near-zero build
+    * entry honestly, like Clustering.lastEnsureWasCacheHit.
+    */
+  @volatile var lastEnsureWasCacheHit: Boolean = false
+
   /** Build (or reuse) the per-file Bloom manifest over l_orderkey for the
     * clustered layout. Rebuilt whenever the layout's _SUCCESS is newer.
     */
@@ -73,8 +80,9 @@ object BloomSkip {
       "graft_lineitem_bloom_" + Integer.toHexString(sfDir.hashCode))
     val fs = fsOf(spark, dir)
     val layoutSuccess = new Path(layout, "_SUCCESS")
-    if (mtimeOf(fs, new Path(dir, "_SUCCESS")) <
-        mtimeOf(fsOf(spark, layoutSuccess), layoutSuccess)) {
+    lastEnsureWasCacheHit = mtimeOf(fs, new Path(dir, "_SUCCESS")) >=
+      mtimeOf(fsOf(spark, layoutSuccess), layoutSuccess)
+    if (!lastEnsureWasCacheHit) {
       spark.read.parquet(layout)
         .select(input_file_name().as("file"), col("l_orderkey"))
         .distinct() // per-file key SET — dups add no bits, just explode volume
