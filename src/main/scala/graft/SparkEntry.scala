@@ -204,6 +204,10 @@ object SparkEntry {
     "q_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d, 64)),
     "q_hash_features"  -> ((s, d) => TextAnalysis.hashingTrickFeatures(s, d, 16)),
     "q_train_split"    -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
+    // split by dup-cluster label so near-dups never straddle train/test
+    "q_leakage_safe_split" -> ((s, d) => Sampling.leakageSafeSplit(s, d, 0.8)),
+    // cumulative token share of the top-N vocabulary (tokenizer sizing)
+    "q_vocab_coverage" -> ((s, d) => IndexQueries.vocabCoverage(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d, 512)),
     // token-count histogram: the packing planner's budget input
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d, 16)),
@@ -1051,6 +1055,59 @@ object SparkEntry {
          |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // same 98/1/1 Knuth cut as q_train_split, but hashed on the dup-
+    // cluster label (recursive-CTE components) with singleton fallback
+    "q_leakage_safe_split" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+         |sp AS (
+         |  SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+         |         lab.cluster_id,
+         |         coalesce(lab.cluster_id, d.doc_id) AS split_key
+         |  FROM toks d LEFT JOIN labels lab ON d.doc_id = lab.doc_id),
+         |b AS (
+         |  SELECT doc_id, n_tokens, cluster_id,
+         |         CASE WHEN ((CAST(split_key AS HUGEINT) * 2654435761) % 4294967296) % 100 < 98 THEN 'train'
+         |              WHEN ((CAST(split_key AS HUGEINT) * 2654435761) % 4294967296) % 100 < 99 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM sp)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    // rank and cumulative token count over (count desc, term); the cuts
+    // table is the same literal handful the engine broadcasts
+    "q_vocab_coverage" ->
+      s"""WITH $toksCte, tk AS (SELECT t AS term FROM toks, unnest(ts) AS u(t)),
+         |c AS (SELECT term, count(*) AS n FROM tk GROUP BY term),
+         |r AS (SELECT term, n,
+         |        row_number() OVER (ORDER BY n DESC, term) AS rank,
+         |        sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM c),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM c),
+         |cuts(top_n) AS (VALUES (100), (1000), (10000))
+         |SELECT CAST(top_n AS BIGINT) AS top_n,
+         |       CAST(max(rank) AS BIGINT) AS vocab_size,
+         |       CAST(max(cum) AS BIGINT) AS covered_tokens,
+         |       total_tokens,
+         |       round(CAST(max(cum) AS DOUBLE) / total_tokens, 6) AS coverage
+         |FROM r JOIN cuts ON rank <= top_n CROSS JOIN tot
+         |GROUP BY top_n, total_tokens ORDER BY top_n""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH $toksCte, t AS (
          |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks

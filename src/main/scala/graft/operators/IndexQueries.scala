@@ -305,6 +305,40 @@ object IndexQueries {
       .orderBy("lang")
   }
 
+  /** Vocabulary COVERAGE CURVE — the tokenizer-design question "how much
+    * of the token stream do the top-N terms cover?": term counts ranked
+    * by (count desc, term), cumulative token share at each requested
+    * vocabulary cut. Both running quantities (rank and cumulative count)
+    * ride [[Scan.prefixSumBy]], the two-phase distributed scan — a
+    * global `row_number`/`sum` window would funnel the whole vocabulary
+    * through one partition, the exact funnel the scan exists to avoid;
+    * the grand total falls out of the same offsets pass. The cut
+    * evaluation joins the vocab against a broadcast handful of cut rows.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+                    cuts: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val order = Seq(col("n").desc, col("term"))
+    val cum = Scan.prefixSumBy(counts, order, "n", "cum_tokens",
+      totalCol = Some("total_tokens"))
+    val ranked = Scan.prefixSumBy(cum.withColumn("one", lit(1L)),
+      order, "one", "rank").drop("one")
+    ranked
+      .join(broadcast(cuts.toDF("top_n")), col("rank") <= col("top_n"))
+      .groupBy(col("top_n"))
+      .agg(max(col("rank")).as("vocab_size"),
+        max(col("cum_tokens")).as("covered_tokens"),
+        first(col("total_tokens")).as("total_tokens"))
+      .select(col("top_n").cast("long").as("top_n"), col("vocab_size"),
+        col("covered_tokens"), col("total_tokens"),
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+      .orderBy("top_n")
+  }
+
   /** KMV SET ALGEBRA — estimated vocabulary OVERLAP between language
     * pairs from the sketches alone (Beyer et al., SIGMOD'07): the k-min
     * sketch of A∪B is the k smallest of K(A) ∪ K(B) (mergeability, same

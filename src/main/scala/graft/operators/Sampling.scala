@@ -28,6 +28,44 @@ object Sampling {
   private def pctBucket(id: org.apache.spark.sql.Column) =
     graft.functions.HashFunctions.knuthMod(id, M32) % 100
 
+  /** LEAKAGE-SAFE train/val/test split: hashing doc_id alone
+    * ([[graft.operators.TextAnalysis.trainValTestSplit]]) lets two
+    * near-duplicate documents straddle the split — the classic eval
+    * contamination where "held-out" data has a near-copy in train. The
+    * fix every serious pipeline applies: split by the DUP-CLUSTER label
+    * (the component-minimum doc_id from [[Dedup.dupClusters]]) — all
+    * members of a near-dup cluster share one hash input, so a cluster
+    * lands wholly on one side; unclustered docs fall back to their own
+    * id (which equals what their singleton label would be). Same Knuth
+    * bucket rule and 98/1/1 cut as the naive split, so the two reports
+    * are directly comparable; n_clustered counts the docs whose side was
+    * decided by a shared label (the leakage the naive split risked).
+    * Cost over the naive split: one join against the materialized
+    * cluster labels — a relation sized by the DEDUP OUTPUT, not the
+    * corpus.
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val labels = Dedup.dupClusters(spark, sfDir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = pctBucket(col("split_key"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("cluster_id"),
+        when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("split")
+  }
+
   /** Stratified (per-language) Bernoulli sample: keep `pct(lang)`% of each
     * stratum, deterministically. Rebalances a skewed corpus (e.g. keep 25%
     * of dominant `en`, 60% of the rest) in one shuffle-free pass —

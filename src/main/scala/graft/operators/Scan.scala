@@ -57,6 +57,8 @@ object Scan {
     }.select(col("_pid") +: col("_offset") +: totalCol.map(col).toSeq: _*)
     withLocal.join(broadcast(offsets), "_pid")
       .withColumn(outCol, col("_local_cum") + col("_offset"))
-      .drop("_pid", "_local_cum")
+      // _offset must not leak: a second scan over this output would see
+      // two _offset columns and fail resolution (vocabCoverage chains two)
+      .drop("_pid", "_local_cum", "_offset")
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Dedup
 
 class DedupSpec extends SparkTestBase {
@@ -96,6 +98,38 @@ class DedupSpec extends SparkTestBase {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(planted.subsetOf(pairs),
       s"simhash missed ${(planted -- pairs).size} of ${planted.size} planted pairs")
+  }
+
+  test("leakageSafeSplit: report matches driver recompute; clusters never straddle") {
+    val labels = Dedup.dupClusters(spark, sf, 0.8)
+      .as[(Long, Long, Long)].collect().map { case (d, c, _) => d -> c }.toMap
+    def bucket(key: Long): Long = ((BigInt(key) * 2654435761L) % 4294967296L).toLong % 100
+    def side(key: Long): String = {
+      val b = bucket(key); if (b < 98) "train" else if (b < 99) "val" else "test"
+    }
+    // the property the operator exists for: both ends of every near-dup
+    // pair land on the same side (they hash the same cluster label)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(spark, sf, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(side(labels(a)) === side(labels(b)), s"pair ($a,$b) straddles")
+    }
+    // full report equality
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect()
+    val rows = docs.map { case (d, nt) =>
+      (side(labels.getOrElse(d, d)), d, nt, labels.contains(d))
+    }
+    val want = rows.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._3).sum,
+        xs.count(_._4).toLong, xs.map(_._2).min, xs.map(_._2).max)
+    }.toSet
+    val got = graft.operators.Sampling.leakageSafeSplit(spark, sf, 0.8)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
   }
 
   test("dupClusters: min-label propagation matches brute-force components") {

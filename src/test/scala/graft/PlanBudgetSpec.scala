@@ -114,7 +114,13 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_binary_topk" -> 2,
     // bloom-kept files scan + output order only; the manifest probe
     // runs at query build (collect of the surviving file list)
-    "q_bloom_skip_lookup" -> 1
+    "q_bloom_skip_lookup" -> 1,
+    "q_leakage_safe_split" -> 2, // split agg + order; label join broadcasts
+    // every exchange is VOCAB-sized (post-aggregation), never corpus-
+    // sized: term agg + 2 chained two-phase scans (range part + offsets
+    // agg + tiny offsets window, ×2, with static-plan branch duplication
+    // the runtime ReuseExchange collapses) + cut agg + order
+    "q_vocab_coverage" -> 13
   )
 
   budgets.foreach { case (name, budget) =>

@@ -9,6 +9,7 @@ import graft.operators.IndexQueries
   * against the exact per-language distinct count.
   */
 class VocabSketchSpec extends SparkTestBase {
+  import spark.implicits._
 
   private lazy val exact: Map[String, Long] =
     graft.sources.Tables.documents(spark, sf)
@@ -60,6 +61,25 @@ class VocabSketchSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
     assert(want.nonEmpty && got === want)
+  }
+
+  test("vocabCoverage == driver-side ranked cumulative shares") {
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ranked = counts.sortBy { case (t, n) => (-n, t) }
+    val total = counts.map(_._2).sum
+    val cums = ranked.scanLeft(0L)(_ + _._2).drop(1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(100, 1000, 10000).map { cut =>
+      val v = math.min(cut, ranked.length)
+      (cut.toLong, v.toLong, cums(v - 1), total, r6(cums(v - 1).toDouble / total))
+    }.toSet
+    val got = graft.operators.IndexQueries.vocabCoverage(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
   }
 
   test("vocabApprox (HLL++): exact column exact; approx within rsd bounds") {
