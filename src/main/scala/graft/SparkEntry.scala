@@ -174,6 +174,9 @@ object SparkEntry {
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(s, d)),
     "q_event_pivot"    -> ((s, d) => Events.eventPivot(s, d)),
     "q_views_before_purchase" -> ((s, d) => Events.viewsBeforePurchase(s, d)),
+    // KEYLESS range join (no equality column at all) via bin-bucketing —
+    // the shape Catalyst alone would run as BroadcastNestedLoopJoin
+    "q_range_join"     -> ((s, d) => Events.errorWindowClicks(s, d, 10)),
     "q_funnel"         -> ((s, d) => Events.conversionFunnel(s, d)),
     "q_retention"      -> ((s, d) => Events.retentionCohorts(s, d)),
     // — text analysis —
@@ -2790,6 +2793,19 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.v_ms > p.ms - 3600000 AND v.v_ms <= p.ms
         |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
+    // keyless range join: the oracle is the naive inequality-only join
+    // (DuckDB runs it as IEJoin); the Spark plan is the bin-bucketed
+    // equi-join — same answer, shuffle-joinable at any scale
+    "q_range_join" ->
+      """WITH w AS (SELECT event_id AS win_id, epoch_ms(ts) AS lo_ms
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT epoch_ms(ts) AS c_ms
+        |      FROM events WHERE event_type = 'click')
+        |SELECT w.win_id,
+        |       CAST(count(c.c_ms) AS BIGINT) AS n_clicks
+        |FROM w LEFT JOIN c
+        |  ON c.c_ms >= w.lo_ms AND c.c_ms < w.lo_ms + 600000
+        |GROUP BY 1 ORDER BY win_id""".stripMargin,
     // outer variant: same oracle — zero-view purchases come from the
     // stream's own null-padded rows, not a batch tail
     "q_streaming_outer_join" ->

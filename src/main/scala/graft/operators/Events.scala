@@ -195,6 +195,41 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Clicks (from ANY user) inside the 10 minutes after each error event —
+    * a KEYLESS range join, the shape Catalyst can only execute as a
+    * BroadcastNestedLoopJoin (O(windows × points), and only if one side
+    * broadcasts). Executed instead with time-bin bucketing: bin width =
+    * window length, so each window touches at most 2 bins and each click
+    * exactly 1; the join runs on bin EQUALITY (a plain shuffle hash join)
+    * and the exact range predicate filters the bounded candidate set.
+    * Candidates per window ≈ clicks in 2 bins — rate-bound, independent of
+    * log length, so the plan survives an unbounded event log at 100 TB
+    * where the nested-loop product is quadratic. No dedup pass is needed:
+    * a click lives in exactly one bin, so each (window, click) candidate
+    * appears exactly once. Zero-click windows are preserved by the final
+    * left join against the window relation (both sides shuffle on win_id,
+    * output-sized).
+    */
+  def errorWindowClicks(spark: SparkSession, sfDir: String,
+                        windowMinutes: Int = 10): DataFrame = {
+    val WinMs = windowMinutes * 60000L
+    val ev = Tables.events(spark, sfDir).withColumn("ms", unix_millis(col("ts")))
+    val win = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ms").as("lo_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ms").as("c_ms"), floor(col("ms") / WinMs).as("bin"))
+    val winBinned = win.withColumn("bin",
+      explode(array(floor(col("lo_ms") / WinMs),
+        floor(col("lo_ms") / WinMs) + 1)))
+    val counts = winBinned.join(clicks, Seq("bin"))
+      .filter(col("c_ms") >= col("lo_ms") && col("c_ms") < col("lo_ms") + WinMs)
+      .groupBy("win_id").agg(count(lit(1)).as("n_clicks"))
+    win.join(counts, Seq("win_id"), "left")
+      .select(col("win_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("win_id")
+  }
+
   /** Weekly retention cohorts: users grouped by their first-activity
     * week, counted as retained in each later week they were active.
     * Two aggregations — first-touch per user (one shuffle on user_id),

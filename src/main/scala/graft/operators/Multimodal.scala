@@ -11,14 +11,15 @@ import graft.sources.Tables
   *
   * The Spark-side shape is the real thing — binary columns, metadata
   * struct, `mapPartitions` batch processing with a case-class Encoder (the
-  * Scala analogue of `mapInPandas` batches). The IMAGE and AUDIO
-  * modalities decode for real: PNG payloads (sniffed by signature) go
-  * through the pure-JVM `javax.imageio` codec into a luminance histogram,
-  * and RIFF/WAVE payloads through the pure-JVM `javax.sound.sampled` PCM
-  * codec into an amplitude histogram. Video decoding remains a documented
-  * STUB (no video codec in this container): `decodeStub` produces a
-  * deterministic fake "decoded frame" from the bytes, and swapping in a
-  * real JNI/codec call changes only that one function — schema,
+  * Scala analogue of `mapInPandas` batches). All THREE modalities have a
+  * real pure-JVM codec path, dispatched by content sniff: PNG payloads go
+  * through `javax.imageio` into a luminance histogram, RIFF/WAVE payloads
+  * through `javax.sound.sampled` PCM into an amplitude histogram, and
+  * animated-GIF payloads through the multi-frame `javax.imageio` reader
+  * into PNG-encoded sampled keyframes. Payloads no JVM codec covers (the
+  * synthesized text-byte corpus assets; production H.264) take
+  * `decodeStub`, a deterministic fake the DuckDB oracle reproduces —
+  * swapping in a JNI codec call changes only that one function; schema,
   * partitioning and batch flow are unchanged and tested.
   */
 object Multimodal {
@@ -261,29 +262,104 @@ object Multimodal {
   val FrameBytes = 256
 
   case class Frame(asset_id: Long, n_frames: Int, frame_idx: Int,
-                   n_bytes: Int, data: Array[Byte])
+                   n_bytes: Int, data: Array[Byte], decode_ok: Boolean,
+                   decode_error: String)
 
-  /** Sample every `every`-th fixed-size "frame" (byte chunk) of each video
-    * payload — the keyframe-extraction batch shape: one row per sampled
-    * frame, emitted lazily from `mapPartitions` (a real codec would seek;
-    * the chunking is the deterministic stand-in). The per-asset fan-out
-    * happens inside the partition — no shuffle, no driver involvement.
+  // ——— REAL video decode (pure-JVM javax.imageio animated GIF) ———
+
+  /** GIF container sniff ("GIF87a"/"GIF89a"). Same content-dispatch
+    * discipline as [[isPng]]/[[isWav]]: the synthesized corpus assets carry
+    * text bytes under kind=video and keep the byte-chunk stand-in the
+    * oracle reproduces; genuine animated-GIF blobs get the real codec.
+    */
+  private[graft] def isGif(payload: Array[Byte]): Boolean =
+    payload.length >= 6 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') &&
+      payload(5) == 'a'
+
+  /** REAL video keyframe extraction — animated GIF is the one multi-frame
+    * format the JDK decodes natively, so this modality needs no native
+    * libs either: open one ImageIO reader per payload, count frames, and
+    * decode every `every`-th stored frame, re-encoding each as PNG so the
+    * sampled frames compose directly with [[decodePngFeatures]] (video →
+    * keyframes → image features, the standard multimodal fan-out).
+    *
+    * Decodes STORED frames; a production build layering frame-composition
+    * (GIF disposal methods, inter-frame patches) or a true codec (H.264
+    * via JNI) swaps only this function — the batch flow is unchanged.
+    */
+  private[graft] def decodeGifFrames(payload: Array[Byte],
+                                     every: Int): Seq[(Int, Int, Array[Byte])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "GIF-signature payload has no ImageIO reader")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true) // random access: getNumImages needs it
+        val n = reader.getNumImages(true)
+        require(n > 0, "GIF payload contains no frames")
+        (0 until n by every).map { i =>
+          val img = reader.read(i)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (n, i, out.toByteArray)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Sample every `every`-th frame of each video payload — the
+    * keyframe-extraction batch shape: one row per sampled frame, emitted
+    * lazily from `mapPartitions`. GIF payloads (sniffed by signature) take
+    * the REAL [[decodeGifFrames]] codec and yield PNG-encoded frames;
+    * everything else takes the deterministic fixed-size byte-chunk
+    * stand-in. The per-asset fan-out happens inside the partition — no
+    * shuffle, no driver involvement. A payload that sniffs as GIF but
+    * fails its codec quarantines the ASSET (one decode_ok=false row, error
+    * preserved) instead of failing the job — the blob-side analogue of the
+    * JsonCorpus corrupt-record discipline.
     */
   def sampleFrames(spark: SparkSession, sfDir: String,
                    every: Int): Dataset[Frame] = {
     import spark.implicits._
-    assets(spark, sfDir).filter(col("kind") === "video").as[Asset]
-      .mapPartitions { it =>
-        it.flatMap { a =>
+    sampleFramesFrom(spark,
+      assets(spark, sfDir).filter(col("kind") === "video").as[Asset], every)
+  }
+
+  /** The same frame-sampling pipeline over any asset relation (streaming
+    * sources, test frames with genuine animated-GIF payloads, a binaryFile
+    * read in production).
+    */
+  def sampleFramesFrom(spark: SparkSession, in: Dataset[Asset],
+                       every: Int): Dataset[Frame] = {
+    import spark.implicits._
+    in.mapPartitions { it =>
+      it.flatMap { a =>
+        if (isGif(a.payload)) {
+          try decodeGifFrames(a.payload, every).iterator.map { case (n, i, png) =>
+            Frame(a.asset_id, n, i, png.length, png,
+              decode_ok = true, decode_error = "")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Iterator.single(Frame(a.asset_id, 0, -1, 0, Array.empty[Byte],
+                decode_ok = false,
+                decode_error = s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+        } else {
           val n = (a.payload.length + FrameBytes - 1) / FrameBytes
           (0 until n by every).iterator.map { i =>
             val start = i * FrameBytes
             val len = math.min(FrameBytes, a.payload.length - start)
             Frame(a.asset_id, n, i, len,
-              java.util.Arrays.copyOfRange(a.payload, start, start + len))
+              java.util.Arrays.copyOfRange(a.payload, start, start + len),
+              decode_ok = true, decode_error = "")
           }
         }
       }
+    }
   }
 
   /** Per-video frame-sampling stats over the REAL frame rows (not derived
@@ -294,6 +370,7 @@ object Multimodal {
   def frameSampleStats(spark: SparkSession, sfDir: String,
                        every: Int): DataFrame =
     sampleFrames(spark, sfDir, every).toDF()
+      .filter(col("decode_ok")) // stats are over decodable assets only
       .groupBy(col("asset_id"))
       .agg(
         first(col("n_frames")).as("n_frames"),

@@ -150,6 +150,70 @@ class MultimodalStreamingSpec extends SparkTestBase {
     assert(thumbs.find(_.asset_id == one._1).get.thumb.sameElements(expected))
   }
 
+  test("multimodal: real animated-GIF payloads decode to PNG keyframes") {
+    // synthesize a genuine 6-frame animated GIF (8x8, each frame a solid
+    // gray of increasing brightness) via the JDK's GIF sequence writer
+    def gif(grays: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+    val grays = Seq(16, 64, 112, 160, 208, 240)
+    val payload = gif(grays)
+    assert(Multimodal.isGif(payload))
+
+    val in = Seq(
+      Multimodal.Asset(1L, "video", payload, 8, 8),
+      // GIF-sniffing garbage must quarantine, not fail the job
+      Multimodal.Asset(2L, "video",
+        "GIF89a then junk".getBytes("US-ASCII"), 0, 0),
+      // non-GIF video bytes keep the deterministic chunk stand-in
+      Multimodal.Asset(3L, "video", ("x" * 600).getBytes("US-ASCII"), 0, 0))
+      .toDS()
+    val frames = Multimodal.sampleFramesFrom(spark, in, 2).collect()
+      .groupBy(_.asset_id)
+
+    // real codec: frames 0,2,4 of 6, PNG-encoded, luminance rising
+    val real = frames(1L).sortBy(_.frame_idx)
+    assert(real.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(real.forall(f => f.n_frames === 6 && f.decode_ok &&
+      f.n_bytes === f.data.length && Multimodal.isPng(f.data)))
+    val argmaxBins = real.map { f =>
+      val h = Multimodal.decodePngFeatures(f.data)
+      assert(math.abs(h.sum - 1.0f) < 1e-6, "histogram mass")
+      h.indexOf(h.max)
+    }
+    // solid-gray frames 16/112/208 land in strictly increasing luma bins
+    // even under GIF palette quantization
+    assert(argmaxBins.toSeq === argmaxBins.sorted.toSeq &&
+      argmaxBins.distinct.length === 3, s"bins: ${argmaxBins.toSeq}")
+
+    // quarantine: one decode_ok=false row with the error preserved
+    val q = frames(2L)
+    assert(q.length === 1 && !q.head.decode_ok &&
+      q.head.decode_error.nonEmpty && q.head.data.isEmpty)
+
+    // stub path: 600 bytes -> 3 chunks of 256, stride 2 samples 0 and 2
+    val stub = frames(3L).sortBy(_.frame_idx)
+    assert(stub.map(_.frame_idx).toSeq === Seq(0, 2) &&
+      stub.forall(f => f.n_frames === 3 && f.decode_ok))
+  }
+
   test("multimodal frame sampling: frames tile the payload, stride respected") {
     val frames = Multimodal.sampleFrames(spark, sf, 4).collect()
     assert(frames.nonEmpty)

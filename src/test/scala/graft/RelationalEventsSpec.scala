@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_millis}
 
 import graft.operators.{Events, Relational}
 import graft.sources.Tables
@@ -113,6 +113,26 @@ class RelationalEventsSpec extends SparkTestBase {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_events_1h") <= totals(r.getAs[Long]("user_id")))
     }
+  }
+
+  test("keyless range join: bin-bucketed counts == naive nested-loop counts") {
+    val binned = Events.errorWindowClicks(spark, sf, 10).collect()
+      .map(r => r.getAs[Long]("win_id") -> r.getAs[Long]("n_clicks")).toMap
+    // naive reference: the O(W×C) product the binning avoids, safe at sf0.001
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms")).collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+      .map(_.getAs[Long]("ms"))
+    val naive = ev.filter(_.getAs[String]("event_type") == "error").map { w =>
+      val lo = w.getAs[Long]("ms")
+      w.getAs[Long]("event_id") ->
+        clicks.count(c => c >= lo && c < lo + 600000L).toLong
+    }.toMap
+    assert(binned === naive)
+    // zero-click windows must be present, not dropped by the inner join
+    assert(naive.values.exists(_ == 0L) ==
+      binned.values.exists(_ == 0L))
   }
 
   test("type shares sum to ~1 and users are bounded") {
