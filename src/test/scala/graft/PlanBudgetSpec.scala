@@ -120,8 +120,23 @@ class PlanBudgetSpec extends SparkTestBase {
     // sized: term agg + 2 chained two-phase scans (range part + offsets
     // agg + tiny offsets window, ×2, with static-plan branch duplication
     // the runtime ReuseExchange collapses) + cut agg + order
-    "q_vocab_coverage" -> 13
+    "q_vocab_coverage" -> 13,
+    // keyless range join: bin equi-join (clicks broadcast at test scale)
+    // + win_id count agg + left-join side + order
+    "q_range_join" -> 3
   )
+
+  test("q_range_join never degenerates to a nested-loop join") {
+    // the entire point of the bin bucketing: the keyless range predicate
+    // must ride an EQUI join, not BroadcastNestedLoopJoin (which is
+    // O(windows × points) and needs one side to fit in memory)
+    val plan = SparkEntry.queries("q_range_join")(spark, sf)
+      .queryExecution.executedPlan
+    val nested = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nested.isEmpty, s"nested-loop join in plan:\n$plan")
+  }
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
