@@ -23,7 +23,8 @@ object Explain {
         "q_cosine_topk", "q_sessionize", "q1_pricing",
         "q2_min_cost_supp", "q_winnowing", "q_ivm_join", "q_novelty",
         "q_cms_counts", "q_seq_packing", "q_user_activity_window",
-        "q_incremental_neardup", "q_containment_pairs", "q_vocab_overlap")
+        "q_incremental_neardup", "q_containment_pairs", "q_vocab_overlap",
+        "q_range_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

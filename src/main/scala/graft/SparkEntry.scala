@@ -227,6 +227,9 @@ object SparkEntry {
       Sampling.stratifiedSample(s, d, Map("en" -> 25), 60)),
     "q_sample_stats"   -> ((s, d) =>
       Sampling.stratifiedSampleStats(s, d, Map("en" -> 25), 60)),
+    // per-ROW continuous-weight Bernoulli keep rule (quality-weighted
+    // downsampling shape); still a shuffle-free map-side filter
+    "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d, 2000)),
     // — privacy / PII hygiene —
     "q_pii_mask"       -> ((s, d) => Privacy.pseudonymizeCustomers(s, d)),
     "q_pseudonym_join" -> ((s, d) => Privacy.ordersByPseudonym(s, d)),
@@ -1420,6 +1423,20 @@ object SparkEntry {
         |       CAST(sum(kept) AS BIGINT) AS n_kept,
         |       round(CAST(sum(kept) AS BIGINT) * 100.0 / count(*), 4) AS got_pct
         |FROM k GROUP BY lang, req_pct ORDER BY lang""".stripMargin,
+    // weight-proportional Bernoulli keep: P(keep) = min(n_chars,2000)/2000
+    // under the shared Knuth hash; expected vs achieved per source
+    "q_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, n_chars, least(n_chars, 2000) AS w,
+        |         CASE WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 2000
+        |                   < least(n_chars, 2000)
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(w) AS BIGINT) / 2000.0, 4) AS expected_kept,
+        |       CAST(sum(kept * n_chars) AS BIGINT) AS chars_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // — privacy: Knuth-hash pseudonyms + regex masking + integer
     // generalization, all engine-exact —
     "q_pii_mask" ->

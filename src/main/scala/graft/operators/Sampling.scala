@@ -126,6 +126,33 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** WEIGHT-PROPORTIONAL Bernoulli sample: each document is kept with
+    * probability w/cap where w = min(n_chars, cap) — the per-ROW
+    * continuous-weight generalization of [[stratifiedSample]]'s
+    * per-stratum rate (the shape quality-weighted downsampling takes in
+    * curation pipelines: weight by any integer row signal, here capped
+    * length). The decision is the same Knuth-hash rule — `h(doc_id) mod
+    * cap < w` — so it stays a pure map-side filter: shuffle-free,
+    * retry-stable, engine-exact, no `rand()` anywhere. The report compares
+    * achieved keeps against the exact expected value Σw/cap per source —
+    * the concentration check a curation job logs.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String,
+                     cap: Int = 2000): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(col("n_chars"), lit(cap.toLong)).as("w"))
+      .withColumn("kept",
+        (graft.functions.HashFunctions.knuthMod(col("doc_id"), M32) % cap <
+          col("w")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        round(sum(col("w")) / cap.toDouble, 4).as("expected_kept"),
+        sum(col("kept") * col("n_chars")).as("chars_kept"))
+      .orderBy("source")
+  }
+
   /** Per-stratum sampling REPORT: achieved vs requested rate per language.
     * The per-stratum counts are the aggregation a curation job logs to
     * prove the rebalance landed; one partial-aggregated shuffle.
