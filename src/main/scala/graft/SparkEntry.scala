@@ -341,6 +341,13 @@ object SparkEntry {
     // fragment → compact → aggregate the compacted copy; oracle aggregates
     // the original table (rewrite losslessness under the hash check)
     "q_compacted_scan" -> ((s, d) => Compaction.compactedRoundTrip(s, d)),
+    // dynamic partition pruning: data-derived dim set prunes the
+    // lang-partitioned fact scan at RUNTIME (plan-asserted in spec)
+    "q_dpp_lookup"     -> ((s, d) => PartitionedCorpus.dppLangRollup(s, d, 300L)),
+    // dynamic partition overwrite: re-curate one lang partition in place;
+    // sibling partitions survive byte-for-byte (file-asserted in spec)
+    "q_partition_overwrite" -> ((s, d) =>
+      PartitionedCorpus.dynamicOverwriteReport(s, d, 200L)),
     // corpus staged to ORC and read back — format interchange is lossless
     "q_orc_roundtrip"  -> ((s, d) => Formats.orcRoundTrip(s, d)),
     // the text-format leg: headered CSV with an explicit read schema
@@ -2645,6 +2652,23 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       count(DISTINCT doc_id) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // DPP rollup: only langs whose mean length clears the integer-form
+    // threshold (sum > count*300) appear; fact side is the partitioned copy
+    "q_dpp_lookup" ->
+      """WITH d AS (SELECT lang FROM documents
+        |           GROUP BY lang HAVING sum(n_chars) > count(*) * 300)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN (SELECT lang FROM d)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // dynamic overwrite: en reflects the >=200-char re-curation gate,
+    // every other lang the untouched original partition
+    "q_partition_overwrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang <> 'en' OR n_chars >= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the ORC interchange copy must aggregate identically to the source
     "q_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
