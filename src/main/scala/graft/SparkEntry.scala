@@ -341,6 +341,9 @@ object SparkEntry {
     // fragment → compact → aggregate the compacted copy; oracle aggregates
     // the original table (rewrite losslessness under the hash check)
     "q_compacted_scan" -> ((s, d) => Compaction.compactedRoundTrip(s, d)),
+    // runtime Bloom-filter join: fact rows pruned by a might_contain
+    // filter BEFORE the shuffle when the dim can't broadcast
+    "q_runtime_filter" -> ((s, d) => Relational.runtimeFilteredBrandQty(s, d)),
     // dynamic partition pruning: data-derived dim set prunes the
     // lang-partitioned fact scan at RUNTIME (plan-asserted in spec)
     "q_dpp_lookup"     -> ((s, d) => PartitionedCorpus.dppLangRollup(s, d, 300L)),
@@ -2652,6 +2655,14 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       count(DISTINCT doc_id) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // runtime-filtered join: the Bloom filter is a pure pre-shuffle
+    // prune, so the oracle is the plain join
+    "q_runtime_filter" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // DPP rollup: only langs whose mean length clears the integer-form
     // threshold (sum > count*300) appear; fact side is the partitioned copy
     "q_dpp_lookup" ->

@@ -707,6 +707,53 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Brand quantity rollup under a RUNTIME Bloom-filter join: the
+    * selective brand predicate sits on `part`, but at 100 TB the dim side
+    * is too big to broadcast — the join shuffles BOTH sides, and without a
+    * runtime filter every lineitem row pays the exchange only to be
+    * dropped at the join. `InjectRuntimeFilter` builds a Bloom filter over
+    * the surviving `p_partkey`s and pushes a `might_contain` predicate
+    * into the fact scan, so non-matching fact rows die BEFORE the shuffle
+    * — the row-level sibling of partition-level DPP
+    * ([[PartitionedCorpus.dppLangRollup]]).
+    *
+    * The injection thresholds are sized for 10 GB+ scans, so this query
+    * pins them (and disables broadcast, modeling the big-dim reality)
+    * only for the duration of PLANNING: `executedPlan` is forced inside
+    * the conf window — a lazy val, so the returned frame executes the
+    * captured Bloom-filtered plan — and every conf is restored before
+    * returning. The spec asserts `might_contain` is present and the
+    * result matches the plain join.
+    */
+  def runtimeFilteredBrandQty(spark: SparkSession, sfDir: String,
+                              brand: String = "Brand#23"): DataFrame = {
+    val pinned = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey"), col("l_quantity"))
+        .join(Tables.part(spark, sfDir)
+          .filter(col("p_brand") === brand)
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("p_brand")
+      df.queryExecution.executedPlan // force planning under the pinned confs
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Order status/priority rollup with exact decimal totals. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -72,6 +72,26 @@ class PartitionedCorpusSpec extends SparkTestBase {
     } finally graft.util.Scratch.deleteRecursively(dir)
   }
 
+  test("runtime bloom filter: might_contain pruned plan, confs restored, values exact") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val df = graft.operators.Relational.runtimeFilteredBrandQty(spark, sf)
+    // planning-window confs must not leak into the session
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === before)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter in plan:\n${plan.take(2000)}")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).toSet
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("dynamicOverwriteReport: en gated, other langs untouched") {
     val got = PartitionedCorpus.dynamicOverwriteReport(spark, sf, 200L)
       .collect()
