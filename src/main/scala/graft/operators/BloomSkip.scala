@@ -83,6 +83,9 @@ object BloomSkip {
     lastEnsureWasCacheHit = mtimeOf(fs, new Path(dir, "_SUCCESS")) >=
       mtimeOf(fsOf(spark, layoutSuccess), layoutSuccess)
     if (!lastEnsureWasCacheHit) {
+      val tmp = new Path(graft.util.Scratch.root(spark),
+        "graft_lineitem_bloom_" + Integer.toHexString(sfDir.hashCode) +
+          s"_build_p${graft.util.Scratch.procToken}")
       spark.read.parquet(layout)
         .select(input_file_name().as("file"), col("l_orderkey"))
         .distinct() // per-file key SET — dups add no bits, just explode volume
@@ -92,7 +95,13 @@ object BloomSkip {
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
         .groupBy("file", "word")
         .agg(expr("bit_or(mask)").as("bits"))
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // tmp+swap (same discipline as Clustering.ensureClustered): a
+      // concurrent reader of the shared manifest sees a complete
+      // generation, never a mid-build dir
+      fs.delete(dir, true)
+      if (!fs.rename(tmp, dir))
+        throw new java.io.IOException(s"swap $tmp -> $dir failed")
     }
     dir.toString
   }

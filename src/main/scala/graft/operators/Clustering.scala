@@ -177,6 +177,16 @@ object Clustering {
         ).head()
         val sdShift = normShift(st.getAs[Int]("sd_max").toLong - st.getAs[Int]("sd_min"))
         val pkShift = normShift(st.getAs[Long]("pk_max") - st.getAs[Long]("pk_min"))
+        // Build into a per-process tmp dir, then swap: unlike an in-place
+        // mode("overwrite") (which deletes the destination at job START,
+        // leaving it partial for the whole build), a concurrent reader of
+        // the SHARED layout cache sees either the old complete generation
+        // or the new one — the exposure shrinks from the full build to
+        // the delete+rename instant. Stale tmp dirs from crashed builds
+        // start with keepPrefix, so the version sweep above never touches
+        // a concurrent builder's live tmp.
+        val tmpDir = new Path(root, keepPrefix +
+          s"_build_p${graft.util.Scratch.procToken}")
         src
           .withColumn("zv", zValue(
             shiftright((shipDays - lit(st.getAs[Int]("sd_min"))).cast("long"), sdShift),
@@ -184,7 +194,10 @@ object Clustering {
           .repartitionByRange(NumFiles, col("zv"))
           .sortWithinPartitions("zv")
           .drop("zv")
-          .write.mode("overwrite").parquet(dir.toString)
+          .write.mode("overwrite").parquet(tmpDir.toString)
+        fs.delete(dir, true)
+        if (!fs.rename(tmpDir, dir))
+          throw new java.io.IOException(s"swap $tmpDir -> $dir failed")
       } finally spark.conf.set(tsTypeKey, prev)
     }
     // file-level stats manifest: one row of per-file min/max envelopes,
@@ -195,13 +208,19 @@ object Clustering {
     val mSuccess = new Path(mDir, "_SUCCESS")
     if (!lastEnsureWasCacheHit ||
         mtimeOf(fs, mSuccess) < mtimeOf(fs, success)) {
+      // same tmp+swap discipline as the layout build
+      val mTmp = new Path(root, clusterDirName(sfDir) +
+        s"_manifest_build_p${graft.util.Scratch.procToken}")
       spark.read.parquet(dir.toString)
         .groupBy(input_file_name().as("file"))
         .agg(
           min("l_shipdate").as("ship_min"), max("l_shipdate").as("ship_max"),
           min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(mDir.toString)
+        .parquet(mTmp.toString)
+      fs.delete(mDir, true)
+      if (!fs.rename(mTmp, mDir))
+        throw new java.io.IOException(s"swap $mTmp -> $mDir failed")
     }
     dir.toString
   }

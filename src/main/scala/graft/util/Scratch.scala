@@ -67,11 +67,38 @@ object Scratch {
     spark.conf.get("spark.graft.scratchDir",
       System.getProperty("java.io.tmpdir"))
 
-  /** A named scratch path under [[root]]. Joined with Hadoop `Path` (not
-    * `java.io.File`) so URI roots like `hdfs://nn/graft-scratch` survive.
+  /** Per-process disambiguator for materialized scratch generations. */
+  val procToken: String = java.lang.ProcessHandle.current().pid().toString
+
+  // Materialized dirs this process created, deleted (best-effort; local
+  // paths only — URI-rooted cluster scratch is left to its own retention)
+  // at JVM exit so the scratch root doesn't accumulate one generation per
+  // process.
+  private val ownedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(
+    () => ownedDirs.forEach(p =>
+      try deleteRecursively(p) catch { case _: Throwable => () }),
+    "graft-scratch-dirs"))
+
+  /** A named PER-PROCESS scratch path under [[root]]. Joined with Hadoop
+    * `Path` (not `java.io.File`) so URI roots like
+    * `hdfs://nn/graft-scratch` survive.
+    *
+    * The process token isolates concurrent drivers sharing one scratch
+    * root (a bench beside a verify, two analysts on one box): the
+    * relations materialized here are rebuilt per JVM anyway (their memo
+    * tables are in-process), and without the token the second driver's
+    * `mode("overwrite")` write deletes parquet files the first driver's
+    * executors hold open mid-scan — a FILE_NOT_EXIST failure in a query
+    * that did nothing wrong. Registered for deletion at JVM exit.
     */
-  def dir(spark: org.apache.spark.sql.SparkSession, name: String): String =
-    new org.apache.hadoop.fs.Path(root(spark), name).toString
+  def dir(spark: org.apache.spark.sql.SparkSession, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root(spark), s"${name}_p$procToken")
+      .toString
+    ownedDirs.add(p)
+    p
+  }
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

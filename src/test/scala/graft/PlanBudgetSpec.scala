@@ -123,7 +123,13 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_vocab_coverage" -> 13,
     // keyless range join: bin equi-join (clicks broadcast at test scale)
     // + win_id count agg + left-join side + order
-    "q_range_join" -> 3
+    "q_range_join" -> 3,
+    "q_weighted_sample" -> 2, // map-side keep rule; source agg + order only
+    "q_dpp_lookup" -> 2, // pruned partitioned scan + lang agg + order; dim broadcasts
+    // broadcast intentionally disabled (big-dim model): both join sides
+    // shuffle + brand agg + order — the bloom filter's job is to shrink
+    // the fact side BEFORE those exchanges, not remove them
+    "q_runtime_filter" -> 4
   )
 
   test("q_range_join never degenerates to a nested-loop join") {

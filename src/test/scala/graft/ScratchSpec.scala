@@ -46,6 +46,14 @@ class ScratchSpec extends SparkTestBase {
         "previous generation was not retired")
   }
 
+  test("materialized scratch dirs are per-process") {
+    // two drivers sharing one scratch root must not clobber each other's
+    // materializations: the path embeds this process's pid
+    val p = graft.util.Scratch.dir(spark, "graft_scratch_spec")
+    assert(p.endsWith("_p" + java.lang.ProcessHandle.current().pid()),
+      s"scratch dir not process-scoped: $p")
+  }
+
   test("compaction round-trip keeps at most one scratch generation") {
     assertOneGeneration("graft_compact_docs_") {
       Compaction.compactedRoundTrip(spark, sf).collect()
