@@ -341,6 +341,11 @@ object SparkEntry {
     // fragment → compact → aggregate the compacted copy; oracle aggregates
     // the original table (rewrite losslessness under the hash check)
     "q_compacted_scan" -> ((s, d) => Compaction.compactedRoundTrip(s, d)),
+    // aggregate pushdown: MIN/MAX/COUNT answered from parquet footers on
+    // the V2 path — zero data pages read (plan-asserted in spec)
+    "q_agg_pushdown"   -> ((s, d) => ScanPushdown.footerStatsProfile(s, d)),
+    // nested schema pruning: one struct leaf read out of a nested layout
+    "q_nested_prune"   -> ((s, d) => ScanPushdown.nestedPayloadRollup(s, d)),
     // runtime Bloom-filter join: fact rows pruned by a might_contain
     // filter BEFORE the shuffle when the dim can't broadcast
     "q_runtime_filter" -> ((s, d) => Relational.runtimeFilteredBrandQty(s, d)),
@@ -2655,6 +2660,18 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       count(DISTINCT doc_id) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // footer-stats profile: pushdown changes where the answer comes
+    // from, not what it is
+    "q_agg_pushdown" ->
+      """SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+        |       CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    // nested round-trip: struct staging is lossless, so the rollup equals
+    // the flat-source rollup
+    "q_nested_prune" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // runtime-filtered join: the Bloom filter is a pure pre-shuffle
     // prune, so the oracle is the plain join
     "q_runtime_filter" ->
