@@ -377,6 +377,9 @@ object SparkEntry {
     // watermark past every gap deadline — streaming session state under
     // the batch oracle
     "q_streaming_sessions" -> ((s, d) => graft.streaming.StreamingSessionize.sessionsAvailableNow(s, d)),
+    // the DECLARATIVE twin: built-in session_window merging aggregation,
+    // same staging + oracle as the flatMapGroupsWithState sessionizer
+    "q_session_window" -> ((s, d) => graft.streaming.StreamingSessionWindow.sessionsAvailableNow(s, d)),
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
     // event-time RANGE frame (INTERVAL 1 HOUR PRECEDING) per user
     "q_user_activity_window" -> ((s, d) => Events.userActivityWindow(s, d)),
@@ -2810,6 +2813,28 @@ object SparkEntry {
     // streaming session state drained through the sentinel flush must
     // converge to the identical batch sessionization
     "q_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, event_id, ms,
+        |               lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |        FROM e)
+        |), numbered AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no,
+        |       min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |       count(*) AS n_events,
+        |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS duration_s
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    // the declarative session_window drain converges to the SAME batch
+    // sessions (boundary-exact: no 1800000-ms gaps exist in the data)
+    "q_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
         |), flagged AS (

@@ -124,10 +124,14 @@ object StreamingSessionize {
     * the drain (row_number over the emitted set) — emission order carries
     * no meaning in append mode.
     */
-  def sessionsAvailableNow(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+  /** Stage the events corpus as ONE parquet file plus the far-future
+    * sentinel file (mtime-bumped past the corpus so the file source's
+    * oldest-first ordering is explicit) — the drain staging shared with
+    * [[StreamingSessionWindow]]. Caller owns cleanup of the returned dir.
+    */
+  private[streaming] def stageWithSentinel(
+      spark: SparkSession, sfDir: String): java.nio.file.Path = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    drainScratch.retire()
     val watch = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
     val real = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"))
@@ -146,6 +150,13 @@ object StreamingSessionize {
     Option(watch.resolve("z_sentinel").toFile.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .foreach(f => { f.setLastModified(now + 60_000); () })
+    watch
+  }
+
+  def sessionsAvailableNow(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    drainScratch.retire()
+    val watch = stageWithSentinel(spark, sfDir)
     val table = s"graft_stream_sessions_${drainSeq.incrementAndGet()}"
     // narrow the drain's state partitioning like StreamingIndexer
     // .drainToTable — on a cloned session so the caller's conf is untouched

@@ -53,4 +53,14 @@ class StreamingSessionizeSpec extends SparkTestBase {
     assert(drained.nonEmpty)
     assert(drained === batch)
   }
+
+  test("declarative session_window drain == batch sessionize (both mechanisms agree)") {
+    val declarative = graft.streaming.StreamingSessionWindow
+      .sessionsAvailableNow(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Events.sessionize(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(declarative.nonEmpty)
+    assert(declarative === batch)
+  }
 }
