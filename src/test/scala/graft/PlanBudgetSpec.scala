@@ -129,7 +129,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // broadcast intentionally disabled (big-dim model): both join sides
     // shuffle + brand agg + order — the bloom filter's job is to shrink
     // the fact side BEFORE those exchanges, not remove them
-    "q_runtime_filter" -> 4
+    "q_runtime_filter" -> 4,
+    "q_agg_pushdown" -> 1, // footer-stats partials + one 1-row final agg
+    "q_nested_prune" -> 2, // pruned-leaf agg + output order
+    "q_session_window" -> 0 // drained memory-table read; sort on drain side
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
