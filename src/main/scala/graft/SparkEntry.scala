@@ -65,6 +65,11 @@ object SparkEntry {
       graft.sources.v2.RefIndexInterop.refIndexScan(s, d)),
     "q_refindex_lookup" -> ((s, d) =>
       graft.sources.v2.RefIndexInterop.refIndexLookup(s, d, "the")),
+    // V2 runtime filtering: data-derived hot letters prune the letter
+    // files at EXECUTION time (SupportsRuntimeFiltering — DPP for the
+    // custom source; spec-asserted)
+    "q_refindex_runtime" -> ((s, d) =>
+      graft.sources.v2.RefIndexInterop.refIndexRuntimePruned(s, d, 10L)),
     // build a scratch index, upsert a changed doc, return the whole index —
     // oracle computes postings over the modified corpus: hash match proves
     // upsert ≡ rebuild (the reference's re-index, minus its duplication bug)
@@ -648,6 +653,16 @@ object SparkEntry {
       s"""$postingsCte
          |SELECT term, doc_id, tf FROM postings
          |WHERE term = 'the' ORDER BY doc_id""".stripMargin,
+    // runtime pruning changes which FILES are listed, not the answer:
+    // the oracle is the plain semi-join on the hot-letter set
+    "q_refindex_runtime" ->
+      s"""$postingsCte
+         |SELECT substr(term, 1, 1) AS first_letter,
+         |       count(*) AS n_postings, CAST(sum(tf) AS BIGINT) AS sum_tf
+         |FROM postings
+         |WHERE substr(term, 1, 1) IN (
+         |  SELECT DISTINCT substr(term, 1, 1) FROM postings WHERE tf >= 10)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_index_upsert" ->
       s"""$upsertPostingsCte
          |SELECT substr(term, 1, 1) AS first_letter, term, doc_id, tf

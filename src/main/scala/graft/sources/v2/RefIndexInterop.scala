@@ -28,8 +28,10 @@ object RefIndexInterop {
     */
   private[graft] def ensureRefIndex(spark: SparkSession, sfDir: String): String =
     built.getOrElseUpdate(sfDir, {
-      val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_refindex_" + Integer.toHexString(sfDir.hashCode))
+      // per-process generation under the configurable scratch root (same
+      // concurrency rationale as [[graft.util.Scratch.dir]])
+      val dir = Paths.get(graft.util.Scratch.dir(spark,
+        "graft_refindex_" + Integer.toHexString(sfDir.hashCode)))
       graft.util.Scratch.deleteRecursively(dir)
       Files.createDirectories(dir)
       graft.operators.Indexer.postings(spark, sfDir)
@@ -69,4 +71,27 @@ object RefIndexInterop {
       .filter(col("term") === term)
       .select("term", "doc_id", "tf")
       .orderBy("doc_id")
+
+  /** Per-letter rollup of the ref index restricted to the letters holding
+    * a high-tf posting — letters only the DATA knows, so static pushdown
+    * cannot prune the scan. The dim side (the parquet index filtered to
+    * tf ≥ minTf, distinct letters) broadcasts; dynamic partition pruning
+    * re-uses that broadcast as a runtime In-filter on the V2 scan's
+    * first_letter attribute ([[RefIndexScan.filter]]), and the scan
+    * lists ONLY the surviving letter files — spec-asserted via
+    * [[RefIndexScan.lastRuntimeLetters]] and the plan's dynamicpruning
+    * subquery.
+    */
+  def refIndexRuntimePruned(spark: SparkSession, sfDir: String,
+                            minTf: Long = 10L): DataFrame = {
+    val dim = spark.read.parquet(
+        graft.operators.MaterializedIndex.ensure(spark, sfDir))
+      .filter(col("tf") >= minTf)
+      .select(col("first_letter")).distinct()
+    readRefIndex(spark, sfDir)
+      .join(dim, Seq("first_letter"))
+      .groupBy(col("first_letter"))
+      .agg(count(lit(1)).as("n_postings"), sum(col("tf")).as("sum_tf"))
+      .orderBy("first_letter")
+  }
 }

@@ -141,17 +141,38 @@ class RefIndexScanBuilder(path: String, splitBytes: Long)
 
 class RefIndexScan(path: String, letters: Option[Set[String]],
                    required: StructType, splitBytes: Long)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_ref_index path=$path prunedLetters=${letters.map(_.toSeq.sorted.mkString(",")).getOrElse("*")} splitBytes=$splitBytes"
 
+  // ——— RUNTIME filtering (the V2 analogue of dynamic partition
+  // pruning): when this scan is the fact side of a join on first_letter
+  // and the dim side is selective, Spark evaluates the dim FIRST and
+  // hands the surviving letter values here as an In filter —
+  // planInputPartitions then never lists the other letter files. Static
+  // pushdown ([[RefIndexScanBuilder.pushFilters]]) needs the letters in
+  // the query text; this prunes on letters only the DATA knows.
+  private var runtimeLetters: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("first_letter"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.flatMap(RefIndexSource.lettersOf).toSeq
+    if (sets.nonEmpty) {
+      runtimeLetters = Some(sets.reduce(_ intersect _))
+      RefIndexScan.lastRuntimeLetters = runtimeLetters // spec introspection
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.length == 1)
-      .filter(f => letters.forall(_.contains(f.getName)))
+      .filter(f => letters.forall(_.contains(f.getName)) &&
+        runtimeLetters.forall(_.contains(f.getName)))
       .sortBy(_.getName)
       .flatMap { f =>
         // newline-aligned byte ranges within each letter file — the
@@ -170,6 +191,14 @@ class RefIndexScan(path: String, letters: Option[Set[String]],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RefIndexReaderFactory(required)
+}
+
+object RefIndexScan {
+  /** The letter set delivered by the most recent runtime filter() in this
+    * process — test-only introspection (the honest-disclosure pattern of
+    * Clustering.lastEnsureWasCacheHit), never read by the engine.
+    */
+  @volatile private[graft] var lastRuntimeLetters: Option[Set[String]] = None
 }
 
 case class RefIndexInputPartition(file: String, start: Long, length: Long)

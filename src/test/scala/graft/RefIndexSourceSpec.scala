@@ -134,6 +134,36 @@ class RefIndexSourceSpec extends SparkTestBase {
     } finally graft.util.Scratch.deleteRecursively(dir)
   }
 
+  test("runtime filtering: data-derived letters prune the scan at execution") {
+    graft.sources.v2.RefIndexScan.lastRuntimeLetters = None
+    val df = RefIndexInterop.refIndexRuntimePruned(spark, sf, 10L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime pruning subquery on the V2 scan:\n${plan.take(2000)}")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the runtime filter delivered a PROPER subset of letters to the scan
+    val delivered = graft.sources.v2.RefIndexScan.lastRuntimeLetters
+    assert(delivered.isDefined, "scan never received a runtime filter")
+    val allLetters = graft.operators.Indexer.postings(spark, sf)
+      .select(substring(col("term"), 1, 1)).distinct().count()
+    assert(delivered.get.nonEmpty && delivered.get.size < allLetters,
+      s"no pruning: ${delivered.get.size} of $allLetters letters")
+    // values equal the unpruned recompute
+    val postings = graft.operators.Indexer.postings(spark, sf)
+      .select(substring(col("term"), 1, 1).as("first_letter"), col("tf"))
+    val hot = postings.filter(col("tf") >= 10)
+      .select("first_letter").distinct()
+      .as[String].collect().toSet
+    val expected = postings
+      .filter(col("first_letter").isin(hot.toSeq: _*))
+      .groupBy("first_letter")
+      .agg(count(lit(1)).as("n"), sum("tf").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected && got.nonEmpty)
+    assert(delivered.get === hot, "runtime letters != the hot-letter dim")
+  }
+
   test("column pruning: projected read materializes only requested fields") {
     val df = load().select("tf")
     assert(df.schema.fieldNames.toSeq === Seq("tf"))
