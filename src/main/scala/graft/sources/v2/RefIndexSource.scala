@@ -114,11 +114,12 @@ class RefIndexTable(path: String) extends Table
 
 class RefIndexScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var letterSets: Seq[Set[String]] = Seq.empty
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RefIndexSource.schema
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val derived = filters.flatMap(f => RefIndexSource.lettersOf(f).map(f -> _))
@@ -132,20 +133,58 @@ class RefIndexScanBuilder(path: String, splitBytes: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT pushdown: each partition reader stops after `n` lines instead
+    * of draining its whole byte range — a `LIMIT k` probe of a terabyte
+    * index reads at most k lines per split. `isPartiallyPushed` stays at
+    * its default (true), so Spark keeps the global LIMIT over the
+    * per-partition prefixes — a pure stop-early optimization, never a
+    * correctness transfer.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+
   override def build(): Scan = {
     // conjunction of filters → intersection of their letter supersets
     val letters = letterSets.reduceOption(_ intersect _)
-    new RefIndexScan(path, letters, required, splitBytes)
+    new RefIndexScan(path, letters, required, splitBytes, limit)
   }
 }
 
 class RefIndexScan(path: String, letters: Option[Set[String]],
-                   required: StructType, splitBytes: Long)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+                   required: StructType, splitBytes: Long,
+                   limit: Option[Int] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_ref_index path=$path prunedLetters=${letters.map(_.toSeq.sorted.mkString(",")).getOrElse("*")} splitBytes=$splitBytes"
+    s"graft_ref_index path=$path prunedLetters=${letters.map(_.toSeq.sorted.mkString(",")).getOrElse("*")} splitBytes=$splitBytes limit=${limit.getOrElse(-1)}"
+
+  /** Size statistics from the PRUNED letter-file list — without this a V2
+    * relation reports `spark.sql.defaultSizeInBytes` (effectively ∞), so
+    * a join against the ref index would never broadcast it even when the
+    * pruned scan is a few KB. Text bytes understate the unserialized row
+    * width, so a conservative row-expansion factor keeps the estimate
+    * honest enough for broadcast decisions without inviting OOM.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = prunedFiles().map(_.length()).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, bytes * 3))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty() // would need a line count — not free
+  }
+
+  private def prunedFiles(): Array[java.io.File] = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.length == 1)
+      .filter(f => letters.forall(_.contains(f.getName)) &&
+        runtimeLetters.forall(_.contains(f.getName)))
+      .sortBy(_.getName)
+  }
 
   // ——— RUNTIME filtering (the V2 analogue of dynamic partition
   // pruning): when this scan is the fact side of a join on first_letter
@@ -167,13 +206,8 @@ class RefIndexScan(path: String, letters: Option[Set[String]],
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.length == 1)
-      .filter(f => letters.forall(_.contains(f.getName)) &&
-        runtimeLetters.forall(_.contains(f.getName)))
-      .sortBy(_.getName)
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedFiles()
       .flatMap { f =>
         // newline-aligned byte ranges within each letter file — the
         // reference's own within-file split (worker.c:210-220), so a
@@ -186,11 +220,9 @@ class RefIndexScan(path: String, letters: Option[Set[String]],
             math.min(splitBytes, len - s)): InputPartition
         }
       }
-      .toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RefIndexReaderFactory(required)
+    new RefIndexReaderFactory(required, limit)
 }
 
 object RefIndexScan {
@@ -204,11 +236,11 @@ object RefIndexScan {
 case class RefIndexInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-class RefIndexReaderFactory(required: StructType)
+class RefIndexReaderFactory(required: StructType, limit: Option[Int])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RefIndexInputPartition]
-    new RefIndexPartitionReader(p.file, p.start, p.length, required)
+    new RefIndexPartitionReader(p.file, p.start, p.length, required, limit)
   }
 }
 
@@ -360,13 +392,15 @@ class RefIndexDataWriter(path: String, writeSchema: StructType, taskId: Long)
   * tracked on the raw stream (lines may be multi-byte UTF-8).
   */
 class RefIndexPartitionReader(file: String, start: Long, length: Long,
-                              required: StructType)
+                              required: StructType,
+                              limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val in = new java.io.BufferedInputStream(
     new java.io.FileInputStream(file), 1 << 16)
   private val end = start + length
   private var pos = 0L
+  private var emitted = 0L
   private val lineBuf = new java.io.ByteArrayOutputStream(64)
   private var row: InternalRow = _
 
@@ -409,6 +443,9 @@ class RefIndexPartitionReader(file: String, start: Long, length: Long,
   }
 
   override def next(): Boolean = {
+    // pushed LIMIT: this range's prefix satisfies the (partial) limit —
+    // stop reading instead of draining the rest of the byte range
+    if (limit.exists(emitted >= _)) return false
     var line: String = null
     var scan = true
     while (scan) {
@@ -434,6 +471,7 @@ class RefIndexPartitionReader(file: String, start: Long, length: Long,
         case other => throw new IllegalStateException(s"unknown column $other")
       }
       row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      emitted += 1
       true
     }
   }

@@ -164,6 +164,30 @@ class RefIndexSourceSpec extends SparkTestBase {
     assert(delivered.get === hot, "runtime letters != the hot-letter dim")
   }
 
+  test("limit pushdown: readers stop early, rows stay valid") {
+    val df = load().limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=5"), s"limit not pushed to the scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[String]("term").nonEmpty && r.getAs[Long]("tf") >= 1)
+    }
+  }
+
+  test("statistics: size reported from the pruned file list, not the default") {
+    val full = load().queryExecution.optimizedPlan.stats.sizeInBytes
+    val dir = new java.io.File(RefIndexInterop.ensureRefIndex(spark, sf))
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.length == 1).map(_.length()).sum
+    assert(full === BigInt(bytes * 3),
+      s"stats $full != 3x file bytes ${bytes * 3}")
+    // planning-time pruning shrinks the estimate with it
+    val pruned = load().filter(col("term") === "the")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < full, s"pruned $pruned !< full $full")
+  }
+
   test("column pruning: projected read materializes only requested fields") {
     val df = load().select("tf")
     assert(df.schema.fieldNames.toSeq === Seq("tf"))
