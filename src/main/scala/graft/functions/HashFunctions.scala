@@ -15,9 +15,37 @@ object HashFunctions {
 
   val Knuth = 2654435761L // Knuth's multiplicative constant (golden ratio)
 
-  /** (id · Knuth) mod `m`, exact for any 64-bit id. */
-  def knuthMod(id: Column, m: Long): Column =
-    ((id.cast("decimal(38,0)") * Knuth) % m).cast("long")
+  /** (id · Knuth) mod `m`, exact for any 64-bit id.
+    *
+    * For the power-of-two modulus every sampling/privacy call site uses
+    * (m = 2^32) the decimal detour is unnecessary — but the naive long
+    * fast path `(id·K) & 0xFFFFFFFF` is a trap under Spark 4's default
+    * ANSI mode: the wrap the mask relies on THROWS as overflow at
+    * id ≥ ⌈2^63/K⌉ ≈ 3.5e9, i.e. exactly at 100 TB-corpus id ranges
+    * while every small-SF test stays green. Instead the product is
+    * SPLIT so no intermediate exceeds 2^48:
+    * with a = id mod 2^32 = a1·2^16 + a0,
+    * (a·K) mod 2^32 = (((a1·K) mod 2^16)·2^16 + a0·K) mod 2^32
+    * — four codegen'd integer ops per row instead of a decimal(38,0)
+    * multiply/modulo. The masked result is nonnegative, matching the
+    * sign-of-dividend semantics of the decimal path (and the oracle's
+    * HUGEINT `%`) for nonnegative ids; a NEGATIVE id would diverge, so
+    * the fast path guards per row and falls back to the exact decimal
+    * form. Equivalence across the id range (small, > 2^32, near
+    * Long.MaxValue) is pinned in HashFunctionsSpec.
+    */
+  def knuthMod(id: Column, m: Long): Column = {
+    val general = ((id.cast("decimal(38,0)") * Knuth) % m).cast("long")
+    if (m != 4294967296L) general
+    else {
+      val a = id.bitwiseAND(lit(4294967295L))
+      val hi = shiftright(a, 16) * Knuth // ≤ (2^16−1)·K < 2^48: no overflow
+      val lo = a.bitwiseAND(lit(65535L)) * Knuth
+      val fast = (shiftleft(hi.bitwiseAND(lit(65535L)), 16) + lo)
+        .bitwiseAND(lit(4294967295L))
+      when(id >= 0, fast).otherwise(general)
+    }
+  }
 
   /** Two-modulus polynomial char-fold over a string column: 63
     * well-defined bits (h1 mod 2^31−1 in the high word, h2 mod the
