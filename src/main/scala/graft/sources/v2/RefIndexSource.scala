@@ -156,9 +156,36 @@ class RefIndexScan(path: String, letters: Option[Set[String]],
                    required: StructType, splitBytes: Long,
                    limit: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The format IS key-partitioned — one file per first_letter — so the
+    * scan reports a KeyGroupedPartitioning on that column: with
+    * `spark.sql.sources.v2.bucketing.enabled` a groupBy/join keyed on
+    * first_letter consumes the letter files in place (byte-range splits
+    * of one letter are grouped into one task) and the exchange disappears
+    * — the V2 analogue of bucketed tables, exchange-free-asserted in
+    * RefIndexSourceSpec. Each InputPartition carries its letter as the
+    * partition key ([[RefIndexInputPartition.partitionKey]]).
+    *
+    * Reported ONLY when the session has v2 bucketing ON: once a scan
+    * reports key grouping, Spark collapses same-key splits into one task
+    * unconditionally — which silently reinstates the 26-task ceiling the
+    * byte-range splits exist to remove. Grouping is the bucketed-table
+    * trade (no exchange, but a letter's splits run serially); the session
+    * opts in per workload, the source must not impose it.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val bucketing = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (bucketing)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("first_letter")),
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
   override def description(): String =
     s"graft_ref_index path=$path prunedLetters=${letters.map(_.toSeq.sorted.mkString(",")).getOrElse("*")} splitBytes=$splitBytes limit=${limit.getOrElse(-1)}"
 
@@ -234,7 +261,15 @@ object RefIndexScan {
 }
 
 case class RefIndexInputPartition(file: String, start: Long, length: Long)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  /** The letter this split belongs to (= the file's single-char name) —
+    * what lets Spark group same-letter byte ranges into one key-grouped
+    * task when the scan's partitioning is consumed.
+    */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(new java.io.File(file).getName)))
+}
 
 class RefIndexReaderFactory(required: StructType, limit: Option[Int])
     extends PartitionReaderFactory {

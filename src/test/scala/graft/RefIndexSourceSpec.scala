@@ -188,6 +188,30 @@ class RefIndexSourceSpec extends SparkTestBase {
     assert(pruned < full, s"pruned $pruned !< full $full")
   }
 
+  test("key-grouped partitioning: letter rollup runs exchange-free") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = load().groupBy("first_letter")
+        .agg(count(lit(1)).as("n"), sum("tf").as("s"))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      }.sum
+      assert(shuffles === 0,
+        s"letter rollup shuffled:\n${df.queryExecution.executedPlan}")
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = graft.operators.Indexer.postings(spark, sf)
+        .groupBy(substring(col("term"), 1, 1).as("l"))
+        .agg(count(lit(1)).as("n"), sum("tf").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected && got.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("column pruning: projected read materializes only requested fields") {
     val df = load().select("tf")
     assert(df.schema.fieldNames.toSeq === Seq("tf"))
