@@ -461,4 +461,37 @@ object Dedup {
       .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   }
+
+  /** RETENTION POLICY over the duplicate clusters: keep the LONGEST
+    * document of every near-dup cluster (ties to the lowest doc_id)
+    * instead of the min-id keeper the dedup reports default to — the
+    * policy real curation pipelines run, because the longest variant of a
+    * mirrored page is usually the least-truncated one. Singletons (docs
+    * in no cluster) keep themselves via `coalesce(cluster_id, doc_id)`.
+    *
+    * Shape: the cluster labeling is the one materialized 3-column
+    * relation ([[ensureClusters]]); the keeper pick is a row_number over
+    * (n_chars DESC, doc_id) riding ONE exchange of doc METADATA (id,
+    * source, n_chars — never text), then a per-source rollup. Output is
+    * source-count-sized.
+    */
+  def clusterKeepLongest(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.8): DataFrame = {
+    val cl = spark.read.parquet(ensureClusters(spark, sfDir, threshold))
+      .select("doc_id", "cluster_id")
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val labeled = docs.join(cl, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+    val keeperRank = Window.partitionBy(col("cid"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled.withColumn("rk", row_number().over(keeperRank))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") === 1, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("source")
+  }
 }

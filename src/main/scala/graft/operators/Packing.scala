@@ -111,6 +111,29 @@ object Packing {
                      contextLen: Int = 512): DataFrame =
     summaryOfManifest(packManifest(spark, sfDir, contextLen), contextLen)
 
+  /** TRAINING-SHARD MANIFEST — output-file planning for the corpus
+    * export: documents are assigned WHOLE (doc-atomic, unlike the
+    * window packing above) to contiguous shards of ~`budgetTokens`
+    * tokens each — shard = start_off div budget over the same EOS-padded
+    * token stream the packer uses, so shard sizes hover around the
+    * budget (one doc of overshoot max) and every shard is a contiguous
+    * doc_id range (the manifest proves it via first/last doc). This is
+    * how the export writer gets byte-balanced files WITHOUT a global
+    * sort: the offsets ride the same two-phase distributed prefix sum,
+    * and the report is shard-count-sized.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String,
+                    budgetTokens: Long = 8192): DataFrame =
+    manifestOfCounts(countsOf(Tables.documents(spark, sfDir)),
+      contextLen = 1, nBuckets = 32, baseOffset = 0L)
+      .withColumn("shard_id", expr(s"start_off div $budgetTokens"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+
   /** INCREMENTAL packing maintenance — why the manifest formulation
     * matters at 100 TB: a crawl append (all new doc_ids above the packed
     * base) extends the token stream at its END, so the delta packs

@@ -863,4 +863,58 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
       .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
   }
+
+  /** C4-STYLE DUPLICATED-SPAN SCRUB — the rewrite the coverage report
+    * ([[dupNgramCoverage]]) only measures: every token covered by a word
+    * 3-gram that occurs in ≥2 distinct documents is REMOVED, and the
+    * surviving tokens are reassembled into the scrubbed text (the
+    * "discard duplicated spans, keep the rest of the page" curation step,
+    * in contrast to doc-level dedup which drops whole documents).
+    *
+    * Shape: the gram-document-frequency table comes from the one
+    * materialized shingle relation every span op shares; the (pos, tok,
+    * gram-starting-here) triples are built ROW-LOCALLY from the token
+    * array (no lead() window — the gram is sliced out of the array
+    * itself), so the plan is: one shuffle of the token stream on the gram
+    * string to mark shared-gram starts, one per-doc exchange for the
+    * 2-PRECEDING covered window (a token at j is covered iff a shared
+    * gram starts in [j-2, j]), and the reassembly groupBy rides that same
+    * doc partitioning. Linear in the token stream at any corpus size —
+    * the n-gram approximation of suffix-array span dedup (Lee et al.
+    * 2022) that actually distributes.
+    */
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = spark.read.parquet(Dedup.ensureShingles(spark, sfDir))
+    val shared = sh.groupBy("sh").agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= 2)
+      .select(col("sh").as("g"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val tg = toks.select(col("doc_id"),
+      inline(transform(sequence(lit(0), size(col("ts")) - 1), i =>
+        struct(i.as("pos"), element_at(col("ts"), i + 1).as("tok"),
+          when(i + lit(3) <= size(col("ts")),
+            concat_ws(" ", element_at(col("ts"), i + 1),
+              element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
+            .as("g")))))
+    val hit = tg.join(shared, tg("g") === shared("g"), "left")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when(shared("g").isNotNull, 1).otherwise(0).as("h"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-2, Window.currentRow)
+    hit.withColumn("covered", max(col("h")).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(lit(1) - col("covered")).cast("long").as("n_kept"),
+        // collect_list skips the NULLs the `when` leaves for covered
+        // tokens; the struct sorts by its leading pos field, restoring
+        // document order without a second window
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("covered") === 0, struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
 }
