@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // layout-aware partition-predicate injection for the index schema
     ext.injectOptimizerRule(_ => graft.plans.LetterPruningRule)
+    // physical planning for the native as-of join operator
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

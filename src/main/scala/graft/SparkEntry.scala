@@ -258,6 +258,12 @@ object SparkEntry {
     // recall is GUARANTEED at maxDist=3, so the brute-force oracle matches
     "q_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d, 3)),
     "q_dup_clusters"   -> ((s, d) => Dedup.dupClusters(s, d, 0.8)),
+    // retention policy: keep the LONGEST doc per near-dup cluster
+    "q_cluster_keep_longest" -> ((s, d) => Dedup.clusterKeepLongest(s, d, 0.8)),
+    // C4-style span scrub: REMOVE tokens covered by cross-doc 3-grams
+    "q_span_scrub"     -> ((s, d) => TextAnalysis.spanScrub(s, d)),
+    // doc-atomic token-budget shards for the export writer
+    "q_shard_manifest" -> ((s, d) => Packing.shardManifest(s, d, 8192)),
     "q_curated_corpus" -> ((s, d) => Curate.curateCorpus(s, d)),
     // v2: + boilerplate and bigram-repetition content gates
     "q_curated_v2"     -> ((s, d) => Curate.curateCorpusV2(s, d)),
@@ -386,6 +392,8 @@ object SparkEntry {
     // same staging + oracle as the flatMapGroupsWithState sessionizer
     "q_session_window" -> ((s, d) => graft.streaming.StreamingSessionWindow.sessionsAvailableNow(s, d)),
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
+    // the NATIVE as-of operator (custom LogicalPlan+Strategy+SparkPlan)
+    "q_asof_native"        -> ((s, d) => Events.asofPurchaseViewNative(s, d)),
     // event-time RANGE frame (INTERVAL 1 HOUR PRECEDING) per user
     "q_user_activity_window" -> ((s, d) => Events.userActivityWindow(s, d)),
     // CUBE(source, lang): Expand-based multi-level rollup + grouping_id
@@ -1595,6 +1603,74 @@ object SparkEntry {
          |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // retention: keep the longest doc of every cluster (ties → min id);
+    // singletons keep themselves via coalesce(cluster, doc_id)
+    "q_cluster_keep_longest" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v),
+         |rk AS (
+         |  SELECT d.doc_id, d.source, d.n_chars,
+         |         row_number() OVER (
+         |           PARTITION BY coalesce(labels.cluster_id, d.doc_id)
+         |           ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d LEFT JOIN labels ON d.doc_id = labels.v)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+    // C4-style span scrub: token j is removed iff a shingle occurring in
+    // ≥2 docs starts at a position in [j-2, j]; survivors reassemble in
+    // position order (string_agg skips the covered rows' NULLs)
+    "q_span_scrub" ->
+      s"""$shingleCte, shared AS (
+         |  SELECT sh AS g FROM sh GROUP BY sh HAVING count(*) >= 2
+         |), tg AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok,
+         |         CASE WHEN i + 2 <= len(ts)
+         |              THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS g
+         |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+         |), cov AS (
+         |  SELECT tg.doc_id, tg.pos, tg.tok,
+         |         max(CASE WHEN shared.g IS NOT NULL THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY tg.doc_id ORDER BY tg.pos
+         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tg LEFT JOIN shared ON tg.g = shared.g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(1 - covered) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
+         |                           ' ' ORDER BY pos), '') AS scrubbed_text
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // doc-atomic token-budget shards over the EOS-padded token stream
+    "q_shard_manifest" ->
+      s"""WITH $toksCte, c AS (
+         |  SELECT doc_id, len(ts) + 1 AS n_tokens FROM toks
+         |), cum AS (
+         |  SELECT doc_id, n_tokens,
+         |         sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_tokens AS start_off
+         |  FROM c)
+         |SELECT CAST(start_off // 8192 AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_shard_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     // curation = exact-dedup keepers ∖ near-dup component losers, gated
     // on token count — composed from the already-verified stage oracles
     "q_curated_corpus" ->
@@ -2965,6 +3041,18 @@ object SparkEntry {
         |SELECT 3, 'purchase_after_click', count(*) FROM p
         |ORDER BY stage_idx""".stripMargin,
     "q_asof_purchase_view" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, epoch_ms(ts) AS v_ms
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p_id, p_ms, v.v_ms AS last_view_ms,
+        |       p_ms - v.v_ms AS gap_ms
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.v_user AND v.v_ms <= p.p_ms
+        |ORDER BY user_id, p_id""".stripMargin,
+    // identical semantics, executed by the native AsOfJoinExec — the
+    // oracle is the same DuckDB ASOF LEFT JOIN
+    "q_asof_native" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id AS v_user, epoch_ms(ts) AS v_ms

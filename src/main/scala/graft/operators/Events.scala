@@ -166,6 +166,30 @@ object Events {
       .orderBy("user_id", "p_id")
   }
 
+  /** The SAME as-of semantics executed by the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]): purchases as-of-join the view stream on
+    * user_id with `view_ms <= purchase_ms`. Where [[asofPurchaseView]]
+    * funnels both streams through one union schema and a window buffer,
+    * the custom physical operator co-partitions the two relations on the
+    * key, sorts each partition by (key, time) — the planner inserts both,
+    * exactly as for a SortMergeJoin — and then a single forward merge
+    * with ONE buffered right row joins them in |P|+|V| time and O(1)
+    * memory per partition. The oracle is DuckDB's own ASOF LEFT JOIN.
+    */
+  def asofPurchaseViewNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ms", unix_millis(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("p_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ms").as("last_view_ms"))
+    graft.plans.AsOfJoin(p, v, Seq(("user_id", "v_user")),
+        "p_ms", "last_view_ms")
+      .select(col("user_id"), col("p_id"), col("p_ms"), col("last_view_ms"),
+        (col("p_ms") - col("last_view_ms")).as("gap_ms"))
+      .orderBy("user_id", "p_id")
+  }
+
   /** Views within the hour before each purchase — an INTERVAL JOIN,
     * executed with time-bin bucketing instead of a per-user cross join:
     * each view maps to its hour bin, each purchase explodes to the (at

@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.PlanBridge
+import org.apache.spark.sql.types.LongType
+
+/** NATIVE AS-OF JOIN — the (c) rung of the custom-operator ladder that
+  * the survey reserves for semantics Spark's relational algebra cannot
+  * express efficiently: a whole logical operator with its own physical
+  * execution, registered through the planner.
+  *
+  * Semantics: for every left row, attach the right row with the greatest
+  * `rightTime <= leftTime` among rows sharing the join key (backward
+  * as-of; no match → null-padded right side). The declarative
+  * formulations all have a flaw the custom operator removes:
+  *   - `left JOIN right ON key AND rt <= lt` + max-per-left generates
+  *     L×R intermediate rows per key before aggregating (quadratic on a
+  *     hot key);
+  *   - the union+window trick ([[graft.operators.Events.asofPurchaseView]])
+  *     is linear but forces both sides through ONE schema and carries
+  *     payloads as nulls through the window buffer;
+  *   - time-bin bucketing bounds candidates but fixes a bin width.
+  * The physical operator instead asks the planner for hash
+  * co-partitioning on the key and (key, time) sort order WITHIN each
+  * partition — the exact distribution+ordering contract SortMergeJoin
+  * uses — and then streams BOTH sorted sides through a single forward
+  * merge holding ONE buffered right row. Per partition the cost is
+  * |L| + |R| rows and O(1) memory: no per-key group materialization, no
+  * window buffer, no candidate blow-up, at any key skew.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: the logical as-of node has exactly one physical
+  * implementation. Injected via `SparkSessionExtensions
+  * .injectPlannerStrategy` ([[graft.GraftExtensions]]) or
+  * `spark.experimental.extraStrategies` ([[AsOfJoin.ensureRegistered]]).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** The SortMergeJoin contract: co-partition both children on the key
+    * (EnsureRequirements aligns the two hash partitionings) and sort each
+    * partition by (key, time). Everything the merge needs is then local.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val allOutput = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val lTime = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val rTime = BindReferences.bindReference(rTimeExpr, rightOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOutput.size)
+      // bind against NULLABLE right attributes: the no-match null-padded
+      // row must survive the projection (a non-nullable binding would
+      // skip the null check and read field defaults)
+      val outProj = UnsafeProjection.create(allOutput,
+        leftOutput ++ rightOutput.map(_.withNullability(true)))
+
+      new Iterator[InternalRow] {
+        // one-row lookahead into the right side (copied out of the
+        // iterator's reused row) + the current best match for the key
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rMs: Long = 0L
+        private var matchRow: InternalRow = _
+        private var matchKey: UnsafeRow = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next().copy()
+            rKey = rKeyProj(rRow).copy()
+            rMs = rTime.eval(rRow).asInstanceOf[Long]
+          } else rRow = null
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lMs = lTime.eval(l).asInstanceOf[Long]
+          if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
+            matchRow = null; matchKey = null
+          }
+          var scanning = true
+          while (scanning && rRow != null) {
+            val c = keyOrd.compare(rKey, lk)
+            if (c < 0) advanceRight()
+            else if (c == 0 && rMs <= lMs) {
+              matchRow = rRow; matchKey = rKey; advanceRight()
+            } else scanning = false
+          }
+          if (matchRow != null) outProj(joined(l, matchRow))
+          else outProj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public face: `AsOfJoin(left, right, keys, leftTime, rightTime)`.
+  * Column names of the two sides must be disjoint (rename before the
+  * call — same contract as `join` with duplicate-name outputs, minus the
+  * ambiguity trap). Time columns must be LongType and non-null (epoch
+  * ms); keys any orderable type.
+  */
+object AsOfJoin {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val exp = PlanBridge.experimental(spark)
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  def apply(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+            leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof: no column '$n' in ${p.output.map(_.name).mkString(", ")}"))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      "asof time columns must be LongType epoch values")
+    PlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
+      lt, rt))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.plans.{AsOfJoin, AsOfJoinExec}
+
+/** The native as-of join operator: semantics against both the declarative
+  * window formulation and hand-built ground truth, and the physical
+  * contract (the exec node plans, with exactly the two co-partitioning
+  * exchanges a SortMergeJoin would pay).
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native as-of ≡ union+window formulation on the events table") {
+    val native = Events.asofPurchaseViewNative(spark, sf)
+      .select("user_id", "p_id", "p_ms", "last_view_ms")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq.sorted
+    val window = Events.asofPurchaseView(spark, sf)
+      .select("user_id", "p_id", "p_ms", "last_view_ms")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq.sorted
+    assert(native === window)
+    assert(native.nonEmpty)
+  }
+
+  test("physical plan: AsOfJoinExec with exactly 2 exchanges, sorted inputs") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Events.asofPurchaseViewNative(spark, sf)
+        .queryExecution.executedPlan
+      val execs = plan.collect { case a: AsOfJoinExec => a }
+      assert(execs.length === 1, s"expected one AsOfJoinExec in:\n$plan")
+      // the merge needs only the two key co-partitioning exchanges (plus
+      // none for the final orderBy's range exchange — count ≤ 3 total)
+      val shuffles = plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+      assert(shuffles <= 3, s"as-of plans $shuffles shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hand-built ground truth: hot key, ties, and no-match nulls") {
+    val left = Seq(
+      (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+      (2L, 7L, "q1"),                       // key with no right rows
+      (3L, 100L, "r1"), (3L, 100L, "r2")    // tie on time
+    ).toDF("k", "t", "ltag")
+    val right = Seq(
+      (1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"),
+      (3L, 100L, "x"), (3L, 99L, "y"),
+      (4L, 1L, "z")                          // right-only key
+    ).toDF("k2", "t2", "rtag")
+    val out = AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2")
+      .select("k", "t", "ltag", "t2", "rtag")
+      .as[(Long, Long, String, Option[Long], Option[String])]
+      .collect().toSeq.sortBy(r => (r._1, r._2, r._3))
+    assert(out === Seq(
+      (1L, 5L, "p0", Some(5L), Some("a")),    // inclusive rt <= lt
+      (1L, 10L, "p1", Some(10L), Some("b")),
+      (1L, 20L, "p2", Some(15L), Some("c")),
+      (2L, 7L, "q1", None, None),
+      (3L, 100L, "r1", Some(100L), Some("x")),
+      (3L, 100L, "r2", Some(100L), Some("x"))
+    ))
+  }
+
+  test("skewed key: one key owning the whole right side stays linear-correct") {
+    val left = (0L until 200L).map(i => (1L, i * 10L)).toDF("k", "t")
+    val right = (0L until 1000L).map(i => (1L, i)).toDF("k2", "t2")
+    val out = AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2")
+      .select("t", "t2").as[(Long, Option[Long])].collect().toMap
+    (0L until 200L).foreach { i =>
+      val lt = i * 10
+      assert(out(lt) === Some(math.min(lt, 999L)))
+    }
+  }
+}
