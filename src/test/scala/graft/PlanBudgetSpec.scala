@@ -132,7 +132,21 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_runtime_filter" -> 4,
     "q_agg_pushdown" -> 1, // footer-stats partials + one 1-row final agg
     "q_nested_prune" -> 2, // pruned-leaf agg + output order
-    "q_session_window" -> 0 // drained memory-table read; sort on drain side
+    "q_session_window" -> 0, // drained memory-table read; sort on drain side
+    // round-10 additions. span scrub: shared-gram df agg + ONE doc
+    // exchange (covered window + reassembly agg ride it) + order; the
+    // token-stream×shared join broadcasts at test scale and is
+    // gram-key-partitioned at 100 TB
+    "q_span_scrub" -> 3,
+    // cluster labels are materialized; ONE cid exchange (keeper window)
+    // + source agg + order
+    "q_cluster_keep_longest" -> 3,
+    // two-phase prefix sum (bucket window + totals agg + tiny offsets)
+    // + shard agg + order — same posture as q_seq_packing
+    "q_shard_manifest" -> 5,
+    // the native operator's TWO key co-partitioning exchanges + output
+    // order — SortMergeJoin's exchange bill, no window funnel
+    "q_asof_native" -> 3
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
