@@ -235,6 +235,9 @@ object SparkEntry {
     // per-ROW continuous-weight Bernoulli keep rule (quality-weighted
     // downsampling shape); still a shuffle-free map-side filter
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d, 2000)),
+    // Deequ-style declarative data-quality gate: uniqueness /
+    // completeness / domain / range / referential integrity in one report
+    "q_constraint_audit" -> ((s, d) => Constraints.constraintAudit(s, d)),
     // — privacy / PII hygiene —
     "q_pii_mask"       -> ((s, d) => Privacy.pseudonymizeCustomers(s, d)),
     "q_pseudonym_join" -> ((s, d) => Privacy.ordersByPseudonym(s, d)),
@@ -1603,6 +1606,39 @@ object SparkEntry {
          |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // constraint audit: one agg per table unpivoted, NOT EXISTS for the
+    // FK legs (matches the anti joins; engine-identical on NULL-free keys)
+    "q_constraint_audit" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n,
+        |         count(*) - count(DISTINCT o_orderkey) AS v_unique,
+        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_complete,
+        |         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_positive,
+        |         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_domain
+        |  FROM orders),
+        |l AS (
+        |  SELECT count(*) AS n,
+        |         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_pk,
+        |         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
+        |         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_disc
+        |  FROM lineitem),
+        |fko AS (SELECT count(*) AS v FROM orders
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+        |fkl AS (SELECT count(*) AS v FROM lineitem
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |r AS (
+        |  SELECT 'orders_orderkey_unique' AS rule, n, v_unique AS v FROM o
+        |  UNION ALL SELECT 'orders_custkey_complete', n, v_complete FROM o
+        |  UNION ALL SELECT 'orders_totalprice_positive', n, v_positive FROM o
+        |  UNION ALL SELECT 'orders_status_domain', n, v_domain FROM o
+        |  UNION ALL SELECT 'lineitem_pk_unique', n, v_pk FROM l
+        |  UNION ALL SELECT 'lineitem_quantity_positive', n, v_qty FROM l
+        |  UNION ALL SELECT 'lineitem_discount_range', n, v_disc FROM l
+        |  UNION ALL SELECT 'orders_custkey_fk', o.n, fko.v FROM o, fko
+        |  UNION ALL SELECT 'lineitem_orderkey_fk', l.n, fkl.v FROM l, fkl)
+        |SELECT rule, CAST(n AS BIGINT) AS n_checked,
+        |       CAST(v AS BIGINT) AS violations, v = 0 AS passed
+        |FROM r ORDER BY rule""".stripMargin,
     // retention: keep the longest doc of every cluster (ties → min id);
     // singletons keep themselves via coalesce(cluster, doc_id)
     "q_cluster_keep_longest" ->

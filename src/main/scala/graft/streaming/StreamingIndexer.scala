@@ -59,6 +59,14 @@ object StreamingIndexer {
                                       partitions: Int = 8): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // `newSession` isolates runtime conf, so the state-backend choice is
+    // forwarded explicitly: setting spark.graft.stateStoreProvider on the
+    // caller's session (e.g. to RocksDBStateStoreProvider) switches EVERY
+    // streaming drain's state store — the off-heap backend an unbounded
+    // feed needs, proven result-identical by StateStoreBackendSpec
+    spark.conf.getOption("spark.graft.stateStoreProvider").foreach { p =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+    }
     ss
   }
 
