@@ -235,6 +235,8 @@ object SparkEntry {
     // per-ROW continuous-weight Bernoulli keep rule (quality-weighted
     // downsampling shape); still a shuffle-free map-side filter
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d, 2000)),
+    // PSI drift monitor: new-generation distribution vs the base corpus
+    "q_distribution_drift" -> ((s, d) => Drift.distributionDrift(s, d)),
     // Deequ-style declarative data-quality gate: uniqueness /
     // completeness / domain / range / referential integrity in one report
     "q_constraint_audit" -> ((s, d) => Constraints.constraintAudit(s, d)),
@@ -1606,6 +1608,40 @@ object SparkEntry {
          |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // PSI per dimension with +1 smoothing; shares are integer-derived
+    // doubles, ln is natural log on both engines (DuckDB ln, not log=log10)
+    "q_distribution_drift" ->
+      """WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+        |g AS (
+        |  SELECT CASE WHEN doc_id <= (SELECT h FROM half)
+        |              THEN 'base' ELSE 'new' END AS gen,
+        |         CAST((n_chars // 64) * 64 AS VARCHAR) AS len_bin,
+        |         source, lang
+        |  FROM documents),
+        |dims AS (
+        |  SELECT gen, 'length' AS dimension, len_bin AS bin FROM g
+        |  UNION ALL SELECT gen, 'source', source FROM g
+        |  UNION ALL SELECT gen, 'lang', lang FROM g),
+        |bybin AS (
+        |  SELECT dimension, bin,
+        |         sum(CASE WHEN gen = 'base' THEN 1 ELSE 0 END) AS a,
+        |         sum(CASE WHEN gen = 'new' THEN 1 ELSE 0 END) AS b
+        |  FROM dims GROUP BY dimension, bin),
+        |tot AS (
+        |  SELECT dimension, count(*) AS n_bins, sum(a) AS n_base,
+        |         sum(b) AS n_new
+        |  FROM bybin GROUP BY dimension)
+        |SELECT t.dimension, CAST(n_bins AS BIGINT) AS n_bins,
+        |       CAST(n_base AS BIGINT) AS n_base,
+        |       CAST(n_new AS BIGINT) AS n_new,
+        |       round(sum((CAST(a + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE)
+        |                  - CAST(b + 1 AS DOUBLE) / CAST(n_new + n_bins AS DOUBLE))
+        |                 * ln((CAST(a + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE))
+        |                      / (CAST(b + 1 AS DOUBLE) / CAST(n_new + n_bins AS DOUBLE)))), 6)
+        |         AS psi
+        |FROM bybin x JOIN tot t USING (dimension)
+        |GROUP BY t.dimension, n_bins, n_base, n_new
+        |ORDER BY t.dimension""".stripMargin,
     // constraint audit: one agg per table unpivoted, NOT EXISTS for the
     // FK legs (matches the anti joins; engine-identical on NULL-free keys)
     "q_constraint_audit" ->

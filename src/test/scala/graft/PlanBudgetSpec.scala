@@ -146,7 +146,13 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_shard_manifest" -> 5,
     // the native operator's TWO key co-partitioning exchanges + output
     // order — SortMergeJoin's exchange bill, no window funnel
-    "q_asof_native" -> 3
+    "q_asof_native" -> 3,
+    // one agg per table + anti-join key-column exchanges; everything
+    // after the two table aggs is rule-count- or key-column-sized
+    "q_constraint_audit" -> 8,
+    // 3 full-data exchanges total (one METADATA bin agg per dimension);
+    // the other 8 are cell-table or 1-row (totals, psi, union order)
+    "q_distribution_drift" -> 11
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
