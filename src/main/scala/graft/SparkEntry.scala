@@ -235,6 +235,8 @@ object SparkEntry {
     // per-ROW continuous-weight Bernoulli keep rule (quality-weighted
     // downsampling shape); still a shuffle-free map-side filter
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d, 2000)),
+    // deterministic per-epoch permutation via keyed-hash rank (no RNG)
+    "q_epoch_shuffle"  -> ((s, d) => Sampling.epochShuffle(s, d, 2)),
     // PSI drift monitor: new-generation distribution vs the base corpus
     "q_distribution_drift" -> ((s, d) => Drift.distributionDrift(s, d)),
     // Deequ-style declarative data-quality gate: uniqueness /
@@ -1608,6 +1610,26 @@ object SparkEntry {
          |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // epoch shuffle: rank of the keyed hash IS the permutation; the
+    // checksum is order-sensitive so engines must agree on every rank
+    "q_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, epoch FROM documents, unnest([0, 1]) AS t(epoch)),
+        |h AS (
+        |  SELECT doc_id, epoch,
+        |         CAST((((CAST(doc_id AS HUGEINT) * 2654435761 + epoch * 40503)
+        |                % 4294967296) * 2654435761) % 4294967296 AS BIGINT) AS h
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, epoch,
+        |         row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS rk
+        |  FROM h)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CAST(doc_id + 1 AS HUGEINT) * rk) % 1000000007
+        |            AS BIGINT) AS perm_checksum,
+        |       max(CASE WHEN rk = 1 THEN doc_id END) AS first_doc
+        |FROM r GROUP BY epoch ORDER BY epoch""".stripMargin,
     // PSI per dimension with +1 smoothing; shares are integer-derived
     // doubles, ln is natural log on both engines (DuckDB ln, not log=log10)
     "q_distribution_drift" ->

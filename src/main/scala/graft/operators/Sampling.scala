@@ -194,4 +194,45 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
       .orderBy("source")
   }
+
+  /** DETERMINISTIC EPOCH SHUFFLE — multi-epoch training order WITHOUT a
+    * shuffle service or an RNG: each epoch's permutation is the rank of
+    * a keyed integer hash h(doc_id, epoch), so every retry, every
+    * engine, and every epoch-resume lands on the identical order, while
+    * distinct epochs see decorrelated permutations (the property real
+    * loaders get from reshuffling). The rank comes from ONE two-phase
+    * distributed prefix scan over (epoch, h, doc_id) — never a global
+    * sort window — and the per-epoch rank is recovered arithmetically
+    * (global_rank − epoch·n_docs, every epoch carrying the full corpus).
+    * The report is epoch-count rows: a permutation checksum
+    * (Σ (doc_id+1)·rank mod p — order-sensitive, so ANY transposition
+    * changes it) plus each epoch's opening document.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String,
+                   epochs: Int = 2): DataFrame = {
+    val e = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      // two multiplicative rounds: a single +epoch·B offset is order-
+      // preserving mod 2^32 (a constant shift), so the second multiply
+      // re-mixes it — distinct epochs then see decorrelated ranks
+      .withColumn("h",
+        expr(("(((CAST(doc_id AS DECIMAL(38,0)) * 2654435761 " +
+          "+ epoch * 40503) % 4294967296) * 2654435761) % 4294967296"))
+          .cast("long"))
+      .withColumn("one", lit(1L))
+    val ranked = Scan.prefixSumBy(e,
+      Seq(col("epoch"), col("h"), col("doc_id")), "one", "grank",
+      totalCol = Some("total"))
+    ranked
+      .withColumn("rk",
+        col("grank") - col("epoch").cast("long") *
+          expr(s"total div $epochs"))
+      .groupBy(col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(((col("doc_id") + 1) * col("rk")).cast("decimal(38,0)"))
+          % 1000000007L).cast("long").as("perm_checksum"),
+        max(when(col("rk") === 1L, col("doc_id"))).as("first_doc"))
+      .orderBy("epoch")
+  }
 }

@@ -152,7 +152,10 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_constraint_audit" -> 8,
     // 3 full-data exchanges total (one METADATA bin agg per dimension);
     // the other 8 are cell-table or 1-row (totals, psi, union order)
-    "q_distribution_drift" -> 11
+    "q_distribution_drift" -> 11,
+    // two-phase prefix scan (range part + offsets agg + tiny window)
+    // + epoch rollup + order — all over (doc_id, epoch) metadata
+    "q_epoch_shuffle" -> 6
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
