@@ -69,4 +69,17 @@ class AqePlanSpec extends SparkTestBase {
         s"$name: adaptive plan runs $shuffles shuffles, static budget $budget")
     }
   }
+
+  test("q_asof_native under AQE: the custom exec survives re-planning") {
+    // AQE wraps the custom operator's children in query stages; the
+    // planner must still satisfy AsOfJoinExec's distribution/ordering
+    // contract and keep the node itself in the final adaptive plan
+    val nodes = flatten(finalAdaptivePlan(
+      SparkEntry.queries("q_asof_native")(spark, sf)))
+    val asof = nodes.collect { case a: graft.plans.AsOfJoinExec => a }
+    assert(asof.size === 1, "AsOfJoinExec missing from the adaptive plan")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      .map(System.identityHashCode).distinct.size
+    assert(shuffles <= 3)
+  }
 }
