@@ -239,6 +239,9 @@ object SparkEntry {
     "q_epoch_shuffle"  -> ((s, d) => Sampling.epochShuffle(s, d, 2)),
     // PSI drift monitor: new-generation distribution vs the base corpus
     "q_distribution_drift" -> ((s, d) => Drift.distributionDrift(s, d)),
+    // the SAME monitor with the new generation's cells as STREAMING state
+    "q_streaming_drift" -> ((s, d) =>
+      graft.streaming.StreamingDrift.driftAvailableNow(s, d)),
     // Deequ-style declarative data-quality gate: uniqueness /
     // completeness / domain / range / referential integrity in one report
     "q_constraint_audit" -> ((s, d) => Constraints.constraintAudit(s, d)),
@@ -414,6 +417,42 @@ object SparkEntry {
   /** Tokenization CTE fragment, defined identically to
     * [[graft.functions.TextFunctions.tokens]].
     */
+  /** PSI drift oracle — shared verbatim by the batch monitor and its
+    * streaming twin (streamed cells ≡ batch cells is the claim).
+    */
+  private val driftOracleSql =
+    """WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+      |g AS (
+      |  SELECT CASE WHEN doc_id <= (SELECT h FROM half)
+      |              THEN 'base' ELSE 'new' END AS gen,
+      |         CAST((n_chars // 64) * 64 AS VARCHAR) AS len_bin,
+      |         source, lang
+      |  FROM documents),
+      |dims AS (
+      |  SELECT gen, 'length' AS dimension, len_bin AS bin FROM g
+      |  UNION ALL SELECT gen, 'source', source FROM g
+      |  UNION ALL SELECT gen, 'lang', lang FROM g),
+      |bybin AS (
+      |  SELECT dimension, bin,
+      |         sum(CASE WHEN gen = 'base' THEN 1 ELSE 0 END) AS a,
+      |         sum(CASE WHEN gen = 'new' THEN 1 ELSE 0 END) AS b
+      |  FROM dims GROUP BY dimension, bin),
+      |tot AS (
+      |  SELECT dimension, count(*) AS n_bins, sum(a) AS n_base,
+      |         sum(b) AS n_new
+      |  FROM bybin GROUP BY dimension)
+      |SELECT t.dimension, CAST(n_bins AS BIGINT) AS n_bins,
+      |       CAST(n_base AS BIGINT) AS n_base,
+      |       CAST(n_new AS BIGINT) AS n_new,
+      |       round(sum((CAST(a + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE)
+      |                  - CAST(b + 1 AS DOUBLE) / CAST(n_new + n_bins AS DOUBLE))
+      |                 * ln((CAST(a + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE))
+      |                      / (CAST(b + 1 AS DOUBLE) / CAST(n_new + n_bins AS DOUBLE)))), 6)
+      |         AS psi
+      |FROM bybin x JOIN tot t USING (dimension)
+      |GROUP BY t.dimension, n_bins, n_base, n_new
+      |ORDER BY t.dimension""".stripMargin
+
   private val toksCte =
     """toks AS (
       |  SELECT doc_id, lang, source, n_chars, text,
@@ -1632,38 +1671,10 @@ object SparkEntry {
         |FROM r GROUP BY epoch ORDER BY epoch""".stripMargin,
     // PSI per dimension with +1 smoothing; shares are integer-derived
     // doubles, ln is natural log on both engines (DuckDB ln, not log=log10)
-    "q_distribution_drift" ->
-      """WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
-        |g AS (
-        |  SELECT CASE WHEN doc_id <= (SELECT h FROM half)
-        |              THEN 'base' ELSE 'new' END AS gen,
-        |         CAST((n_chars // 64) * 64 AS VARCHAR) AS len_bin,
-        |         source, lang
-        |  FROM documents),
-        |dims AS (
-        |  SELECT gen, 'length' AS dimension, len_bin AS bin FROM g
-        |  UNION ALL SELECT gen, 'source', source FROM g
-        |  UNION ALL SELECT gen, 'lang', lang FROM g),
-        |bybin AS (
-        |  SELECT dimension, bin,
-        |         sum(CASE WHEN gen = 'base' THEN 1 ELSE 0 END) AS a,
-        |         sum(CASE WHEN gen = 'new' THEN 1 ELSE 0 END) AS b
-        |  FROM dims GROUP BY dimension, bin),
-        |tot AS (
-        |  SELECT dimension, count(*) AS n_bins, sum(a) AS n_base,
-        |         sum(b) AS n_new
-        |  FROM bybin GROUP BY dimension)
-        |SELECT t.dimension, CAST(n_bins AS BIGINT) AS n_bins,
-        |       CAST(n_base AS BIGINT) AS n_base,
-        |       CAST(n_new AS BIGINT) AS n_new,
-        |       round(sum((CAST(a + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE)
-        |                  - CAST(b + 1 AS DOUBLE) / CAST(n_new + n_bins AS DOUBLE))
-        |                 * ln((CAST(a + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE))
-        |                      / (CAST(b + 1 AS DOUBLE) / CAST(n_new + n_bins AS DOUBLE)))), 6)
-        |         AS psi
-        |FROM bybin x JOIN tot t USING (dimension)
-        |GROUP BY t.dimension, n_bins, n_base, n_new
-        |ORDER BY t.dimension""".stripMargin,
+    "q_distribution_drift" -> driftOracleSql,
+    // streamed-state cells ≡ batch cells is exactly the claim under test,
+    // so the streaming monitor answers to the identical oracle
+    "q_streaming_drift" -> driftOracleSql,
     // constraint audit: one agg per table unpivoted, NOT EXISTS for the
     // FK legs (matches the anti joins; engine-identical on NULL-free keys)
     "q_constraint_audit" ->

@@ -15,34 +15,55 @@ import graft.sources.Tables
   * source mix, and language mix; the generation split is the same
   * midpoint-id convention the incremental-packing proof uses.
   *
-  * Scale posture: each dimension is ONE aggregation of the doc-METADATA
-  * relation down to its bin cells (never text), a 1-row totals
-  * aggregate broadcast back, and a cell-count-sized PSI sum. Laplace
-  * (+1) smoothing keeps every share positive so ln() is total, and makes
-  * the cell math integer-derived — bit-identical across engines up to
-  * the final round(…, 6).
+  * Scale posture: ONE scan of the doc-METADATA relation (never text)
+  * unpivots every (dimension, bin) pair row-locally, ONE aggregation
+  * reduces it to the cell table (dimensions × bins rows — fixed-size,
+  * like a sketch), and the PSI math runs on cells alone. The cell table
+  * is also the STREAMING state of [[graft.streaming.StreamingDrift]] —
+  * cellwise add is the monitor's merge operation, so the drained
+  * streaming monitor is bit-identical to this batch one. Laplace (+1)
+  * smoothing keeps every share positive so ln() is total, and makes the
+  * cell math integer-derived — engine-exact up to the final round(…, 6).
   */
 object Drift {
 
-  /** One dimension's (gen, bin) rows → 1-row PSI report. */
-  private def psiOf(binned: DataFrame, name: String): DataFrame = {
-    val byBin = binned.groupBy("bin").agg(
-      sum(when(col("gen") === "base", 1L).otherwise(0L)).as("a"),
-      sum(when(col("gen") === "new", 1L).otherwise(0L)).as("b"))
-    val tot = byBin.agg(count(lit(1)).as("n_bins"),
+  /** Row-local (dimension, bin) unpivot of one document's metadata. */
+  private[graft] def dimBins(charBin: Int): Column = explode(array(
+    struct(lit("length").as("dimension"),
+      expr(s"CAST((n_chars div $charBin) * $charBin AS STRING)").as("bin")),
+    struct(lit("source").as("dimension"), col("source").as("bin")),
+    struct(lit("lang").as("dimension"), col("lang").as("bin"))))
+
+  /** (dimension, bin, a, b) cells → the per-dimension PSI report.
+    * Everything here is cell-table-sized.
+    */
+  private[graft] def psiFromCells(cells: DataFrame): DataFrame = {
+    val tot = cells.groupBy("dimension").agg(
+      count(lit(1)).as("n_bins"),
       sum(col("a")).as("n_base"), sum(col("b")).as("n_new"))
-    byBin.crossJoin(broadcast(tot))
-      .select(col("n_bins"), col("n_base"), col("n_new"),
+    cells.join(broadcast(tot), "dimension")
+      .select(col("dimension"), col("n_bins"), col("n_base"), col("n_new"),
         ((col("a") + 1).cast("double") /
           (col("n_base") + col("n_bins")).cast("double")).as("pa"),
         ((col("b") + 1).cast("double") /
           (col("n_new") + col("n_bins")).cast("double")).as("pb"))
       .withColumn("contrib", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
-      .groupBy("n_bins", "n_base", "n_new")
+      .groupBy(col("dimension"), col("n_bins"), col("n_base"), col("n_new"))
       .agg(round(sum(col("contrib")), 6).as("psi"))
-      .select(lit(name).as("dimension"), col("n_bins"), col("n_base"),
-        col("n_new"), col("psi"))
+      .select("dimension", "n_bins", "n_base", "n_new", "psi")
+      .orderBy("dimension")
   }
+
+  /** Per-generation cell counts from a gen-labeled metadata relation:
+    * one scan, one aggregation.
+    */
+  private[graft] def cellsOf(labeled: DataFrame, charBin: Int): DataFrame =
+    labeled.select(col("gen"), dimBins(charBin).as("dc"))
+      .select(col("gen"), col("dc.dimension").as("dimension"),
+        col("dc.bin").as("bin"))
+      .groupBy("dimension", "bin")
+      .agg(sum(when(col("gen") === "base", 1L).otherwise(0L)).as("a"),
+        sum(when(col("gen") === "new", 1L).otherwise(0L)).as("b"))
 
   def distributionDrift(spark: SparkSession, sfDir: String,
                         charBin: Int = 64): DataFrame =
@@ -55,15 +76,9 @@ object Drift {
     */
   private[graft] def driftOf(docs: DataFrame, charBin: Int): DataFrame = {
     val half = docs.agg(expr("max(doc_id) div 2").as("half"))
-    val g = docs.crossJoin(broadcast(half))
+    val labeled = docs.crossJoin(broadcast(half))
       .withColumn("gen",
         when(col("doc_id") <= col("half"), "base").otherwise("new"))
-    val dims: Seq[(String, Column)] = Seq(
-      ("length", expr(s"(n_chars div $charBin) * $charBin").cast("string")),
-      ("source", col("source")),
-      ("lang", col("lang")))
-    dims.map { case (name, bin) =>
-      psiOf(g.select(col("gen"), bin.as("bin")), name)
-    }.reduce(_.unionByName(_)).orderBy("dimension")
+    psiFromCells(cellsOf(labeled, charBin))
   }
 }

@@ -67,4 +67,13 @@ class DriftSpec extends SparkTestBase {
       .map(r => math.abs(r._5)).max
     assert(psiSame < 1e-9)
   }
+
+  test("streaming monitor converges to the batch report bit-for-bit") {
+    val batch = Drift.distributionDrift(spark, sf)
+      .collect().map(_.toString).toSeq
+    val streamed = graft.streaming.StreamingDrift.driftAvailableNow(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+  }
 }

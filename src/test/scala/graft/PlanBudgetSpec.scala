@@ -150,9 +150,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // one agg per table + anti-join key-column exchanges; everything
     // after the two table aggs is rule-count- or key-column-sized
     "q_constraint_audit" -> 8,
-    // 3 full-data exchanges total (one METADATA bin agg per dimension);
-    // the other 8 are cell-table or 1-row (totals, psi, union order)
-    "q_distribution_drift" -> 11,
+    // ONE metadata scan unpivoted row-locally → one cell agg; the rest
+    // is cell-table-sized (totals, psi, order)
+    "q_distribution_drift" -> 5,
     // two-phase prefix scan (range part + offsets agg + tiny window)
     // + epoch rollup + order — all over (doc_id, epoch) metadata
     "q_epoch_shuffle" -> 6
