@@ -404,6 +404,8 @@ object SparkEntry {
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
     // the NATIVE as-of operator (custom LogicalPlan+Strategy+SparkPlan)
     "q_asof_native"        -> ((s, d) => Events.asofPurchaseViewNative(s, d)),
+    // |z|>3 hourly outliers via the fraction-free (kn-S)² > 9(kSS-S²) rule
+    "q_hourly_anomaly"     -> ((s, d) => Events.hourlyAnomalies(s, d)),
     // event-time RANGE frame (INTERVAL 1 HOUR PRECEDING) per user
     "q_user_activity_window" -> ((s, d) => Events.userActivityWindow(s, d)),
     // CUBE(source, lang): Expand-based multi-level rollup + grouping_id
@@ -3167,6 +3169,24 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.v_user AND v.v_ms <= p.p_ms
         |ORDER BY user_id, p_id""".stripMargin,
+    // fraction-free |z|>3 test: all comparisons in exact integer math
+    "q_hourly_anomaly" ->
+      """WITH hours AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hour_id, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hour_id, n,
+        |         count(*) OVER t AS k,
+        |         sum(n) OVER t AS s,
+        |         sum(n * n) OVER t AS ss
+        |  FROM hours
+        |  WINDOW t AS (ORDER BY hour_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT CAST(hour_id AS BIGINT) AS hour_id, CAST(n AS BIGINT) AS n,
+        |       CAST(s AS BIGINT) AS trail_sum, CAST(ss AS BIGINT) AS trail_sumsq,
+        |       (CAST(k AS HUGEINT) * n - s) * (CAST(k AS HUGEINT) * n - s)
+        |         > 9 * (CAST(k AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+        |         AS is_anomaly
+        |FROM w WHERE k = 24 ORDER BY hour_id""".stripMargin,
     "q_type_shares" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share

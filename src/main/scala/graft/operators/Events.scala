@@ -29,6 +29,41 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour", "event_type")
 
+  /** HOURLY ANOMALY FLAGS — time-series outlier detection on the event
+    * feed without a single floating-point division: each hour's count n
+    * is tested against its trailing-24h window via the z² > 9 rule
+    * (|z| > 3) cleared of fractions —
+    *   (k·n − S)² > 9·(k·SS − S²)
+    * with S = Σn, SS = Σn² over the k trailing hours — ALL integer
+    * arithmetic in DECIMAL(38,0), so the flag is bit-identical on any
+    * engine (no sqrt, no mean round-off). Shape: one hour-bucket
+    * aggregation of the feed, then a trailing window over the HOUR table
+    * — thousands of rows regardless of feed volume (the same
+    * cell-table-sized global window as the histogram-percentile cum
+    * scan), so the unpartitioned frame is metadata work, not a funnel.
+    */
+  def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hours = Tables.events(spark, sfDir)
+      .groupBy((unix_millis(col("ts")).cast("long") / 3600000L)
+        .cast("long").as("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val trailing = Window.orderBy(col("hour_id")).rowsBetween(-24, -1)
+    hours
+      .withColumn("k", count(lit(1)).over(trailing))
+      .withColumn("s", sum(col("n")).over(trailing))
+      .withColumn("ss", sum(col("n") * col("n")).over(trailing))
+      .filter(col("k") === 24) // flags only with a full trailing day
+      .withColumn("num",
+        expr("CAST(k * n - s AS DECIMAL(38,0)) * CAST(k * n - s AS DECIMAL(38,0))"))
+      .withColumn("den",
+        expr("9 * (CAST(k AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"))
+      .select(col("hour_id"), col("n"), col("s").as("trail_sum"),
+        col("ss").as("trail_sumsq"),
+        (col("num") > col("den")).as("is_anomaly"))
+      .orderBy("hour_id")
+  }
+
   /** RANGE-frame moving aggregate — the event-TIME window frame (not row
     * count): for each event of the audited user subset, how many events
     * and how much value the SAME user produced in the preceding hour,

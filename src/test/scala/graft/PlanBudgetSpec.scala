@@ -155,7 +155,12 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_distribution_drift" -> 5,
     // two-phase prefix scan (range part + offsets agg + tiny window)
     // + epoch rollup + order — all over (doc_id, epoch) metadata
-    "q_epoch_shuffle" -> 6
+    "q_epoch_shuffle" -> 6,
+    // hour-bucket agg + the hour-TABLE trailing window (+order rides it)
+    "q_hourly_anomaly" -> 2,
+    // drained cell read + base cell agg + outer cell join + psi + order —
+    // all cell-table-sized after the one staged-file drain
+    "q_streaming_drift" -> 5
   )
 
   test("q_range_join never degenerates to a nested-loop join") {

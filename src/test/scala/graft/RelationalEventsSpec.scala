@@ -142,4 +142,27 @@ class RelationalEventsSpec extends SparkTestBase {
     val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
     rows.foreach(r => assert(r.getAs[Long]("n_users") <= nUsers))
   }
+
+  test("hourlyAnomalies: fraction-free flag ≡ the |z| > 3 rule, brute-forced") {
+    val counts = Tables.events(spark, sf)
+      .select((unix_millis(col("ts")) / 3600000L).cast("long").as("h"))
+      .groupBy("h").count().as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val byHour = counts.toMap
+    val hoursSorted = counts.map(_._1)
+    val expected = hoursSorted.zipWithIndex.flatMap { case (h, i) =>
+      if (i < 24) None else {
+        val trail = hoursSorted.slice(i - 24, i).map(byHour)
+        val n = byHour(h).toDouble
+        val mean = trail.sum.toDouble / 24
+        val varr = trail.map(x => (x - mean) * (x - mean)).sum / 24
+        Some(h -> (math.abs(n - mean) > 3 * math.sqrt(varr)))
+      }
+    }.toMap
+    val got = Events.hourlyAnomalies(spark, sf)
+      .select("hour_id", "is_anomaly").as[(Long, Boolean)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (h, flag) =>
+      assert(flag === expected(h), s"hour $h")
+    }
+  }
 }
