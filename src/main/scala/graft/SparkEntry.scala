@@ -272,6 +272,8 @@ object SparkEntry {
     "q_cluster_keep_longest" -> ((s, d) => Dedup.clusterKeepLongest(s, d, 0.8)),
     // C4-style span scrub: REMOVE tokens covered by cross-doc 3-grams
     "q_span_scrub"     -> ((s, d) => TextAnalysis.spanScrub(s, d)),
+    // V3 capstone: retention → scrub → gate → shard manifest in one plan
+    "q_curated_shards" -> ((s, d) => Curate.curatedShards(s, d)),
     // doc-atomic token-budget shards for the export writer
     "q_shard_manifest" -> ((s, d) => Packing.shardManifest(s, d, 8192)),
     "q_curated_corpus" -> ((s, d) => Curate.curateCorpus(s, d)),
@@ -1741,6 +1743,63 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       CAST(sum(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
          |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+    // V3 capstone: retention → scrub → gate → shard manifest, composed
+    // from the individually-verified stage oracles
+    "q_curated_shards" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v),
+         |rk AS (
+         |  SELECT d.doc_id,
+         |         row_number() OVER (
+         |           PARTITION BY coalesce(labels.cluster_id, d.doc_id)
+         |           ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d LEFT JOIN labels ON d.doc_id = labels.v),
+         |keepers AS (SELECT doc_id FROM rk WHERE rk = 1),
+         |thr AS (SELECT greatest(3, count(*) // 200) AS t FROM documents),
+         |shared AS (SELECT sh AS g FROM sh GROUP BY sh
+         |           HAVING count(*) >= (SELECT t FROM thr)),
+         |tg AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok,
+         |         CASE WHEN i + 2 <= len(ts)
+         |              THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS g
+         |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+         |), cov AS (
+         |  SELECT tg.doc_id, tg.pos,
+         |         max(CASE WHEN shared.g IS NOT NULL THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY tg.doc_id ORDER BY tg.pos
+         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tg LEFT JOIN shared ON tg.g = shared.g),
+         |kept AS (SELECT doc_id, sum(1 - covered) AS n_kept
+         |         FROM cov GROUP BY doc_id),
+         |surv AS (
+         |  SELECT doc_id, kept.n_kept + 1 AS n_tokens
+         |  FROM keepers JOIN kept USING (doc_id) WHERE kept.n_kept >= 5),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |         sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_tokens AS start_off
+         |  FROM surv)
+         |SELECT CAST(start_off // 2048 AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_shard_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     // C4-style span scrub: token j is removed iff a shingle occurring in
     // ≥2 docs starts at a position in [j-2, j]; survivors reassemble in
     // position order (string_agg skips the covered rows' NULLs)

@@ -71,4 +71,47 @@ object Curate {
         col("dup_bigram_ratio") <= maxDupBigram)
       .orderBy("doc_id")
   }
+
+  /** V3 — the round-10 capstone composition, ending at the EXPORT plan:
+    * keep-longest retention over the near-dup clusters
+    * ([[Dedup.clusterKeepLongest]]'s keeper rule), corpus-relative span
+    * scrub of the keepers ([[TextAnalysis.spanScrubRelative]] — shared
+    * grams counted over the FULL corpus, so a mirror's boilerplate is
+    * scrubbed even when its twin was dropped), a survived-token quality
+    * gate, and the token-budget shard manifest of what ships
+    * ([[Packing.shardManifest]]'s doc-atomic rule). One declarative plan
+    * from raw corpus to balanced output shards; every stage's semantics
+    * is the already-oracle-verified operator's.
+    */
+  def curatedShards(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.8, minKept: Int = 5,
+                    budgetTokens: Long = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = spark.read
+      .parquet(Dedup.ensureClusters(spark, sfDir, threshold))
+      .select("doc_id", "cluster_id")
+    val keeperRank = Window.partitionBy(col("cid"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val keepers = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars")
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rk", row_number().over(keeperRank))
+      .filter(col("rk") === 1)
+      .select("doc_id")
+    val survivors = TextAnalysis.spanScrubRelative(spark, sfDir)
+      .select(col("doc_id"), col("n_kept"))
+      .join(keepers, "doc_id")
+      .filter(col("n_kept") >= minKept)
+      .select(col("doc_id"), (col("n_kept") + 1).as("n_tokens"))
+    Packing.manifestOfCounts(survivors, contextLen = 1, nBuckets = 32,
+        baseOffset = 0L)
+      .withColumn("shard_id", expr(s"start_off div $budgetTokens"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
 }

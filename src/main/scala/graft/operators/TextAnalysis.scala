@@ -883,12 +883,37 @@ object TextAnalysis {
     * the n-gram approximation of suffix-array span dedup (Lee et al.
     * 2022) that actually distributes.
     */
-  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame =
+    scrubWithShared(spark, sfDir,
+      spark.read.parquet(Dedup.ensureShingles(spark, sfDir))
+        .groupBy("sh").agg(count(lit(1)).as("n_docs_with"))
+        .filter(col("n_docs_with") >= 2)
+        .select(col("sh").as("g")))
+
+  /** The scrub with a CORPUS-RELATIVE boilerplate threshold (df ≥
+    * max(3, n_docs/perDocs), the same broadcast-threshold rule as
+    * [[boilerplateRatio]]) instead of the absolute df ≥ 2. On a corpus
+    * dense enough that most n-grams repeat somewhere (small domains,
+    * template-heavy crawls — and the synthetic testdata at sf0.1), the
+    * absolute rule degenerates to scrubbing everything; the relative
+    * rule keeps "duplicated" meaning "disproportionately common".
+    */
+  private[graft] def spanScrubRelative(spark: SparkSession, sfDir: String,
+                                       perDocs: Int = 200): DataFrame = {
+    val thr = Tables.documents(spark, sfDir)
+      .agg(greatest(lit(3L),
+        floor(count(lit(1)) / perDocs).cast("long")).as("min_df"))
+    scrubWithShared(spark, sfDir,
+      spark.read.parquet(Dedup.ensureShingles(spark, sfDir))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(thr))
+        .where(col("df") >= col("min_df"))
+        .select(col("sh").as("g")))
+  }
+
+  private def scrubWithShared(spark: SparkSession, sfDir: String,
+                              shared: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = spark.read.parquet(Dedup.ensureShingles(spark, sfDir))
-    val shared = sh.groupBy("sh").agg(count(lit(1)).as("n_docs_with"))
-      .filter(col("n_docs_with") >= 2)
-      .select(col("sh").as("g"))
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)

@@ -160,7 +160,11 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_hourly_anomaly" -> 2,
     // drained cell read + base cell agg + outer cell join + psi + order —
     // all cell-table-sized after the one staged-file drain
-    "q_streaming_drift" -> 5
+    "q_streaming_drift" -> 5,
+    // the composed V3 pipeline: gram-df agg + threshold broadcast + the
+    // scrub's doc exchange + keeper window exchange + prefix-scan trio +
+    // shard agg/order — each stage's own budget, nothing multiplicative
+    "q_curated_shards" -> 11
   )
 
   test("q_range_join never degenerates to a nested-loop join") {

@@ -80,6 +80,34 @@ class SpanScrubShardingSpec extends SparkTestBase {
     assert(rows.map(_._3).sum > 0)
   }
 
+  test("curatedShards: the composed V3 pipeline matches its stages") {
+    import org.apache.spark.sql.functions.col
+    // stage recompute: keepers (longest per cluster) ∩ relative-scrub
+    // survivors, sharded by the running token total
+    val clusters = Dedup.dupClusters(spark, sf, 0.8)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val keepers = docs.map { case (id, _, nc, _) =>
+      (clusters.getOrElse(id, id), id, nc)
+    }.groupBy(_._1).values.map(_.minBy(m => (-m._3, m._2))._2).toSet
+    val kept = graft.operators.TextAnalysis
+      .spanScrubRelative(spark, sf)
+      .select(col("doc_id"), col("n_kept")).as[(Long, Long)].collect().toMap
+    val surv = docs.map(_._1).filter(id =>
+      keepers(id) && kept.getOrElse(id, 0L) >= 5)
+      .sorted.map(id => (id, kept(id) + 1))
+    var off = 0L
+    val expected = surv.map { case (id, n) =>
+      val s = off / 2048; off += n; (s, id, n)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (sid, ms) =>
+      (sid, ms.size.toLong, ms.map(_._3).sum,
+        ms.map(_._2).min, ms.map(_._2).max)
+    }
+    val got = graft.operators.Curate.curatedShards(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("shardManifest: contiguous doc ranges, exact token conservation") {
     val budget = 2048L
     val counts = docs.map { case (id, _, _, text) => (id, tok(text).size + 1L) }
