@@ -272,6 +272,8 @@ object SparkEntry {
     "q_cluster_keep_longest" -> ((s, d) => Dedup.clusterKeepLongest(s, d, 0.8)),
     // C4-style span scrub: REMOVE tokens covered by cross-doc 3-grams
     "q_span_scrub"     -> ((s, d) => TextAnalysis.spanScrub(s, d)),
+    // intra-doc repetition scrub: later same-doc 3-gram tellings removed
+    "q_self_scrub"     -> ((s, d) => TextAnalysis.selfScrub(s, d)),
     // V3 capstone: retention → scrub → gate → shard manifest in one plan
     "q_curated_shards" -> ((s, d) => Curate.curatedShards(s, d)),
     // doc-atomic token-budget shards for the export writer
@@ -1817,6 +1819,30 @@ object SparkEntry {
          |           PARTITION BY tg.doc_id ORDER BY tg.pos
          |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
          |  FROM tg LEFT JOIN shared ON tg.g = shared.g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(1 - covered) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
+         |                           ' ' ORDER BY pos), '') AS scrubbed_text
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // intra-doc scrub: a repeated same-doc 3-gram's later tellings start
+    // removals; row_number picks the first telling on both engines
+    "q_self_scrub" ->
+      s"""WITH $toksCte, tg AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok,
+         |         CASE WHEN i + 2 <= len(ts)
+         |              THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS g
+         |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+         |), r AS (
+         |  SELECT doc_id, pos, tok,
+         |         CASE WHEN g IS NOT NULL AND row_number() OVER (
+         |                PARTITION BY doc_id, g ORDER BY pos) > 1
+         |              THEN 1 ELSE 0 END AS h
+         |  FROM tg
+         |), cov AS (
+         |  SELECT doc_id, pos, tok,
+         |         max(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM r)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |       CAST(sum(1 - covered) AS BIGINT) AS n_kept,
          |       coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,

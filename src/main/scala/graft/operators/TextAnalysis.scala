@@ -911,22 +911,26 @@ object TextAnalysis {
         .select(col("sh").as("g")))
   }
 
-  private def scrubWithShared(spark: SparkSession, sfDir: String,
-                              shared: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, sfDir)
+  /** Row-local (doc_id, pos, tok, gram-starting-here) quadruples — the
+    * gram is sliced out of the token array, no lead() window.
+    */
+  private def tokenGrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
-    val tg = toks.select(col("doc_id"),
-      inline(transform(sequence(lit(0), size(col("ts")) - 1), i =>
-        struct(i.as("pos"), element_at(col("ts"), i + 1).as("tok"),
-          when(i + lit(3) <= size(col("ts")),
-            concat_ws(" ", element_at(col("ts"), i + 1),
-              element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
-            .as("g")))))
-    val hit = tg.join(shared, tg("g") === shared("g"), "left")
-      .select(col("doc_id"), col("pos"), col("tok"),
-        when(shared("g").isNotNull, 1).otherwise(0).as("h"))
+      .select(col("doc_id"),
+        inline(transform(sequence(lit(0), size(col("ts")) - 1), i =>
+          struct(i.as("pos"), element_at(col("ts"), i + 1).as("tok"),
+            when(i + lit(3) <= size(col("ts")),
+              concat_ws(" ", element_at(col("ts"), i + 1),
+                element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
+              .as("g")))))
+
+  /** Covered-window removal + in-order reassembly over (doc_id, pos,
+    * tok, h) rows where h marks gram starts selected for removal.
+    */
+  private def scrubFlagged(hit: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-2, Window.currentRow)
     hit.withColumn("covered", max(col("h")).over(byDoc))
@@ -941,5 +945,30 @@ object TextAnalysis {
             when(col("covered") === 0, struct(col("pos"), col("tok"))))),
           s => s.getField("tok"))).as("scrubbed_text"))
       .orderBy("doc_id")
+  }
+
+  private def scrubWithShared(spark: SparkSession, sfDir: String,
+                              shared: DataFrame): DataFrame = {
+    val tg = tokenGrams(spark, sfDir)
+    scrubFlagged(tg.join(shared, tg("g") === shared("g"), "left")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when(shared("g").isNotNull, 1).otherwise(0).as("h")))
+  }
+
+  /** INTRA-document repetition scrub — the self-dedup rewrite (loops,
+    * stutter, copy-paste blocks WITHIN one page) that cross-doc span
+    * dedup cannot touch: every token covered by a 3-gram whose SAME-DOC
+    * first occurrence is earlier is removed, keeping the first telling.
+    * No corpus-wide relation at all: one (doc, gram) exchange for the
+    * first-occurrence rank, one doc exchange for the covered window +
+    * reassembly — per-doc work regardless of corpus size.
+    */
+  def selfScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDocGram = Window.partitionBy("doc_id", "g").orderBy("pos")
+    scrubFlagged(tokenGrams(spark, sfDir)
+      .withColumn("h",
+        when(col("g").isNotNull &&
+          row_number().over(byDocGram) > 1, 1).otherwise(0)))
   }
 }

@@ -164,7 +164,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // the composed V3 pipeline: gram-df agg + threshold broadcast + the
     // scrub's doc exchange + keeper window exchange + prefix-scan trio +
     // shard agg/order — each stage's own budget, nothing multiplicative
-    "q_curated_shards" -> 11
+    "q_curated_shards" -> 11,
+    // one (doc, gram) exchange + one doc exchange + order — no corpus-
+    // wide relation at all (per-doc work at any corpus size)
+    "q_self_scrub" -> 3
   )
 
   test("q_range_join never degenerates to a nested-loop join") {

@@ -54,6 +54,30 @@ class SpanScrubShardingSpec extends SparkTestBase {
     assert(got.map(_._3).sum > 0 && got.map(_._3).sum < got.map(_._2).sum)
   }
 
+  test("selfScrub: removal matches brute-force same-doc repeat coverage") {
+    val expected = docs.map { case (id, _, _, text) =>
+      val ts = tok(text)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val starts = ts.indices.filter { i =>
+        if (i + 3 > ts.size) false
+        else !seen.add(ts.slice(i, i + 3).mkString(" "))
+      }.toSet
+      val covered = ts.indices.filter(j =>
+        (math.max(0, j - 2) to j).exists(starts)).toSet
+      val kept = ts.indices.filterNot(covered).map(ts)
+      (id, ts.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    val got = TextAnalysis.selfScrub(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, nTok, nKept, text) =>
+      val (_, eTok, eKept, eText) = expected.find(_._1 == id).get
+      assert((nTok, nKept, text) === ((eTok, eKept, eText)), s"doc $id")
+    }
+    // self-repeats exist in the synthetic corpus but aren't everything
+    assert(got.map(_._3).sum > 0 && got.map(_._3).sum < got.map(_._2).sum)
+  }
+
   test("clusterKeepLongest: keeper is the longest (tie: min id) per cluster") {
     val clusters = Dedup.dupClusters(spark, sf, 0.8)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
