@@ -167,6 +167,9 @@ object SparkEntry {
     // sketch because cellwise add IS the sketch merge
     "q_streaming_cms"  -> ((s, d) =>
       graft.streaming.StreamingSketch.cmsCellsAvailableNow(s, d)),
+    // hourly anomaly flags over STREAMED hour cells (state = hour table)
+    "q_streaming_anomaly" -> ((s, d) =>
+      graft.streaming.StreamingSketch.hourlyAnomaliesAvailableNow(s, d)),
     // GPT-style concat-and-chunk sequence packing over the token stream
     // (two-phase distributed prefix sum; no text moves)
     "q_seq_packing"    -> ((s, d) => Packing.packingHistogram(s, d)),
@@ -423,6 +426,27 @@ object SparkEntry {
   /** Tokenization CTE fragment, defined identically to
     * [[graft.functions.TextFunctions.tokens]].
     */
+  /** Fraction-free |z|>3 anomaly oracle — shared verbatim by the batch
+    * detector and its streaming-state twin.
+    */
+  private val anomalyOracleSql =
+    """WITH hours AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hour_id, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT hour_id, n,
+      |         count(*) OVER t AS k,
+      |         sum(n) OVER t AS s,
+      |         sum(n * n) OVER t AS ss
+      |  FROM hours
+      |  WINDOW t AS (ORDER BY hour_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT CAST(hour_id AS BIGINT) AS hour_id, CAST(n AS BIGINT) AS n,
+      |       CAST(s AS BIGINT) AS trail_sum, CAST(ss AS BIGINT) AS trail_sumsq,
+      |       (CAST(k AS HUGEINT) * n - s) * (CAST(k AS HUGEINT) * n - s)
+      |         > 9 * (CAST(k AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+      |         AS is_anomaly
+      |FROM w WHERE k = 24 ORDER BY hour_id""".stripMargin
+
   /** PSI drift oracle — shared verbatim by the batch monitor and its
     * streaming twin (streamed cells ≡ batch cells is the claim).
     */
@@ -3255,23 +3279,10 @@ object SparkEntry {
         |  ON p.user_id = v.v_user AND v.v_ms <= p.p_ms
         |ORDER BY user_id, p_id""".stripMargin,
     // fraction-free |z|>3 test: all comparisons in exact integer math
-    "q_hourly_anomaly" ->
-      """WITH hours AS (
-        |  SELECT epoch_ms(ts) // 3600000 AS hour_id, count(*) AS n
-        |  FROM events GROUP BY 1),
-        |w AS (
-        |  SELECT hour_id, n,
-        |         count(*) OVER t AS k,
-        |         sum(n) OVER t AS s,
-        |         sum(n * n) OVER t AS ss
-        |  FROM hours
-        |  WINDOW t AS (ORDER BY hour_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        |SELECT CAST(hour_id AS BIGINT) AS hour_id, CAST(n AS BIGINT) AS n,
-        |       CAST(s AS BIGINT) AS trail_sum, CAST(ss AS BIGINT) AS trail_sumsq,
-        |       (CAST(k AS HUGEINT) * n - s) * (CAST(k AS HUGEINT) * n - s)
-        |         > 9 * (CAST(k AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
-        |         AS is_anomaly
-        |FROM w WHERE k = 24 ORDER BY hour_id""".stripMargin,
+    "q_hourly_anomaly" -> anomalyOracleSql,
+    // streamed hour cells ≡ batch hour cells is the claim under test, so
+    // the streaming detector answers to the identical oracle
+    "q_streaming_anomaly" -> anomalyOracleSql,
     "q_type_shares" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share

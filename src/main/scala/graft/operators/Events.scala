@@ -42,12 +42,18 @@ object Events {
     * cell-table-sized global window as the histogram-percentile cum
     * scan), so the unpartitioned frame is metadata work, not a funnel.
     */
-  def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hours = Tables.events(spark, sfDir)
+  def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame =
+    anomaliesOfHourCounts(Tables.events(spark, sfDir)
       .groupBy((unix_millis(col("ts")).cast("long") / 3600000L)
         .cast("long").as("hour_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The anomaly test over an explicit (hour_id, n) cell table — shared
+    * by the batch detector above and the streaming-state twin
+    * ([[graft.streaming.StreamingSketch.hourlyAnomaliesAvailableNow]]).
+    */
+  private[graft] def anomaliesOfHourCounts(hours: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val trailing = Window.orderBy(col("hour_id")).rowsBetween(-24, -1)
     hours
       .withColumn("k", count(lit(1)).over(trailing))

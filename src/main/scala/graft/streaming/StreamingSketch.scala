@@ -35,4 +35,25 @@ object StreamingSketch {
           .groupBy("d", "bucket").agg(count(lit(1)).as("cell"))
       }
       .orderBy("d", "bucket")
+
+  private val anomalyScratch = new graft.util.ScratchSlot
+
+  /** ANOMALY-AT-INGEST: the hourly count table maintained as STREAMING
+    * STATE (one row per hour bucket — bounded by the feed's time span,
+    * not its volume; cellwise add merges micro-batches exactly like the
+    * CMS cells), with the fraction-free |z|>3 test applied to the
+    * drained state. Answers to the identical oracle as the batch
+    * [[graft.operators.Events.hourlyAnomalies]] — streamed hour cells ≡
+    * batch hour cells is the claim under test.
+    */
+  def hourlyAnomaliesAvailableNow(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    graft.operators.Events.anomaliesOfHourCounts(
+      StreamingIndexer.drainToTable(spark, sfDir, "events.parquet",
+        "stream_anomaly", anomalyScratch) { (ss, watch) =>
+          graft.sources.Tables.eventsStream(ss, watch, watch)
+            .groupBy((unix_millis(col("ts")).cast("long") / 3600000L)
+              .cast("long").as("hour_id"))
+            .agg(count(lit(1)).as("n"))
+        })
 }

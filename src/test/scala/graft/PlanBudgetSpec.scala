@@ -167,7 +167,9 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_curated_shards" -> 11,
     // one (doc, gram) exchange + one doc exchange + order — no corpus-
     // wide relation at all (per-doc work at any corpus size)
-    "q_self_scrub" -> 3
+    "q_self_scrub" -> 3,
+    // drained hour-cell read + the hour-TABLE trailing window + order
+    "q_streaming_anomaly" -> 2
   )
 
   test("q_range_join never degenerates to a nested-loop join") {

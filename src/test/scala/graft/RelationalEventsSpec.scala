@@ -165,4 +165,14 @@ class RelationalEventsSpec extends SparkTestBase {
       assert(flag === expected(h), s"hour $h")
     }
   }
+
+  test("streaming anomaly detector converges to the batch report") {
+    val batch = Events.hourlyAnomalies(spark, sf)
+      .collect().map(_.toString).toSeq
+    val streamed = graft.streaming.StreamingSketch
+      .hourlyAnomaliesAvailableNow(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
