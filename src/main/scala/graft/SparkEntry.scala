@@ -1718,6 +1718,8 @@ object SparkEntry {
         |l AS (
         |  SELECT count(*) AS n,
         |         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_pk,
+        |         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_okey,
+        |         sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS v_lnum,
         |         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
         |         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_disc
         |  FROM lineitem),
@@ -1731,6 +1733,8 @@ object SparkEntry {
         |  UNION ALL SELECT 'orders_totalprice_positive', n, v_positive FROM o
         |  UNION ALL SELECT 'orders_status_domain', n, v_domain FROM o
         |  UNION ALL SELECT 'lineitem_pk_unique', n, v_pk FROM l
+        |  UNION ALL SELECT 'lineitem_orderkey_complete', n, v_okey FROM l
+        |  UNION ALL SELECT 'lineitem_linenumber_complete', n, v_lnum FROM l
         |  UNION ALL SELECT 'lineitem_quantity_positive', n, v_qty FROM l
         |  UNION ALL SELECT 'lineitem_discount_range', n, v_disc FROM l
         |  UNION ALL SELECT 'orders_custkey_fk', o.n, fko.v FROM o, fko

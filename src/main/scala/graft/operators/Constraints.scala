@@ -22,10 +22,14 @@ object Constraints {
   /** The audit over explicit relations — the spec feeds corrupted frames
     * through this to prove each rule actually fires.
     *
-    * NULL-semantics note: multi-column `countDistinct` skips rows with a
-    * NULL component (so a NULL-keyed duplicate would hide from the
-    * uniqueness rule) — which is why completeness of the key columns is
-    * audited alongside; the oracle relies on the same pairing.
+    * NULL-semantics note: multi-column `countDistinct(a, b)` would skip
+    * rows with a NULL component (hiding a NULL-keyed duplicate from the
+    * uniqueness rule) while DuckDB's row-value `count(DISTINCT (a, b))`
+    * counts them — so the pk rule counts DISTINCT over a STRUCT instead:
+    * a struct with NULL fields is itself non-NULL, both engines count
+    * it, and NULL components compare equal inside the distinct on both.
+    * Completeness of the key columns is additionally audited as its own
+    * rules so NULL-keyed rows are visible, not just consistently hashed.
     */
   private[graft] def auditOf(orders: DataFrame, customer: DataFrame,
                              lineitem: DataFrame): DataFrame = {
@@ -44,12 +48,17 @@ object Constraints {
     val lAgg = lineitem.agg(
       count(lit(1)).as("n"),
       (count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"),
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("v_pk"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_okey"),
+      sum(when(col("l_linenumber").isNull, 1L).otherwise(0L)).as("v_lnum"),
       sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v_qty"),
       sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
         .otherwise(0L)).as("v_disc"))
     val lRows = lAgg.select(col("n").as("n_checked"), expr(
-      "stack(3, 'lineitem_pk_unique', v_pk," +
+      "stack(5, 'lineitem_pk_unique', v_pk," +
+        " 'lineitem_orderkey_complete', v_okey," +
+        " 'lineitem_linenumber_complete', v_lnum," +
         " 'lineitem_quantity_positive', v_qty," +
         " 'lineitem_discount_range', v_disc) AS (rule, violations)"))
     // referential integrity: anti-join counts over key columns only

@@ -44,8 +44,10 @@ object Events {
     */
   def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame =
     anomaliesOfHourCounts(Tables.events(spark, sfDir)
-      .groupBy((unix_millis(col("ts")).cast("long") / 3600000L)
-        .cast("long").as("hour_id"))
+      // integer floor division (`div`), not Column `/` (double division
+      // + cast): exact for any epoch-ms, not just < 2^53 — the repo-wide
+      // rule from Packing.scala
+      .groupBy(expr("unix_millis(ts) div 3600000").as("hour_id"))
       .agg(count(lit(1)).as("n")))
 
   /** The anomaly test over an explicit (hour_id, n) cell table — shared

@@ -230,7 +230,10 @@ object Sampling {
           expr(s"total div $epochs"))
       .groupBy(col("epoch").cast("long").as("epoch"))
       .agg(count(lit(1)).as("n_docs"),
-        (sum(((col("doc_id") + 1) * col("rk")).cast("decimal(38,0)"))
+        // cast the factor to decimal BEFORE multiplying: a Long×Long
+        // product past 2^63 would wrap silently (ANSI off) while the
+        // oracle multiplies in HUGEINT — divergent exactly at scale
+        (sum((col("doc_id") + 1).cast("decimal(38,0)") * col("rk"))
           % 1000000007L).cast("long").as("perm_checksum"),
         max(when(col("rk") === 1L, col("doc_id"))).as("first_doc"))
       .orderBy("epoch")

@@ -111,19 +111,34 @@ case class AsOfJoinExec(
         private var rMs: Long = 0L
         private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        // SQL semantics: NULL never matches. A NULL key or NULL time on
+        // the right can match no left row — skip such rows here (they
+        // sort FIRST under the ascending nulls-first child ordering, so
+        // skipping preserves the forward merge). Without the eval-null
+        // check, `eval(...).asInstanceOf[Long]` would unbox null to 0L
+        // and silently treat a null timestamp as the epoch.
+        private def advanceRight(): Unit = {
+          var ok = false
+          while (!ok && rIter.hasNext) {
             rRow = rIter.next().copy()
             rKey = rKeyProj(rRow).copy()
-            rMs = rTime.eval(rRow).asInstanceOf[Long]
-          } else rRow = null
+            val t = rTime.eval(rRow)
+            if (t != null && !rKey.anyNull) { rMs = t.asInstanceOf[Long]; ok = true }
+          }
+          if (!ok) rRow = null
+        }
         advanceRight()
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
-          val lMs = lTime.eval(l).asInstanceOf[Long]
+          val lt0 = lTime.eval(l)
+          // NULL left key or time: no right row matches — null-pad
+          // without touching the merge state (null-keyed left rows sort
+          // first, before any buffered match exists)
+          if (lt0 == null || lk.anyNull) return outProj(joined(l, nullRight))
+          val lMs = lt0.asInstanceOf[Long]
           if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
             matchRow = null; matchKey = null
           }
@@ -150,8 +165,11 @@ case class AsOfJoinExec(
 /** Public face: `AsOfJoin(left, right, keys, leftTime, rightTime)`.
   * Column names of the two sides must be disjoint (rename before the
   * call — same contract as `join` with duplicate-name outputs, minus the
-  * ambiguity trap). Time columns must be LongType and non-null (epoch
-  * ms); keys any orderable type.
+  * ambiguity trap). Time columns must be LongType (epoch ms); keys any
+  * orderable type. NULL semantics follow SQL equality: a NULL key or
+  * NULL time on either side never matches — such left rows emit
+  * null-padded output, such right rows match nothing (same as DuckDB
+  * ASOF).
   */
 object AsOfJoin {
   def ensureRegistered(spark: SparkSession): Unit = {

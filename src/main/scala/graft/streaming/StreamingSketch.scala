@@ -52,8 +52,7 @@ object StreamingSketch {
       StreamingIndexer.drainToTable(spark, sfDir, "events.parquet",
         "stream_anomaly", anomalyScratch) { (ss, watch) =>
           graft.sources.Tables.eventsStream(ss, watch, watch)
-            .groupBy((unix_millis(col("ts")).cast("long") / 3600000L)
-              .cast("long").as("hour_id"))
+            .groupBy(expr("unix_millis(ts) div 3600000").as("hour_id"))
             .agg(count(lit(1)).as("n"))
         })
 }

@@ -64,6 +64,26 @@ class AsOfJoinSpec extends SparkTestBase {
     ))
   }
 
+  test("NULL keys and NULL times never match (SQL equality, DuckDB ASOF)") {
+    val left = Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), Some(10L), "ok"),     // normal match
+      (None, Some(10L), "nullkey"),    // NULL key: must NOT match the
+                                       // right NULL-key row
+      (Some(1L), None, "nulltime")     // NULL time: no 'as of NULL'
+    ).toDF("k", "t", "ltag")
+    val right = Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), Some(5L), "a"),
+      (None, Some(1L), "rnullkey"),    // unreachable: NULL right key
+      (Some(1L), None, "rnulltime")    // unreachable: would unbox to 0L
+                                       // and wrongly serve as epoch-0
+    ).toDF("k2", "t2", "rtag")
+    val out = AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2")
+      .select("ltag", "rtag").as[(String, Option[String])]
+      .collect().toMap
+    assert(out === Map(
+      "ok" -> Some("a"), "nullkey" -> None, "nulltime" -> None))
+  }
+
   test("skewed key: one key owning the whole right side stays linear-correct") {
     val left = (0L until 200L).map(i => (1L, i * 10L)).toDF("k", "t")
     val right = (0L until 1000L).map(i => (1L, i)).toDF("k2", "t2")

@@ -9,10 +9,10 @@ import graft.operators.Constraints
 class ConstraintsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("synthetic corpus: 8 rules pass; the audit catches the real PK defect") {
+  test("synthetic corpus: 10 rules pass; the audit catches the real PK defect") {
     val rows = Constraints.constraintAudit(spark, sf)
       .as[(String, Long, Long, Boolean)].collect()
-    assert(rows.length === 9)
+    assert(rows.length === 11)
     rows.foreach { case (rule, n, v, passed) =>
       assert(n > 0L, rule)
       if (rule == "lineitem_pk_unique") {
@@ -41,12 +41,14 @@ class ConstraintsSpec extends SparkTestBase {
       (5L, Some(99L), "O", 10.0)     // orphan custkey (no customer 99)
     ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val customer = Seq(10L).toDF("c_custkey")
-    val lineitem = Seq[(Long, Long, Double, Double)](
-      (1L, 1L, 5.0, 0.05),
-      (1L, 1L, 5.0, 0.05),           // duplicate (orderkey, linenumber)
-      (2L, 1L, 0.0, 0.05),           // non-positive quantity
-      (3L, 1L, 5.0, 0.5),            // discount out of range
-      (77L, 1L, 5.0, 0.05)           // orphan orderkey (no order 77)
+    val lineitem = Seq[(Option[Long], Long, Double, Double)](
+      (Some(1L), 1L, 5.0, 0.05),
+      (Some(1L), 1L, 5.0, 0.05),     // duplicate (orderkey, linenumber)
+      (Some(2L), 1L, 0.0, 0.05),     // non-positive quantity
+      (Some(3L), 1L, 5.0, 0.5),      // discount out of range
+      (Some(77L), 1L, 5.0, 0.05),    // orphan orderkey (no order 77)
+      (None, 1L, 5.0, 0.05),         // NULL-keyed duplicate pair: the
+      (None, 1L, 5.0, 0.05)          // struct-distinct pk rule must see it
     ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
     val got = Constraints.auditOf(orders, customer, lineitem)
       .as[(String, Long, Long, Boolean)].collect()
@@ -60,9 +62,17 @@ class ConstraintsSpec extends SparkTestBase {
     // engines agree it fails referential integrity (and completeness
     // flags it separately)
     assert(got("orders_custkey_fk") === ((6L, 2L, false)))
-    assert(got("lineitem_pk_unique") === ((5L, 1L, false)))
-    assert(got("lineitem_quantity_positive") === ((5L, 1L, false)))
-    assert(got("lineitem_discount_range") === ((5L, 1L, false)))
-    assert(got("lineitem_orderkey_fk") === ((5L, 1L, false)))
+    // 2 = the (1,1) duplicate AND one of the two (NULL,1) rows: the
+    // struct-based distinct counts the NULL-keyed group (struct non-NULL,
+    // NULL components equal inside DISTINCT), exactly like DuckDB's
+    // row-value count(DISTINCT (a, b)) — a plain countDistinct(a, b)
+    // would have dropped both NULL rows and reported 3
+    assert(got("lineitem_pk_unique") === ((7L, 2L, false)))
+    assert(got("lineitem_orderkey_complete") === ((7L, 2L, false)))
+    assert(got("lineitem_linenumber_complete") === ((7L, 0L, true)))
+    assert(got("lineitem_quantity_positive") === ((7L, 1L, false)))
+    assert(got("lineitem_discount_range") === ((7L, 1L, false)))
+    // 3 = the orphan 77 plus both NULL-keyed rows (NULL never matches)
+    assert(got("lineitem_orderkey_fk") === ((7L, 3L, false)))
   }
 }
