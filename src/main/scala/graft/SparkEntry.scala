@@ -411,6 +411,9 @@ object SparkEntry {
     "q_asof_purchase_view" -> ((s, d) => Events.asofPurchaseView(s, d)),
     // the NATIVE as-of operator (custom LogicalPlan+Strategy+SparkPlan)
     "q_asof_native"        -> ((s, d) => Events.asofPurchaseViewNative(s, d)),
+    // the BROADCAST as-of: dimension-sized right side broadcasts, the
+    // event feed is neither shuffled nor sorted
+    "q_asof_broadcast"     -> ((s, d) => Events.prevHourRate(s, d)),
     // |z|>3 hourly outliers via the fraction-free (kn-S)² > 9(kSS-S²) rule
     "q_hourly_anomaly"     -> ((s, d) => Events.hourlyAnomalies(s, d)),
     // event-time RANGE frame (INTERVAL 1 HOUR PRECEDING) per user
@@ -3282,6 +3285,18 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.v_user AND v.v_ms <= p.p_ms
         |ORDER BY user_id, p_id""".stripMargin,
+    // broadcast as-of: each event tagged with its type's count over the
+    // most recent FULLY COMPLETED hour (cell keyed by completion instant)
+    "q_asof_broadcast" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |h AS (SELECT event_type AS h_type, epoch_ms(ts) // 3600000 AS hour_id,
+        |             count(*) AS prev_n
+        |      FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT h_type, (hour_id + 1) * 3600000 AS h_ms, prev_n FROM h)
+        |SELECT e.event_id, e.event_type, e.ms, h2.h_ms, h2.prev_n
+        |FROM e ASOF LEFT JOIN h2
+        |  ON e.event_type = h2.h_type AND h2.h_ms <= e.ms
+        |ORDER BY event_id""".stripMargin,
     // fraction-free |z|>3 test: all comparisons in exact integer math
     "q_hourly_anomaly" -> anomalyOracleSql,
     // streamed hour cells ≡ batch hour cells is the claim under test, so

@@ -417,4 +417,34 @@ object Events {
           lit(0).cast("decimal(24,2)")).cast("double").as("carried_value"))
       .orderBy("event_type", "hour")
   }
+
+  /** Per-event trailing-rate enrichment via the BROADCAST as-of join
+    * ([[graft.plans.BroadcastAsOfJoinExec]]): every event is tagged with
+    * its type's count over the most recent fully completed hour. The
+    * right side is the hourly cell table keyed on completion instant
+    * `(hour_id + 1) · 3600000` — hours × types rows regardless of feed
+    * volume, the canonical broadcast dimension. The shuffled merge
+    * ([[asofPurchaseViewNative]]) would hash-repartition AND sort the
+    * full event feed to join against it; here the planner inserts one
+    * BroadcastExchange of the cell table and the feed streams straight
+    * out of the scan — zero fact-side movement, the plan that survives a
+    * 100 TB event log. An event's own (incomplete) hour never matches:
+    * its completion instant is strictly in the event's future.
+    */
+  def prevHourRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("h_type"),
+        expr("unix_millis(ts) div 3600000").as("hour_id"))
+      .agg(count(lit(1)).as("prev_n"))
+      .select(col("h_type"), ((col("hour_id") + 1) * 3600000L).as("h_ms"),
+        col("prev_n"))
+    graft.plans.AsOfJoin.broadcast(ev, hourly,
+        Seq(("event_type", "h_type")), "ms", "h_ms")
+      .select(col("event_id"), col("event_type"), col("ms"), col("h_ms"),
+        col("prev_n"))
+      .orderBy("event_id")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.PlanBridge
 import org.apache.spark.sql.types.LongType
@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    broadcastRight: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -45,15 +46,20 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: the logical as-of node has exactly one physical
-  * implementation. Injected via `SparkSessionExtensions
+/** Planner rule: the logical as-of node has two physical
+  * implementations — the shuffled merge and, on an explicit user hint
+  * (the `functions.broadcast` idiom), the broadcast lookup that leaves
+  * the big side in place. Injected via `SparkSessionExtensions
   * .injectPlannerStrategy` ([[graft.GraftExtensions]]) or
   * `spark.experimental.extraStrategies` ([[AsOfJoin.ensureRegistered]]).
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
 }
@@ -162,6 +168,114 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** BROADCAST AS-OF JOIN — the dimension-table case the shuffled merge
+  * over-pays for. [[AsOfJoinExec]] asks the planner to hash-co-partition
+  * AND sort BOTH sides; when the right side is broadcast-sized (a rate
+  * card, a config history, an hourly cell table) that contract forces a
+  * full shuffle + sort of the 100 TB fact side to join against kilobytes.
+  * This exec instead asks for a plain `BroadcastDistribution` on the
+  * right — the planner inserts one `BroadcastExchange`, and the left side
+  * keeps its partitioning AND its ordering (no exchange, no sort, stays
+  * inside the scan pipeline). Each task builds a key → time-sorted-rows
+  * index from the broadcast once (dimension-sized by contract) and
+  * binary-searches the greatest `rightTime <= leftTime` per probe row:
+  * O(|L| · log |R_key|) with zero data movement of the fact side — the
+  * same trade `BroadcastHashJoin` makes against `SortMergeJoin`.
+  *
+  * NULL semantics match [[AsOfJoinExec]]: NULL keys/times never match.
+  * Tie-break on equal right times also matches (the last row in right
+  * sort order wins — upper-bound search here, last-buffered in the
+  * merge).
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+  // the probe side flows through untouched — advertise its partitioning
+  // and ordering so downstream operators (a final sort, an aggregation
+  // on the same key) can keep reusing them
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val allOutput = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    left.execute().mapPartitions({ lIter =>
+      // per-task build of the broadcast index: key → times sorted asc,
+      // parallel row array. Dimension-sized by the broadcast contract.
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val rTime = BindReferences.bindReference(rTimeExpr, rightOutput)
+      val grouped = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      bc.value.foreach { row =>
+        val t = rTime.eval(row)
+        val k = rKeyProj(row)
+        // NULL right key/time matches nothing — exclude from the index
+        if (t != null && !k.anyNull) {
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]
+            grouped.put(k.copy(), buf)
+          }
+          buf += ((t.asInstanceOf[Long], row))
+        }
+      }
+      val index = new java.util.HashMap[UnsafeRow,
+        (Array[Long], Array[InternalRow])](grouped.size() * 2)
+      grouped.forEach { (k, buf) =>
+        val sorted = buf.sortBy(_._1) // stable: equal times keep order
+        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val lTime = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOutput.size)
+      val outProj = UnsafeProjection.create(allOutput,
+        leftOutput ++ rightOutput.map(_.withNullability(true)))
+      lIter.map { l =>
+        val lt0 = lTime.eval(l)
+        val lk = lKeyProj(l)
+        var m: InternalRow = null
+        if (lt0 != null && !lk.anyNull) {
+          val entry = index.get(lk)
+          if (entry != null) {
+            val lMs = lt0.asInstanceOf[Long]
+            val times = entry._1
+            // upper-bound binary search: LAST index with time <= lMs
+            var lo = 0; var hi = times.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= lMs) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) m = entry._2(ans)
+          }
+        }
+        if (m != null) outProj(joined(l, m))
+        else outProj(joined(l, nullRight))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Public face: `AsOfJoin(left, right, keys, leftTime, rightTime)`.
   * Column names of the two sides must be disjoint (rename before the
   * call — same contract as `join` with duplicate-name outputs, minus the
@@ -179,7 +293,23 @@ object AsOfJoin {
   }
 
   def apply(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-            leftTime: String, rightTime: String): DataFrame = {
+            leftTime: String, rightTime: String): DataFrame =
+    build(left, right, keys, leftTime, rightTime, broadcastRight = false)
+
+  /** The `functions.broadcast` idiom for the as-of join: same semantics
+    * as [[apply]], executed by [[BroadcastAsOfJoinExec]] — the right side
+    * broadcasts, the left side is neither shuffled nor sorted. Use when
+    * the right side is dimension-sized (the caller's assertion, exactly
+    * as with `broadcast()` on an equi-join).
+    */
+  def broadcast(left: DataFrame, right: DataFrame,
+                keys: Seq[(String, String)],
+                leftTime: String, rightTime: String): DataFrame =
+    build(left, right, keys, leftTime, rightTime, broadcastRight = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+                    keys: Seq[(String, String)], leftTime: String,
+                    rightTime: String, broadcastRight: Boolean): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = PlanBridge.analyzed(left)
@@ -194,6 +324,6 @@ object AsOfJoin {
       "asof time columns must be LongType epoch values")
     PlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
-      lt, rt))
+      lt, rt, broadcastRight))
   }
 }

@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeExec}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Events
-import graft.plans.{AsOfJoin, AsOfJoinExec}
+import graft.plans.{AsOfJoin, AsOfJoinExec, BroadcastAsOfJoinExec}
 
 /** The native as-of join operator: semantics against both the declarative
   * window formulation and hand-built ground truth, and the physical
@@ -93,5 +93,71 @@ class AsOfJoinSpec extends SparkTestBase {
       val lt = i * 10
       assert(out(lt) === Some(math.min(lt, 999L)))
     }
+  }
+
+  test("broadcast variant ≡ shuffled merge on every semantic case") {
+    // reuse the hard cases: hot key, ties, no-match, NULL keys/times —
+    // the broadcast exec must be observationally identical
+    val left = Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), Some(10L), "p1"), (Some(1L), Some(20L), "p2"),
+      (Some(1L), Some(5L), "p0"), (Some(2L), Some(7L), "q1"),
+      (Some(3L), Some(100L), "r1"), (Some(3L), Some(100L), "r2"),
+      (None, Some(10L), "nullkey"), (Some(1L), None, "nulltime")
+    ).toDF("k", "t", "ltag")
+    val right = Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), Some(5L), "a"), (Some(1L), Some(10L), "b"),
+      (Some(1L), Some(15L), "c"), (Some(3L), Some(100L), "x"),
+      (Some(3L), Some(99L), "y"), (Some(4L), Some(1L), "z"),
+      (None, Some(1L), "rnullkey"), (Some(1L), None, "rnulltime")
+    ).toDF("k2", "t2", "rtag")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("ltag", "t2", "rtag")
+        .as[(String, Option[Long], Option[String])].collect().toSeq.sorted
+    val shuffled = run(AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2"))
+    val bcast = run(AsOfJoin.broadcast(left, right, Seq(("k", "k2")), "t", "t2"))
+    assert(bcast === shuffled)
+    assert(bcast.nonEmpty)
+  }
+
+  test("broadcast plan: fact side unmoved — no shuffle below the join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Events.prevHourRate(spark, sf).queryExecution.executedPlan
+      val execs = plan.collect { case b: BroadcastAsOfJoinExec => b }
+      assert(execs.length === 1, s"expected BroadcastAsOfJoinExec in:\n$plan")
+      val join = execs.head
+      // the probe (left) subtree must contain NO exchange of any kind:
+      // the whole point is that the 100 TB side streams out of its scan
+      assert(join.left.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"fact side was shuffled:\n$plan")
+      // the dimension side rides exactly one broadcast exchange (the
+      // hourly cell aggregation above it may shuffle its tiny input)
+      assert(join.right.collect { case b: BroadcastExchangeLike => b }.size === 1,
+        s"dimension side not broadcast:\n$plan")
+      // whole plan: hourly agg + final orderBy are the only shuffles
+      val shuffles = plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+      assert(shuffles <= 2, s"broadcast as-of plans $shuffles shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("broadcast as-of on events ≡ the same query through the shuffled exec") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type").as("h_type"),
+        expr("unix_millis(ts) div 3600000").as("hour_id"))
+      .agg(count(lit(1)).as("prev_n"))
+      .select(col("h_type"), ((col("hour_id") + 1) * 3600000L).as("h_ms"),
+        col("prev_n"))
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("event_id", "h_ms", "prev_n")
+        .as[(Long, Option[Long], Option[Long])].collect().toSeq.sorted
+    val viaBcast = run(AsOfJoin.broadcast(ev, hourly,
+      Seq(("event_type", "h_type")), "ms", "h_ms"))
+    val viaMerge = run(AsOfJoin(ev, hourly,
+      Seq(("event_type", "h_type")), "ms", "h_ms"))
+    assert(viaBcast === viaMerge)
+    assert(viaBcast.nonEmpty)
   }
 }

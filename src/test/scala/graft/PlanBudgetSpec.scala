@@ -147,6 +147,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // the native operator's TWO key co-partitioning exchanges + output
     // order — SortMergeJoin's exchange bill, no window funnel
     "q_asof_native" -> 3,
+    // the BROADCAST as-of: the event feed moves NOTHING — only the tiny
+    // hourly cell agg and the output order shuffle (dim side broadcasts)
+    "q_asof_broadcast" -> 2,
     // one agg per table + anti-join key-column exchanges; everything
     // after the two table aggs is rule-count- or key-column-sized
     "q_constraint_audit" -> 8,
