@@ -25,7 +25,7 @@ object Explain {
         "q_cms_counts", "q_seq_packing", "q_user_activity_window",
         "q_incremental_neardup", "q_containment_pairs", "q_vocab_overlap",
         "q_range_join", "q_span_scrub", "q_shard_manifest", "q_asof_native",
-        "q_asof_broadcast",
+        "q_asof_broadcast", "q_pareto_frontier", "q_pmi_collocations",
         "q_constraint_audit", "q_distribution_drift", "q_epoch_shuffle",
         "q_hourly_anomaly")
     val spark = SparkSession.builder()

@@ -207,6 +207,8 @@ object SparkEntry {
     "q_bigram_counts"  -> ((s, d) => TextAnalysis.ngramCounts(s, d, 2, 20)),
     // bigram conditional LM: P(w2|w1) over the most frequent pairs
     "q_bigram_lm"      -> ((s, d) => TextAnalysis.bigramLm(s, d, 20)),
+    // collocations: PMI over positional marginals, integer count gate
+    "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     // BPE training, iteration 1: weighted char-pair counts over the vocab
     "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairCounts(s, d, 20)),
     // per-doc share of corpus-common shingles (boilerplate detector)
@@ -279,6 +281,8 @@ object SparkEntry {
     "q_self_scrub"     -> ((s, d) => TextAnalysis.selfScrub(s, d)),
     // V3 capstone: retention → scrub → gate → shard manifest in one plan
     "q_curated_shards" -> ((s, d) => Curate.curatedShards(s, d)),
+    // two-phase skyline: quality-vs-cost Pareto frontier of the corpus
+    "q_pareto_frontier" -> ((s, d) => Curate.paretoFrontier(s, d)),
     // doc-atomic token-budget shards for the export writer
     "q_shard_manifest" -> ((s, d) => Packing.shardManifest(s, d, 8192)),
     "q_curated_corpus" -> ((s, d) => Curate.curateCorpus(s, d)),
@@ -1332,6 +1336,22 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin,
     // bigram LM: both engines divide the identical bigram/marginal longs
     // in double, so P(w2|w1) is bit-exact without rounding
+    // PMI over positional marginals; integer min-count gate + (w1, w2)
+    // order — no float-ordered cut anywhere
+    "q_pmi_collocations" ->
+      s"""WITH $toksCte, g AS (
+         |  SELECT ts[i] AS w1, ts[i+1] AS w2
+         |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+         |), c2 AS (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+         |cr AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2 FROM c2 GROUP BY w2),
+         |tot AS (SELECT CAST(sum(n12) AS BIGINT) AS nn FROM c2)
+         |SELECT c2.w1, c2.w2, CAST(n12 AS BIGINT) AS n12, n1, n2,
+         |       round(ln(CAST(n12 AS DOUBLE) * nn /
+         |                (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS pmi
+         |FROM c2 JOIN c1 USING (w1) JOIN cr USING (w2), tot
+         |WHERE n12 >= 10
+         |ORDER BY w1, w2""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH $toksCte, g AS (
          |  SELECT ts[i] AS w1, ts[i+1] AS w2
@@ -1778,6 +1798,20 @@ object SparkEntry {
          |FROM rk GROUP BY source ORDER BY source""".stripMargin,
     // V3 capstone: retention → scrub → gate → shard manifest, composed
     // from the individually-verified stage oracles
+    // skyline by NOT EXISTS dominance — O(n²) is fine for the oracle;
+    // the engine runs the two-phase bucketed skyline instead
+    "q_pareto_frontier" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, n_chars,
+         |             CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+         |      FROM toks
+         |      WHERE n_chars IS NOT NULL)
+         |SELECT doc_id, n_chars, n_distinct FROM m a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM m b
+         |  WHERE b.n_chars <= a.n_chars AND b.n_distinct >= a.n_distinct
+         |    AND (b.n_chars < a.n_chars OR b.n_distinct > a.n_distinct))
+         |ORDER BY doc_id""".stripMargin,
     "q_curated_shards" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter

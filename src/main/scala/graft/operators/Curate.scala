@@ -114,4 +114,56 @@ object Curate {
         max(col("doc_id")).as("last_doc"))
       .orderBy("shard_id")
   }
+
+  /** PARETO-FRONTIER (skyline) document selection — the budget-curation
+    * question "which documents are on the quality-vs-cost frontier?":
+    * keep every document NOT dominated by another (higher-or-equal
+    * distinct-token quality at lower-or-equal char cost, strictly better
+    * in at least one). Metrics are integers, so the frontier is
+    * bit-identical on any engine.
+    *
+    * Scale posture — the naive formulation is a self-join (O(n²) dominance
+    * anti-join); the single-window formulation is a GLOBAL sort funnel.
+    * This runs the standard two-phase skyline instead: a partition-local
+    * skyline per hash bucket (one key-column-width exchange, each bucket
+    * shrinks to its own frontier — expected O(log n) rows for non-
+    * degenerate metric distributions), then the same rule once more over
+    * the union of the tiny local frontiers. Sound because dominance
+    * within a bucket implies global dominance; complete because a
+    * globally undominated row is undominated in its bucket.
+    */
+  def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame =
+    frontierOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(tokens(col("text")))).cast("long")
+          .as("n_distinct")))
+
+  /** The two-phase skyline over an explicit (doc_id, n_chars, n_distinct)
+    * relation — minimize n_chars, maximize n_distinct. Exposed for the
+    * spec's brute-force and partition-invariance checks.
+    */
+  private[graft] def frontierOf(m: DataFrame, nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one skyline pass under an optional bucketing: a row survives iff
+    //  - no row at STRICTLY lower cost has >= its quality (RANGE frame to
+    //    -1 on integer cost ≡ cost' < cost), and
+    //  - no row at EQUAL cost has STRICTLY higher quality
+    // (equal (cost, quality) points never dominate each other: both kept)
+    def pass(df: DataFrame, part: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val cheaper = Window.partitionBy(part: _*).orderBy(col("n_chars"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val sameCost = Window.partitionBy((part :+ col("n_chars")): _*)
+      df.withColumn("best_cheaper", max(col("n_distinct")).over(cheaper))
+        .withColumn("best_equal", max(col("n_distinct")).over(sameCost))
+        .filter((col("best_cheaper").isNull ||
+            col("best_cheaper") < col("n_distinct")) &&
+          col("best_equal") === col("n_distinct"))
+        .drop("best_cheaper", "best_equal")
+    }
+    val clean = m.filter(col("n_chars").isNotNull && col("n_distinct").isNotNull)
+    val local = pass(
+      clean.withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets))),
+      Seq(col("bucket"))).drop("bucket")
+    pass(local, Seq.empty).orderBy("doc_id")
+  }
 }

@@ -415,6 +415,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** COLLOCATION MINING — adjacent-token pairs with high pointwise
+    * mutual information, PMI = ln(n12·N / (n1·n2)): the multi-word-
+    * expression detector ("new york", "et al") a tokenizer-vocabulary or
+    * phrase-index builder runs over the corpus. n1/n2 are positional
+    * marginals (w as first / as second element) over ALL bigrams; the
+    * report lists pairs with n12 ≥ minCount.
+    *
+    * Scale shape: one tokenize pass → ONE (w1, w2) count shuffle; the
+    * marginals are window sums OVER THE COMPACT COUNT TABLE (repartition
+    * counts by w1 / by w2 — never re-scan the corpus), the grand total is
+    * a 1-row broadcast whose branch the runtime ReuseExchange collapses
+    * onto the same count-table exchange. The min-count gate cuts on an
+    * INTEGER, and the output orders by (w1, w2) — no float-ordered top-k
+    * cut, so the row set is bit-deterministic on any engine.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+                      minCount: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c2 = Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(shinglesOfTokens(col("ts"), 2)).as("gram"))
+      .select(substring_index(col("gram"), " ", 1).as("w1"),
+        substring_index(col("gram"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val tot = c2.agg(sum(col("n12")).as("nn"))
+    c2
+      // marginals BEFORE the min-count gate: rare pairs still count
+      // toward their words' totals
+      .withColumn("n1", sum(col("n12")).over(Window.partitionBy("w1")))
+      .withColumn("n2", sum(col("n12")).over(Window.partitionBy("w2")))
+      .filter(col("n12") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        round(log(col("n12").cast("double") * col("nn").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
   /** Data-mixture report: per-source corpus composition — document and
     * token counts, each source's share of corpus tokens, and the share of
     * its documents that are exact duplicates of something else (anywhere

@@ -65,4 +65,35 @@ class CurationSpec extends SparkTestBase {
       assert(viaPseudo(pk) === n, s"custkey $ck lost orders via pseudonym")
     }
   }
+
+  test("pareto frontier ≡ brute-force dominance; bucketing-invariant") {
+    // deterministic pseudo-random points with deliberate collisions so
+    // the equal-cost and equal-point tie rules are exercised
+    val pts = (0L until 400L).map { i =>
+      val c = (i * 2654435761L) % 97      // cost: minimize
+      val q = (i * 40503L) % 89           // quality: maximize
+      (i, c, q)
+    }
+    val df = pts.toDF("doc_id", "n_chars", "n_distinct")
+    def brute = pts.filter { case (_, c, q) =>
+      !pts.exists { case (_, c2, q2) =>
+        c2 <= c && q2 >= q && (c2 < c || q2 > q) }
+    }.map(_._1).toSet
+    val got32 = graft.operators.Curate.frontierOf(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got32 === brute)
+    // the two-phase result must not depend on the bucket count
+    val got1 = graft.operators.Curate.frontierOf(df, nBuckets = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val got7 = graft.operators.Curate.frontierOf(df, nBuckets = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got1 === brute && got7 === brute)
+    // duplicated frontier points: equal (cost, quality) never dominate
+    // each other — BOTH survive
+    val dup = Seq((1L, 10L, 50L), (2L, 10L, 50L), (3L, 20L, 40L))
+      .toDF("doc_id", "n_chars", "n_distinct")
+    val keep = graft.operators.Curate.frontierOf(dup)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep === Set(1L, 2L))
+  }
 }

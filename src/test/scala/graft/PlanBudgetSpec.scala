@@ -150,6 +150,13 @@ class PlanBudgetSpec extends SparkTestBase {
     // the BROADCAST as-of: the event feed moves NOTHING — only the tiny
     // hourly cell agg and the output order shuffle (dim side broadcasts)
     "q_asof_broadcast" -> 2,
+    // two-phase skyline: ONE bucket exchange of the 3-column metric
+    // relation + the single-partition window over the TINY local
+    // frontiers + output order — never an O(n²) dominance join
+    "q_pareto_frontier" -> 3,
+    // ONE corpus gram shuffle; everything else (w1/w2 marginal windows,
+    // 1-row total, order) re-partitions the compact COUNT table only
+    "q_pmi_collocations" -> 6,
     // one agg per table + anti-join key-column exchanges; everything
     // after the two table aggs is rule-count- or key-column-sized
     "q_constraint_audit" -> 8,

@@ -94,4 +94,32 @@ class TextAnalysisSpec extends SparkTestBase {
         s"grouping level $gid does not tile the corpus")
     }
   }
+
+  test("pmi: marginals are positional sums over ALL pairs; pmi = ln(n12·N/(n1·n2))") {
+    val rows = graft.operators.TextAnalysis.pmiCollocations(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // recompute the bigram relation brute-force on the driver
+    val grams = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+      .as[Seq[String]].collect()
+      .flatMap(ts => ts.zip(ts.drop(1)))
+    val n12 = grams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n1 = grams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n2 = grams.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nn = grams.length.toLong
+    // the report is exactly the n12 >= 10 slice
+    assert(rows.length === n12.count(_._2 >= 10L))
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("n12") === n12((w1, w2)))
+      assert(r.getAs[Long]("n12") >= 10L)
+      assert(r.getAs[Long]("n1") === n1(w1), s"marginal n1($w1)")
+      assert(r.getAs[Long]("n2") === n2(w2), s"marginal n2($w2)")
+      val want = BigDecimal(math.log(
+        n12((w1, w2)).toDouble * nn / (n1(w1).toDouble * n2(w2))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-9, s"pmi($w1 $w2)")
+    }
+  }
 }
