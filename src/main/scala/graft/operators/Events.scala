@@ -226,7 +226,9 @@ object Events {
       .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("p_ms"))
     val v = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ms").as("last_view_ms"))
-    graft.plans.AsOfJoin(p, v, Seq(("user_id", "v_user")),
+    // .merge pins the shuffled-merge exec: it is the operator under
+    // test here, and the view side only looks broadcast-small at test SF
+    graft.plans.AsOfJoin.merge(p, v, Seq(("user_id", "v_user")),
         "p_ms", "last_view_ms")
       .select(col("user_id"), col("p_id"), col("p_ms"), col("last_view_ms"),
         (col("p_ms") - col("last_view_ms")).as("gap_ms"))

@@ -34,11 +34,16 @@ import org.apache.spark.sql.types.LongType
   * |L| + |R| rows and O(1) memory: no per-key group materialization, no
   * window buffer, no candidate blow-up, at any key skew.
   */
+/** `broadcastRight`: Some(true) forces the broadcast exec, Some(false)
+  * forces the shuffled merge, None (the default) lets the planner choose
+  * from right-side statistics — the same contract as Spark's own join
+  * hints vs. `JoinSelection`'s size-based pick.
+  */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    broadcastRight: Boolean = false) extends BinaryNode {
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -47,15 +52,23 @@ case class AsOfJoinPlan(
 }
 
 /** Planner rule: the logical as-of node has two physical
-  * implementations — the shuffled merge and, on an explicit user hint
-  * (the `functions.broadcast` idiom), the broadcast lookup that leaves
-  * the big side in place. Injected via `SparkSessionExtensions
-  * .injectPlannerStrategy` ([[graft.GraftExtensions]]) or
-  * `spark.experimental.extraStrategies` ([[AsOfJoin.ensureRegistered]]).
+  * implementations — the shuffled merge, and the broadcast lookup that
+  * leaves the big side in place. Selection mirrors `JoinSelection`: an
+  * explicit hint wins; otherwise the right side broadcasts iff its
+  * estimated size clears `spark.sql.autoBroadcastJoinThreshold` (so
+  * `-1` disables auto-broadcast exactly as for equi-joins). Injected via
+  * `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.GraftExtensions]]) or `spark.experimental.extraStrategies`
+  * ([[AsOfJoin.ensureRegistered]]).
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, bcast) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, hint) =>
+      val bcast = hint.getOrElse {
+        val threshold =
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        threshold > 0 && r.stats.sizeInBytes <= threshold
+      }
       if (bcast)
         BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
       else
@@ -292,9 +305,12 @@ object AsOfJoin {
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
   }
 
+  /** Planner-chosen execution (the default): broadcast iff the right
+    * side's estimated size clears the auto-broadcast threshold.
+    */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
             leftTime: String, rightTime: String): DataFrame =
-    build(left, right, keys, leftTime, rightTime, broadcastRight = false)
+    build(left, right, keys, leftTime, rightTime, broadcastRight = None)
 
   /** The `functions.broadcast` idiom for the as-of join: same semantics
     * as [[apply]], executed by [[BroadcastAsOfJoinExec]] — the right side
@@ -305,11 +321,21 @@ object AsOfJoin {
   def broadcast(left: DataFrame, right: DataFrame,
                 keys: Seq[(String, String)],
                 leftTime: String, rightTime: String): DataFrame =
-    build(left, right, keys, leftTime, rightTime, broadcastRight = true)
+    build(left, right, keys, leftTime, rightTime, broadcastRight = Some(true))
+
+  /** Force the shuffled merge even for a statistics-small right side —
+    * the SHUFFLE_HASH-style counter-hint (and the way to pin the merge
+    * exec under test at small scale).
+    */
+  def merge(left: DataFrame, right: DataFrame,
+            keys: Seq[(String, String)],
+            leftTime: String, rightTime: String): DataFrame =
+    build(left, right, keys, leftTime, rightTime, broadcastRight = Some(false))
 
   private def build(left: DataFrame, right: DataFrame,
                     keys: Seq[(String, String)], leftTime: String,
-                    rightTime: String, broadcastRight: Boolean): DataFrame = {
+                    rightTime: String,
+                    broadcastRight: Option[Boolean]): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = PlanBridge.analyzed(left)

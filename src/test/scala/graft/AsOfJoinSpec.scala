@@ -50,7 +50,7 @@ class AsOfJoinSpec extends SparkTestBase {
       (3L, 100L, "x"), (3L, 99L, "y"),
       (4L, 1L, "z")                          // right-only key
     ).toDF("k2", "t2", "rtag")
-    val out = AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2")
+    val out = AsOfJoin.merge(left, right, Seq(("k", "k2")), "t", "t2")
       .select("k", "t", "ltag", "t2", "rtag")
       .as[(Long, Long, String, Option[Long], Option[String])]
       .collect().toSeq.sortBy(r => (r._1, r._2, r._3))
@@ -77,7 +77,7 @@ class AsOfJoinSpec extends SparkTestBase {
       (Some(1L), None, "rnulltime")    // unreachable: would unbox to 0L
                                        // and wrongly serve as epoch-0
     ).toDF("k2", "t2", "rtag")
-    val out = AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2")
+    val out = AsOfJoin.merge(left, right, Seq(("k", "k2")), "t", "t2")
       .select("ltag", "rtag").as[(String, Option[String])]
       .collect().toMap
     assert(out === Map(
@@ -87,12 +87,31 @@ class AsOfJoinSpec extends SparkTestBase {
   test("skewed key: one key owning the whole right side stays linear-correct") {
     val left = (0L until 200L).map(i => (1L, i * 10L)).toDF("k", "t")
     val right = (0L until 1000L).map(i => (1L, i)).toDF("k2", "t2")
-    val out = AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2")
+    val out = AsOfJoin.merge(left, right, Seq(("k", "k2")), "t", "t2")
       .select("t", "t2").as[(Long, Option[Long])].collect().toMap
     (0L until 200L).foreach { i =>
       val lt = i * 10
       assert(out(lt) === Some(math.min(lt, 999L)))
     }
+  }
+
+  test("planner auto-selects: stats-small right broadcasts, -1 disables") {
+    val left = (0L until 100L).map(i => (i % 5, i)).toDF("k", "t")
+    val right = Seq((0L, 1L, "a"), (1L, 2L, "b")).toDF("k2", "t2", "rtag")
+    def planOf() = AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2")
+      .queryExecution.executedPlan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // unhinted + tiny LocalRelation stats → the planner must pick the
+      // broadcast exec on its own (the JoinSelection contract)
+      assert(planOf().collect {
+        case b: BroadcastAsOfJoinExec => b }.length === 1)
+      // threshold -1 disables auto-broadcast exactly as for equi-joins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try assert(planOf().collect { case a: AsOfJoinExec => a }.length === 1)
+      finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("broadcast variant ≡ shuffled merge on every semantic case") {
@@ -113,7 +132,7 @@ class AsOfJoinSpec extends SparkTestBase {
     def run(f: => org.apache.spark.sql.DataFrame) =
       f.select("ltag", "t2", "rtag")
         .as[(String, Option[Long], Option[String])].collect().toSeq.sorted
-    val shuffled = run(AsOfJoin(left, right, Seq(("k", "k2")), "t", "t2"))
+    val shuffled = run(AsOfJoin.merge(left, right, Seq(("k", "k2")), "t", "t2"))
     val bcast = run(AsOfJoin.broadcast(left, right, Seq(("k", "k2")), "t", "t2"))
     assert(bcast === shuffled)
     assert(bcast.nonEmpty)
@@ -155,7 +174,7 @@ class AsOfJoinSpec extends SparkTestBase {
         .as[(Long, Option[Long], Option[Long])].collect().toSeq.sorted
     val viaBcast = run(AsOfJoin.broadcast(ev, hourly,
       Seq(("event_type", "h_type")), "ms", "h_ms"))
-    val viaMerge = run(AsOfJoin(ev, hourly,
+    val viaMerge = run(AsOfJoin.merge(ev, hourly,
       Seq(("event_type", "h_type")), "ms", "h_ms"))
     assert(viaBcast === viaMerge)
     assert(viaBcast.nonEmpty)
