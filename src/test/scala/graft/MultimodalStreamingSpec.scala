@@ -62,6 +62,38 @@ class MultimodalStreamingSpec extends SparkTestBase {
       Multimodal.decodeStub("not a png".getBytes("UTF-8"))))
   }
 
+  test("multimodal: real PNG resize — decode, NN-resample, re-encode round-trips exact pixels") {
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer")
+      out.toByteArray
+    }
+    // 4×4 quadrant image: each 2×2 quadrant a distinct color — the 2×2
+    // NN thumb must pick the top-left pixel of each quadrant (floor rule)
+    val quad = png(4, 4, (x, y) =>
+      (if (y < 2) if (x < 2) 0xFF0000 else 0x00FF00
+       else if (x < 2) 0x0000FF else 0xFFFFFF))
+    val textBytes = "not a png".getBytes("UTF-8")
+    val in = Seq(
+      Multimodal.Asset(1L, "image", quad, 4, 4),
+      Multimodal.Asset(2L, "image", textBytes, 4, 4)).toDS()
+    val thumbs = Multimodal.resizeImagesFrom(spark, in, 2, 2).collect()
+      .map(t => t.asset_id -> t).toMap
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(1L).thumb))
+    assert(dec.getWidth === 2 && dec.getHeight === 2)
+    assert((dec.getRGB(0, 0) & 0xFFFFFF) === 0xFF0000)
+    assert((dec.getRGB(1, 0) & 0xFFFFFF) === 0x00FF00)
+    assert((dec.getRGB(0, 1) & 0xFFFFFF) === 0x0000FF)
+    assert((dec.getRGB(1, 1) & 0xFFFFFF) === 0xFFFFFF)
+    // non-PNG payloads keep the deterministic byte-sampling stand-in
+    assert(thumbs(2L).thumb.sameElements(
+      Multimodal.resizeStub(textBytes, 2, 2)))
+  }
+
   test("multimodal: real WAV payloads decode through javax.sound.sampled to exact sample stats") {
     // synthesize genuine 16-bit PCM WAVs with known samples: asset 1 all
     // silence (amp 0, histogram bin 0), asset 2 full-scale (32767, last
