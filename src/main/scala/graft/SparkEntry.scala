@@ -420,6 +420,8 @@ object SparkEntry {
     "q_asof_broadcast"     -> ((s, d) => Events.prevHourRate(s, d)),
     // |z|>3 hourly outliers via the fraction-free (kn-S)² > 9(kSS-S²) rule
     "q_hourly_anomaly"     -> ((s, d) => Events.hourlyAnomalies(s, d)),
+    // the median/MAD robust twin over trailing 24 calendar hours
+    "q_robust_anomaly"     -> ((s, d) => Events.robustHourlyAnomalies(s, d)),
     // event-time RANGE frame (INTERVAL 1 HOUR PRECEDING) per user
     "q_user_activity_window" -> ((s, d) => Events.userActivityWindow(s, d)),
     // CUBE(source, lang): Expand-based multi-level rollup + grouping_id
@@ -3333,6 +3335,23 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // fraction-free |z|>3 test: all comparisons in exact integer math
     "q_hourly_anomaly" -> anomalyOracleSql,
+    // median/MAD robust twin: medians of 24 longs are halves, MADs
+    // quarters — exact doubles both engines interpolate identically
+    "q_robust_anomaly" ->
+      """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hour_id, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT a.hour_id, a.n, b.n AS bn
+        |      FROM h a, range(1, 25) AS t(off)
+        |      JOIN h b ON b.hour_id = a.hour_id - t.off),
+        |meds AS (SELECT hour_id, n, count(*) AS k,
+        |                quantile_cont(bn, 0.5) AS med
+        |         FROM p GROUP BY hour_id, n),
+        |mads AS (SELECT p.hour_id, quantile_cont(abs(p.bn - m.med), 0.5) AS mad
+        |         FROM p JOIN meds m USING (hour_id) GROUP BY p.hour_id)
+        |SELECT m.hour_id, CAST(m.n AS BIGINT) AS n, m.med, mads.mad,
+        |       abs(m.n - m.med) > 3.0 * mads.mad AS robust_anomaly
+        |FROM meds m JOIN mads USING (hour_id)
+        |WHERE m.k = 24 ORDER BY m.hour_id""".stripMargin,
     // streamed hour cells ≡ batch hour cells is the claim under test, so
     // the streaming detector answers to the identical oracle
     "q_streaming_anomaly" -> anomalyOracleSql,

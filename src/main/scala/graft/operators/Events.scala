@@ -420,6 +420,42 @@ object Events {
       .orderBy("event_type", "hour")
   }
 
+  /** ROBUST hourly anomaly flags — the median/MAD twin of
+    * [[hourlyAnomalies]]'s z² rule: an hour is anomalous when
+    * |n − median| > 3·MAD over its trailing 24 CALENDAR hours (median
+    * absolute deviation shrugs off the contaminated-window problem that
+    * inflates a mean/variance detector's σ after one spike). The nested
+    * statistic (MAD needs each window's median first) cannot ride a
+    * window frame, so the trailing window materializes as an explode(24
+    * offsets)-equi-join of the HOUR CELL TABLE with itself — linear in
+    * cells, never a range-condition nested loop — and two percentile
+    * aggregations over it. Exactness: medians of 24 longs are halves,
+    * MADs quarters — exact binary fractions both engines interpolate
+    * identically (percentile ≡ quantile_cont), so the flag is
+    * deterministic. Only full windows (k = 24) report.
+    */
+  def robustHourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_millis(ts) div 3600000").as("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val p = h
+      .withColumn("off", explode(sequence(lit(1), lit(24))))
+      .select(col("hour_id"), col("n"),
+        (col("hour_id") - col("off")).as("prev_id"))
+      .join(h.select(col("hour_id").as("prev_id"), col("n").as("bn")),
+        "prev_id")
+    val meds = p.groupBy("hour_id", "n").agg(count(lit(1)).as("k"),
+      expr("percentile(bn, 0.5)").as("med"))
+    val mads = p.join(meds.select("hour_id", "med"), "hour_id")
+      .select(col("hour_id"), abs(col("bn") - col("med")).as("dev"))
+      .groupBy("hour_id").agg(expr("percentile(dev, 0.5)").as("mad"))
+    meds.join(mads, "hour_id").filter(col("k") === 24)
+      .select(col("hour_id"), col("n"), col("med"), col("mad"),
+        (abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+          .as("robust_anomaly"))
+      .orderBy("hour_id")
+  }
+
   /** Per-event trailing-rate enrichment via the BROADCAST as-of join
     * ([[graft.plans.BroadcastAsOfJoinExec]]): every event is tagged with
     * its type's count over the most recent fully completed hour. The

@@ -157,6 +157,11 @@ class PlanBudgetSpec extends SparkTestBase {
     // ONE corpus gram shuffle; everything else (w1/w2 marginal windows,
     // 1-row total, order) re-partitions the compact COUNT table only
     "q_pmi_collocations" -> 6,
+    // ONE feed exchange (the hour-cell agg); every further exchange —
+    // trailing-window equi-join sides, two percentile aggs, final join,
+    // order — moves the CELL table only (explode(24)-join, no nested
+    // loop on the range condition)
+    "q_robust_anomaly" -> 9,
     // one agg per table + anti-join key-column exchanges; everything
     // after the two table aggs is rule-count- or key-column-sized
     "q_constraint_audit" -> 8,
