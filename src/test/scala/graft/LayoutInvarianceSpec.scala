@@ -1,0 +1,51 @@
+package graft
+
+/** Partition-layout invariance — the determinism property the oracle
+  * hash-match cannot see (the driver always runs one fixed layout): a
+  * query's RESULT must not depend on how the input happens to be split
+  * or how many shuffle partitions the session runs. On a real cluster
+  * both vary run to run (file sizes, AQE coalescing, executor count), so
+  * any layout-sensitive result — an order-dependent double sum that
+  * changes at the last ulp, a `first()` over an unordered group, a
+  * nondeterministic tie-break — is a silent wrong-answer generator at
+  * scale. Each case runs once under the suite layout (4 shuffle
+  * partitions, default splits) and once under a deliberately different
+  * one (7 shuffle partitions, 64 KiB max split → many more input
+  * partitions) and must produce IDENTICAL rows.
+  */
+class LayoutInvarianceSpec extends SparkTestBase {
+
+  // deliberately float-heavy and tie-prone picks alongside the core paths
+  private val cases = Seq(
+    "q_index_build", "q_tfidf_topk", "q_bm25_topk", "q_doc_similarity",
+    "q_quality_deciles", "q_distribution_drift", "q_pmi_collocations",
+    "q_robust_anomaly", "q_hourly_anomaly", "q_minhash_lsh", "q_simhash",
+    "q_seq_packing", "q_epoch_shuffle", "q_pareto_frontier",
+    "q5_region_revenue", "q_stratified_sample", "q_winnowing",
+    "q_asof_broadcast", "q_top_terms_per_doc", "q_heavy_hitters")
+
+  private def rowsOf(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect().map(_.toString).toSeq.sorted
+  }
+
+  cases.foreach { name =>
+    test(s"$name is invariant to shuffle-partition count and input splits") {
+      val base = rowsOf(name)
+      val conf = spark.conf
+      val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+      val oldSplit = conf.get("spark.sql.files.maxPartitionBytes")
+      conf.set("spark.sql.shuffle.partitions", "7")
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      try {
+        val alt = rowsOf(name)
+        assert(alt === base,
+          s"$name result depends on partition layout")
+        assert(base.nonEmpty)
+      } finally {
+        conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+      }
+    }
+  }
+}
