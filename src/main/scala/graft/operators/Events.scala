@@ -469,20 +469,34 @@ object Events {
     * 100 TB event log. An event's own (incomplete) hour never matches:
     * its completion instant is strictly in the event's future.
     */
-  def prevHourRate(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"),
-        expr("unix_millis(ts)").as("ms"))
-    val hourly = Tables.events(spark, sfDir)
+  def prevHourRate(spark: SparkSession, sfDir: String): DataFrame =
+    enrichWithPrevHour(
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          expr("unix_millis(ts)").as("ms")),
+      hourlyCells(Tables.events(spark, sfDir)))
+      .orderBy("event_id")
+
+  /** The broadcast dimension of [[prevHourRate]]: per-type hour cells
+    * keyed by completion instant. Shared with the streaming twin
+    * ([[graft.streaming.StreamingAsOf]]), which builds it ONCE and
+    * probes it from every micro-batch.
+    */
+  private[graft] def hourlyCells(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type").as("h_type"),
         expr("unix_millis(ts) div 3600000").as("hour_id"))
       .agg(count(lit(1)).as("prev_n"))
       .select(col("h_type"), ((col("hour_id") + 1) * 3600000L).as("h_ms"),
         col("prev_n"))
+
+  /** The enrichment itself — row-local given the broadcast dim, so it
+    * composes identically over any batching of the probe side.
+    */
+  private[graft] def enrichWithPrevHour(ev: DataFrame,
+                                        hourly: DataFrame): DataFrame =
     graft.plans.AsOfJoin.broadcast(ev, hourly,
         Seq(("event_type", "h_type")), "ms", "h_ms")
       .select(col("event_id"), col("event_type"), col("ms"), col("h_ms"),
         col("prev_n"))
-      .orderBy("event_id")
-  }
 }

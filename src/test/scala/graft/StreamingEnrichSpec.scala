@@ -8,6 +8,7 @@ import graft.streaming.StreamingIndexer
   * drained aggregation state must equal the one-shot batch join+rollup.
   */
 class StreamingEnrichSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("AvailableNow drain equals the batch join+rollup") {
     val streamed = StreamingIndexer.enrichedSegmentRollup(spark, sf)
@@ -26,5 +27,23 @@ class StreamingEnrichSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     // every segment of the dimension that has events appears enriched
     assert(streamed.map(_._1).distinct.size > 1)
+  }
+
+  test("foreachBatch as-of enrichment: micro-batch union ≡ batch, custom exec per batch") {
+    val streamed = graft.streaming.StreamingAsOf
+      .enrichAvailableNow(spark, sf)
+      .as[(Long, String, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+    val batch = graft.operators.Events.prevHourRate(spark, sf)
+      .as[(Long, String, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the drain genuinely ran multiple micro-batches, and EVERY batch's
+    // sink plan used the broadcast as-of exec (not a fallback join)
+    assert(graft.streaming.StreamingAsOf.lastNumBatches.get >= 2,
+      "expected the two staged files to drain as >= 2 micro-batches")
+    assert(graft.streaming.StreamingAsOf.lastAllBatchesUsedBroadcastExec,
+      "a micro-batch sink planned without BroadcastAsOfJoinExec")
   }
 }
