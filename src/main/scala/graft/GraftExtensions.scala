@@ -49,6 +49,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "poly_fold64(s) takes one argument")
         PolyFold64(args.head)
+      }),
+    (new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName,
+        "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_sketch(h, k) takes two arguments")
+        val k = args(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "kmv_sketch: k must be a literal")
+        }
+        graft.functions.KmvSketchAgg(args.head, k)
       }))
 
   /** Register every graft function into a live session's registry. */

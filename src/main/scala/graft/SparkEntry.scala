@@ -152,6 +152,9 @@ object SparkEntry {
     // HLL++ variant, IndexQueries.vocabApprox, stays library+spec-only:
     // its sketch values are Spark-implementation-specific)
     "q_vocab_kmv"      -> ((s, d) => IndexQueries.vocabKMV(s, d, 64)),
+    // the same sketch via the NATIVE TypedImperativeAggregate (map-side
+    // partial sketches; at most k longs per task reach the exchange)
+    "q_vocab_kmv_native" -> ((s, d) => IndexQueries.vocabKMVNative(s, d, 64)),
     // KMV set algebra: pairwise vocabulary overlap from the k-row
     // sketches alone (exact inter/union as the audit leg)
     "q_vocab_overlap"  -> ((s, d) => IndexQueries.vocabOverlapKMV(s, d, 64)),
@@ -495,6 +498,34 @@ object SparkEntry {
       |FROM bybin x JOIN tot t USING (dimension)
       |GROUP BY t.dimension, n_bins, n_base, n_new
       |ORDER BY t.dimension""".stripMargin
+
+  // per-lang KMV vocabulary sketch — deterministic (engine-exact
+  // polynomial hash); shared by the declarative window formulation
+  // (q_vocab_kmv) and the native TypedImperativeAggregate twin
+  // (q_vocab_kmv_native): estimate AND exact count both checked
+  private lazy val kmvOracleSql: String =
+    s"""WITH $toksCte, t AS (
+         |  SELECT DISTINCT lang, t AS term FROM toks, unnest(ts) AS u(t)),
+         |hs AS (SELECT lang,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*131+c) % 2147483647) * 4294967296 +
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
+         |    (acc,c) -> (acc*257+c) % 4294967291) AS h
+         |  FROM t),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hs),
+         |a AS (SELECT lang,
+         |        CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |        max(CASE WHEN rn <= 64 THEN h END) AS kth_min,
+         |        CAST(count(*) AS BIGINT) AS exact_vocab
+         |      FROM r GROUP BY lang)
+         |SELECT lang, k, kth_min,
+         |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
+         |       exact_vocab
+         |FROM a ORDER BY lang""".stripMargin
 
   private val toksCte =
     """toks AS (
@@ -942,29 +973,11 @@ object SparkEntry {
     // per-lang KMV vocabulary sketch — deterministic (engine-exact
     // polynomial hash), unlike the HLL++ vocabApprox it replaced in the
     // declared set; estimate AND exact count both checked
-    "q_vocab_kmv" ->
-      s"""WITH $toksCte, t AS (
-         |  SELECT DISTINCT lang, t AS term FROM toks, unnest(ts) AS u(t)),
-         |hs AS (SELECT lang,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
-         |    (acc,c) -> (acc*131+c) % 2147483647) * 4294967296 +
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, len(term)+1), i -> CAST(ord(substr(term,i,1)) AS BIGINT))),
-         |    (acc,c) -> (acc*257+c) % 4294967291) AS h
-         |  FROM t),
-         |r AS (SELECT lang, h,
-         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
-         |      FROM hs),
-         |a AS (SELECT lang,
-         |        CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         |        max(CASE WHEN rn <= 64 THEN h END) AS kth_min,
-         |        CAST(count(*) AS BIGINT) AS exact_vocab
-         |      FROM r GROUP BY lang)
-         |SELECT lang, k, kth_min,
-         |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
-         |       exact_vocab
-         |FROM a ORDER BY lang""".stripMargin,
+    "q_vocab_kmv" -> kmvOracleSql,
+    // the NATIVE TypedImperativeAggregate computes the same k-smallest-
+    // distinct pair — a pure function of the input set — so it answers
+    // to the IDENTICAL oracle
+    "q_vocab_kmv_native" -> kmvOracleSql,
     // KMV set algebra over the same per-lang sketches: ρ = fraction of
     // K(A∪B) in both K(A) and K(B) estimates Jaccard; exact audit leg
     "q_vocab_overlap" ->

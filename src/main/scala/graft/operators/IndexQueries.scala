@@ -305,6 +305,32 @@ object IndexQueries {
       .orderBy("lang")
   }
 
+  /** [[vocabKMV]] executed by the NATIVE sketch aggregate
+    * ([[graft.functions.KmvSketchAgg]], a `TypedImperativeAggregate`
+    * with binary mergeable state): where the declarative twin shuffles
+    * EVERY distinct hash to its language's partition for the
+    * `row_number` window, the native aggregate runs map-side partial
+    * sketches and forwards at most k longs per (task, language) into the
+    * exchange — the input-vs-k reduction that makes sketch pipelines
+    * linear at 100 TB. Same k-smallest-distinct semantics (a pure
+    * function of the input set), so it answers to the IDENTICAL oracle.
+    */
+  def vocabKMVNative(spark: SparkSession, sfDir: String,
+                     k: Int = 64): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explodedTokens(col("text")).as("term"))
+      .distinct()
+      .select(col("lang"), polyFold64(col("term")).as("h"))
+      .groupBy("lang")
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(col("h"), k).as("sk"),
+        count(lit(1)).as("exact_vocab"))
+      .select(col("lang"), col("sk.k").as("k"),
+        col("sk.kth_min").as("kth_min"),
+        floor(((col("sk.k") - 1) * lit(KmvHashSpace)) / col("sk.kth_min")
+          + 0.5).cast("long").as("estimate"),
+        col("exact_vocab"))
+      .orderBy("lang")
+
   /** Vocabulary COVERAGE CURVE — the tokenizer-design question "how much
     * of the token stream do the top-N terms cover?": term counts ranked
     * by (count desc, term), cumulative token share at each requested

@@ -22,7 +22,9 @@ class LayoutInvarianceSpec extends SparkTestBase {
     "q_robust_anomaly", "q_hourly_anomaly", "q_minhash_lsh", "q_simhash",
     "q_seq_packing", "q_epoch_shuffle", "q_pareto_frontier",
     "q5_region_revenue", "q_stratified_sample", "q_winnowing",
-    "q_asof_broadcast", "q_top_terms_per_doc", "q_heavy_hitters")
+    "q_asof_broadcast", "q_top_terms_per_doc", "q_heavy_hitters",
+    // native sketch: partial/merge must commute with any partitioning
+    "q_vocab_kmv_native")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

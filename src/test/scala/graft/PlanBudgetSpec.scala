@@ -88,6 +88,9 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_pack_summary"    -> 4, // bucket window + totals + offsets + 1-row final
     "q_bpe_encode"      -> 4, // word agg + (lang,word) agg + lang agg + order
     "q_vocab_kmv"       -> 3, // (lang,term) distinct + ONE lang exchange + order
+    // native sketch twin: same exchanges, but the lang exchange now
+    // carries ≤ k longs per task (partial sketches), not the full vocab
+    "q_vocab_kmv_native" -> 3,
     "q_simhash_pairs"   -> 3, // tok agg + signature agg + order; chunk join broadcasts at test scale
     "q_user_activity_window" -> 2, // ONE user exchange (both frames ride it) + order
     "q_mixture_cube"    -> 2, // Expand collapses map-side; cell agg + order

@@ -91,4 +91,59 @@ class VocabSketchSpec extends SparkTestBase {
         s"$lang HLL++ approx $approx vs exact $ex (rsd=0.01 requested)")
     }
   }
+
+  test("native KmvSketchAgg ≡ declarative window KMV, row for row") {
+    val native = graft.operators.IndexQueries.vocabKMVNative(spark, sf)
+      .collect().map(_.toString).sorted
+    val window = graft.operators.IndexQueries.vocabKMV(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(native === window)
+    assert(native.nonEmpty)
+  }
+
+  test("KmvSketchAgg plans partial+final (map-side sketch combine)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.IndexQueries.vocabKMVNative(spark, sf)
+        .queryExecution.executedPlan
+      // TypedImperativeAggregate runs in ObjectHashAggregate (or sort
+      // fallback); TWO aggregate stages for the sketch = partial map-side
+      // state + final merge — the input-vs-k reduction under test
+      val aggStages = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[graft.functions.KmvSketchAgg]) => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[graft.functions.KmvSketchAgg]) => a
+      }
+      assert(aggStages.length === 2,
+        s"expected partial+final sketch aggregation in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("kmv_sketch is callable from SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    spark.range(0, 1000).selectExpr("id % 100 AS g", "hash(id) AS h")
+      .createOrReplaceTempView("kmv_in")
+    val row = spark.sql(
+      """SELECT sk.k AS k, sk.kth_min AS kth_min FROM (
+        |  SELECT kmv_sketch(CAST(h AS BIGINT), 8) AS sk FROM kmv_in)"""
+        .stripMargin).collect().head
+    assert(row.getLong(0) === 8L)
+    // kth_min is the 8th smallest distinct hash — recompute brute force
+    val hs = spark.range(0, 1000).selectExpr("CAST(hash(id) AS BIGINT) AS h")
+      .collect().map(_.getLong(0)).distinct.sorted
+    assert(row.getLong(1) === hs(7))
+  }
+
+  test("KmvState: duplicates occupy one slot; merge keeps k smallest") {
+    val a = new graft.functions.KmvState(4)
+    Seq(5L, 3L, 5L, 9L, 1L, 7L).foreach(a.add)
+    assert(a.mins.toArray.toSeq === Seq(1L, 3L, 5L, 7L))
+    val b = new graft.functions.KmvState(4)
+    Seq(2L, 8L, 0L, 2L).foreach(b.add)
+    a.merge(b)
+    assert(a.mins.toArray.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
 }
