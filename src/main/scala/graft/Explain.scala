@@ -26,6 +26,7 @@ object Explain {
         "q_incremental_neardup", "q_containment_pairs", "q_vocab_overlap",
         "q_range_join", "q_span_scrub", "q_shard_manifest", "q_asof_native",
         "q_asof_broadcast", "q_pareto_frontier", "q_pmi_collocations",
+        "q_robust_anomaly", "q_vocab_kmv_native",
         "q_constraint_audit", "q_distribution_drift", "q_epoch_shuffle",
         "q_hourly_anomaly")
     val spark = SparkSession.builder()
