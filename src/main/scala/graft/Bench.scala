@@ -43,12 +43,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // DATA-MOVEMENT accounting: total shuffle bytes WRITTEN while each
+    // query executes (stage-completion metrics, bus drained before each
+    // snapshot so attribution is exact for the sequential bench). The
+    // number every scale review asks for — "how much did this query
+    // move?" — reported per query in bench_detail.json.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+          }
+        }
+      })
+    def shuffleSnapshot(): Long = {
+      org.apache.spark.graftshim.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext)
+      shuffleBytes.get()
+    }
+    val shuffleMb = scala.collection.mutable.Map.empty[String, Double]
+
     def exec(name: String): Either[String, Double] = {
+      val s0 = shuffleSnapshot()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // keep the LAST pass's bytes: identical across passes for a
+        // deterministic plan, and pass 2 excludes one-time build cost a
+        // cold pass might trigger
+        shuffleMb(name) = (shuffleSnapshot() - s0) / 1e6
+        Right(secs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Left(name)
@@ -139,7 +168,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = fmt(best ++ buildSecs.map {
       case (n, s) => n -> Right(s) }, 3)
-    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val shuffleJson = shuffleMb.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"shuffle_mb":$shuffleJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (full + "\n").getBytes("UTF-8"))
     println(full) // early line: complete detail for anyone reading full stdout
