@@ -56,7 +56,9 @@ class EmptyInputSpec extends SparkTestBase {
     "q_quota_cap",        // per-source quota
     "q_mixture_cube",     // grouping-sets tile
     "q_chunk_documents",  // context-window chunking
-    "q_pii_mask")         // row-local masking
+    "q_pii_mask",         // row-local masking
+    "q_vocab_kmv_native", // native sketch aggregate over zero rows
+    "q_streaming_asof")   // foreachBatch drain of an empty feed
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {
