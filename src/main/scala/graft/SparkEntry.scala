@@ -425,6 +425,9 @@ object SparkEntry {
     // inside a streaming pipeline); union of batches ≡ the batch answer
     "q_streaming_asof"     -> ((s, d) =>
       graft.streaming.StreamingAsOf.enrichAvailableNow(s, d)),
+    // the A/B control: identical enrichment through the SHUFFLED merge —
+    // bench shuffle_mb shows the whole feed crossing the exchange
+    "q_asof_rate_merge"    -> ((s, d) => Events.prevHourRateMerge(s, d)),
     // |z|>3 hourly outliers via the fraction-free (kn-S)² > 9(kSS-S²) rule
     "q_hourly_anomaly"     -> ((s, d) => Events.hourlyAnomalies(s, d)),
     // the median/MAD robust twin over trailing 24 calendar hours
@@ -3341,6 +3344,17 @@ object SparkEntry {
     // broadcast as-of: each event tagged with its type's count over the
     // most recent FULLY COMPLETED hour (cell keyed by completion instant)
     "q_asof_broadcast" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |h AS (SELECT event_type AS h_type, epoch_ms(ts) // 3600000 AS hour_id,
+        |             count(*) AS prev_n
+        |      FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT h_type, (hour_id + 1) * 3600000 AS h_ms, prev_n FROM h)
+        |SELECT e.event_id, e.event_type, e.ms, h2.h_ms, h2.prev_n
+        |FROM e ASOF LEFT JOIN h2
+        |  ON e.event_type = h2.h_type AND h2.h_ms <= e.ms
+        |ORDER BY event_id""".stripMargin,
+    // the shuffled-merge A/B control answers to the identical oracle
+    "q_asof_rate_merge" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
         |h AS (SELECT event_type AS h_type, epoch_ms(ts) // 3600000 AS hour_id,
         |             count(*) AS prev_n

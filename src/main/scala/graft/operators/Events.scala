@@ -499,4 +499,22 @@ object Events {
         Seq(("event_type", "h_type")), "ms", "h_ms")
       .select(col("event_id"), col("event_type"), col("ms"), col("h_ms"),
         col("prev_n"))
+
+  /** The SAME enrichment forced through the shuffled-merge exec — the
+    * declared A/B control for the broadcast plan: identical answer
+    * (same oracle), but the bench's per-query `shuffle_mb` records the
+    * full event feed crossing the exchange where the broadcast variant
+    * moves only the cell table + output order. The quantitative form of
+    * "is this join broadcast-able, and did I broadcast it?".
+    */
+  def prevHourRateMerge(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.AsOfJoin.merge(
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"),
+            expr("unix_millis(ts)").as("ms")),
+        hourlyCells(Tables.events(spark, sfDir)),
+        Seq(("event_type", "h_type")), "ms", "h_ms")
+      .select(col("event_id"), col("event_type"), col("ms"), col("h_ms"),
+        col("prev_n"))
+      .orderBy("event_id")
 }

@@ -153,6 +153,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // the BROADCAST as-of: the event feed moves NOTHING — only the tiny
     // hourly cell agg and the output order shuffle (dim side broadcasts)
     "q_asof_broadcast" -> 2,
+    // the A/B control pays the merge contract: both co-partitioning
+    // exchanges + hourly agg + order — the bill the broadcast removes
+    "q_asof_rate_merge" -> 4,
     // two-phase skyline: ONE bucket exchange of the 3-column metric
     // relation + the single-partition window over the TINY local
     // frontiers + output order — never an O(n²) dominance join
