@@ -49,25 +49,28 @@ object Bench {
     // number every scale review asks for — "how much did this query
     // move?" — reported per query in bench_detail.json.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics
           if (m != null) {
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled); ()
           }
         }
       })
-    def shuffleSnapshot(): Long = {
+    def metricsSnapshot(): (Long, Long) = {
       org.apache.spark.graftshim.ListenerBridge
         .waitUntilEmpty(spark.sparkContext)
-      shuffleBytes.get()
+      (shuffleBytes.get(), spillBytes.get())
     }
     val shuffleMb = scala.collection.mutable.Map.empty[String, Double]
+    val spillMb = scala.collection.mutable.Map.empty[String, Double]
 
     def exec(name: String): Either[String, Double] = {
-      val s0 = shuffleSnapshot()
+      val (s0, p0) = metricsSnapshot()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -76,7 +79,11 @@ object Bench {
         // keep the LAST pass's bytes: identical across passes for a
         // deterministic plan, and pass 2 excludes one-time build cost a
         // cold pass might trigger
-        shuffleMb(name) = (shuffleSnapshot() - s0) / 1e6
+        val (s1, p1) = metricsSnapshot()
+        shuffleMb(name) = (s1 - s0) / 1e6
+        // spill is the memory-pressure signal: nonzero entries only
+        // (expected all-zero at sf0.1; the map existing proves we LOOKED)
+        if (p1 > p0) spillMb(name) = (p1 - p0) / 1e6
         Right(secs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -171,7 +178,10 @@ object Bench {
     val shuffleJson = shuffleMb.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"shuffle_mb":$shuffleJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val spillJson = spillMb.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (full + "\n").getBytes("UTF-8"))
     println(full) // early line: complete detail for anyone reading full stdout
