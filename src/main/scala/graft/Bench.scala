@@ -82,8 +82,11 @@ object Bench {
         val (s1, p1) = metricsSnapshot()
         shuffleMb(name) = (s1 - s0) / 1e6
         // spill is the memory-pressure signal: nonzero entries only
-        // (expected all-zero at sf0.1; the map existing proves we LOOKED)
+        // (expected all-zero at sf0.1; the map existing proves we LOOKED).
+        // Unconditionally track the LAST pass — a cold-pass spill that the
+        // warm pass avoids must not linger as a stale entry
         if (p1 > p0) spillMb(name) = (p1 - p0) / 1e6
+        else spillMb.remove(name)
         Right(secs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

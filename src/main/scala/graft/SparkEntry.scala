@@ -1827,7 +1827,7 @@ object SparkEntry {
          |m AS (SELECT doc_id, n_chars,
          |             CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
          |      FROM toks
-         |      WHERE n_chars IS NOT NULL)
+         |      WHERE n_chars IS NOT NULL AND ts IS NOT NULL)
          |SELECT doc_id, n_chars, n_distinct FROM m a
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM m b

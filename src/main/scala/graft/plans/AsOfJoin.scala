@@ -196,15 +196,24 @@ case class AsOfJoinExec(
   * same trade `BroadcastHashJoin` makes against `SortMergeJoin`.
   *
   * NULL semantics match [[AsOfJoinExec]]: NULL keys/times never match.
-  * Tie-break on equal right times also matches (the last row in right
-  * sort order wins — upper-bound search here, last-buffered in the
-  * merge).
+  * Tie-break on equal right times matches up to the inherent
+  * nondeterminism of duplicate (key, time) right rows: both execs take
+  * the LAST row at the matched time (upper-bound search here,
+  * last-buffered in the merge), but "last" among rows whose sort keys
+  * are fully equal is whatever order the engine happened to produce, so
+  * payload columns of tied duplicates may differ between the two paths.
   */
 case class BroadcastAsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression)
   extends SparkPlan with BinaryExecNode {
+
+  // driver-minted identity for this exec instance; combined with the
+  // broadcast id it keys the per-executor index cache (two different
+  // as-of joins over the same broadcast must not share an index, since
+  // their key/time expressions differ)
+  private val buildInstanceId: String = java.util.UUID.randomUUID().toString
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -227,32 +236,42 @@ case class BroadcastAsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    // the built index is identical for every task of this exec on an
+    // executor — memoize it per (exec instance, broadcast) the way
+    // BroadcastHashJoin reuses its built relation, so a wide fact scan
+    // with hundreds of partitions pays the O(|R| log |R|) build once per
+    // executor instead of once per task
+    val cacheKey = s"$buildInstanceId#${bc.id}"
     left.execute().mapPartitions({ lIter =>
-      // per-task build of the broadcast index: key → times sorted asc,
-      // parallel row array. Dimension-sized by the broadcast contract.
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
-      val rTime = BindReferences.bindReference(rTimeExpr, rightOutput)
-      val grouped = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      bc.value.foreach { row =>
-        val t = rTime.eval(row)
-        val k = rKeyProj(row)
-        // NULL right key/time matches nothing — exclude from the index
-        if (t != null && !k.anyNull) {
-          var buf = grouped.get(k)
-          if (buf == null) {
-            buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]
-            grouped.put(k.copy(), buf)
+      val index = BroadcastAsOfJoinExec.cachedIndex(cacheKey, {
+        // key → times sorted asc, parallel row array. Dimension-sized by
+        // the broadcast contract; rows are shared with the executor's
+        // cached broadcast value, keys are compact UnsafeRow copies.
+        val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+        val rTime = BindReferences.bindReference(rTimeExpr, rightOutput)
+        val grouped = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+        bc.value.foreach { row =>
+          val t = rTime.eval(row)
+          val k = rKeyProj(row)
+          // NULL right key/time matches nothing — exclude from the index
+          if (t != null && !k.anyNull) {
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]
+              grouped.put(k.copy(), buf)
+            }
+            buf += ((t.asInstanceOf[Long], row))
           }
-          buf += ((t.asInstanceOf[Long], row))
         }
-      }
-      val index = new java.util.HashMap[UnsafeRow,
-        (Array[Long], Array[InternalRow])](grouped.size() * 2)
-      grouped.forEach { (k, buf) =>
-        val sorted = buf.sortBy(_._1) // stable: equal times keep order
-        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-      }
+        val built = new java.util.HashMap[UnsafeRow,
+          (Array[Long], Array[InternalRow])](grouped.size() * 2)
+        grouped.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1) // stable: equal times keep order
+          built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+        built
+      })
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
       val lTime = BindReferences.bindReference(lTimeExpr, leftOutput)
       val joined = new JoinedRow
@@ -287,6 +306,34 @@ case class BroadcastAsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index =
+    java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
+  // executor-wide memo of built broadcast indexes, soft-valued so the JVM
+  // reclaims them under memory pressure (the underlying rows live in the
+  // block manager's broadcast cache either way — this only holds the
+  // key/offset structure built on top of them)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[Index]]()
+
+  private[plans] def cachedIndex(key: String, build: => Index): Index = {
+    val ref = cache.get(key)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else cache.synchronized {
+      // re-check under the lock: the first task builds, the rest reuse
+      val ref2 = cache.get(key)
+      val hit2 = if (ref2 == null) null else ref2.get()
+      if (hit2 != null) hit2
+      else {
+        val built = build
+        cache.put(key, new java.lang.ref.SoftReference(built))
+        built
+      }
+    }
+  }
 }
 
 /** Public face: `AsOfJoin(left, right, keys, leftTime, rightTime)`.
