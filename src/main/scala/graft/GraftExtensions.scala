@@ -61,6 +61,31 @@ object GraftExtensions {
             "kmv_sketch: k must be a literal")
         }
         graft.functions.KmvSketchAgg(args.head, k)
+      }),
+    (new FunctionIdentifier("kmv_hashes"),
+      new ExpressionInfo(classOf[graft.functions.KmvHashesAgg].getName,
+        "kmv_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_hashes(h, k) takes two arguments")
+        val k = args(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "kmv_hashes: k must be a literal")
+        }
+        graft.functions.KmvHashesAgg(args.head, k)
+      }),
+    (new FunctionIdentifier("bottomk_sketch"),
+      new ExpressionInfo(classOf[graft.functions.BottomKSketchAgg].getName,
+        "bottomk_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bottomk_sketch(h, v, k) takes three arguments")
+        val k = args(2) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "bottomk_sketch: k must be a literal")
+        }
+        graft.functions.BottomKSketchAgg(args.head, args(1), k)
       }))
 
   /** Register every graft function into a live session's registry. */

@@ -158,6 +158,10 @@ object SparkEntry {
     // KMV set algebra: pairwise vocabulary overlap from the k-row
     // sketches alone (exact inter/union as the audit leg)
     "q_vocab_overlap"  -> ((s, d) => IndexQueries.vocabOverlapKMV(s, d, 64)),
+    // the same overlap matrix from SHIPPED sketch members (native
+    // KmvHashesAgg + O(k) array set algebra per pair; the estimate legs
+    // never touch the data after the one sketch pass)
+    "q_vocab_overlap_native" -> ((s, d) => IndexQueries.vocabOverlapNative(s, d, 64)),
     "q_shingle_kmv"    -> ((s, d) => IndexQueries.shingleKMV(s, d, 64)),
     // CMS / Bloom: engine-exact frequency and membership sketches with a
     // probe-set audit (estimate-vs-truth, claimed-vs-actual)
@@ -166,6 +170,13 @@ object SparkEntry {
     // fixed-bin histogram percentile estimation vs exact truth — the
     // approximate-quantile shape that avoids the global sort at scale
     "q_hist_percentiles" -> ((s, d) => Sketches.histPercentiles(s, d)),
+    // per-group quantiles from the native bottom-k sample sketch (≤ k
+    // pairs per task reach the exchange; deterministic, oracle-exact —
+    // unlike percentile_approx, whose compaction is order-dependent)
+    "q_sketch_quantiles" -> ((s, d) => Quantiles.sketchQuantiles(s, d)),
+    // range-partition boundary planning from the same sketch: the
+    // 31 cut points for a 32-way repartitionByRange over doc length
+    "q_range_boundaries" -> ((s, d) => Quantiles.rangeBoundaries(s, d)),
     // CMS maintained as streaming state; drained state ≡ the batch
     // sketch because cellwise add IS the sketch merge
     "q_streaming_cms"  -> ((s, d) =>
@@ -407,6 +418,9 @@ object SparkEntry {
     // broadcast dim join + rollup state under the batch oracle
     "q_streaming_enrich" -> ((s, d) => graft.streaming.StreamingIndexer.enrichedSegmentRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
+    // SCD type-2 dimension build: per-user attribute history as
+    // validity intervals (gaps-and-islands, one user-keyed exchange)
+    "q_scd2_build"     -> ((s, d) => Events.scd2Build(s, d)),
     // the same sessions produced by flatMapGroupsWithState append-mode
     // state, flushed by a far-future sentinel that drives the final
     // watermark past every gap deadline — streaming session state under
@@ -529,6 +543,51 @@ object SparkEntry {
          |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
          |       exact_vocab
          |FROM a ORDER BY lang""".stripMargin
+
+  // full pairwise vocabulary-overlap matrix (KMV estimates + exact audit
+  // legs) — shared by the declarative window formulation (q_vocab_overlap)
+  // and the native sketch-members twin (q_vocab_overlap_native)
+  private lazy val vocabOverlapOracleSql: String =
+    s"""WITH $toksCte, t AS (
+         |  SELECT DISTINCT lang, t AS term FROM toks, unnest(ts) AS u(t)),
+         |hs AS (SELECT lang, ${foldSql("term")} AS h FROM t),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hs),
+         |kmin AS (SELECT lang, h FROM r WHERE rn <= 64),
+         |langs AS (SELECT DISTINCT lang FROM kmin),
+         |lp AS (SELECT x.lang AS lang_a, y.lang AS lang_b
+         |       FROM langs x JOIN langs y ON x.lang < y.lang),
+         |mh AS (
+         |  SELECT lang_a, lang_b, h,
+         |         max(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS in_a,
+         |         max(CASE WHEN lang <> lang_a THEN 1 ELSE 0 END) AS in_b
+         |  FROM lp JOIN kmin ON lang = lang_a OR lang = lang_b
+         |  GROUP BY 1, 2, 3),
+         |tk AS (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b
+         |                                    ORDER BY h) AS rn FROM mh),
+         |est AS (
+         |  SELECT lang_a, lang_b, count(*) AS k, max(h) AS kth_min,
+         |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+         |  FROM tk WHERE rn <= 64 GROUP BY 1, 2),
+         |ex0 AS (
+         |  SELECT lang_a, lang_b, term,
+         |         max(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS a,
+         |         max(CASE WHEN lang <> lang_a THEN 1 ELSE 0 END) AS b
+         |  FROM lp JOIN t ON lang = lang_a OR lang = lang_b
+         |  GROUP BY 1, 2, 3),
+         |ex AS (
+         |  SELECT lang_a, lang_b,
+         |         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact,
+         |         CAST(count(*) AS BIGINT) AS union_exact
+         |  FROM ex0 GROUP BY 1, 2)
+         |SELECT lang_a, lang_b,
+         |       round(CAST(n_both AS DOUBLE) / k, 6) AS jaccard_est,
+         |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS union_est,
+         |       inter_exact, union_exact,
+         |       round(CAST(inter_exact AS DOUBLE) / union_exact, 6) AS jaccard_exact
+         |FROM est JOIN ex USING (lang_a, lang_b)
+         |ORDER BY lang_a, lang_b""".stripMargin
 
   private val toksCte =
     """toks AS (
@@ -983,47 +1042,58 @@ object SparkEntry {
     "q_vocab_kmv_native" -> kmvOracleSql,
     // KMV set algebra over the same per-lang sketches: ρ = fraction of
     // K(A∪B) in both K(A) and K(B) estimates Jaccard; exact audit leg
-    "q_vocab_overlap" ->
-      s"""WITH $toksCte, t AS (
-         |  SELECT DISTINCT lang, t AS term FROM toks, unnest(ts) AS u(t)),
-         |hs AS (SELECT lang, ${foldSql("term")} AS h FROM t),
-         |r AS (SELECT lang, h,
-         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
-         |      FROM hs),
-         |kmin AS (SELECT lang, h FROM r WHERE rn <= 64),
-         |langs AS (SELECT DISTINCT lang FROM kmin),
-         |lp AS (SELECT x.lang AS lang_a, y.lang AS lang_b
-         |       FROM langs x JOIN langs y ON x.lang < y.lang),
-         |mh AS (
-         |  SELECT lang_a, lang_b, h,
-         |         max(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS in_a,
-         |         max(CASE WHEN lang <> lang_a THEN 1 ELSE 0 END) AS in_b
-         |  FROM lp JOIN kmin ON lang = lang_a OR lang = lang_b
-         |  GROUP BY 1, 2, 3),
-         |tk AS (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b
-         |                                    ORDER BY h) AS rn FROM mh),
-         |est AS (
-         |  SELECT lang_a, lang_b, count(*) AS k, max(h) AS kth_min,
-         |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
-         |  FROM tk WHERE rn <= 64 GROUP BY 1, 2),
-         |ex0 AS (
-         |  SELECT lang_a, lang_b, term,
-         |         max(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS a,
-         |         max(CASE WHEN lang <> lang_a THEN 1 ELSE 0 END) AS b
-         |  FROM lp JOIN t ON lang = lang_a OR lang = lang_b
-         |  GROUP BY 1, 2, 3),
-         |ex AS (
-         |  SELECT lang_a, lang_b,
-         |         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact,
-         |         CAST(count(*) AS BIGINT) AS union_exact
-         |  FROM ex0 GROUP BY 1, 2)
-         |SELECT lang_a, lang_b,
-         |       round(CAST(n_both AS DOUBLE) / k, 6) AS jaccard_est,
-         |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS union_est,
-         |       inter_exact, union_exact,
-         |       round(CAST(inter_exact AS DOUBLE) / union_exact, 6) AS jaccard_exact
-         |FROM est JOIN ex USING (lang_a, lang_b)
-         |ORDER BY lang_a, lang_b""".stripMargin,
+    "q_vocab_overlap" -> vocabOverlapOracleSql,
+    // the native sketch-members twin computes the IDENTICAL matrix
+    "q_vocab_overlap_native" -> vocabOverlapOracleSql,
+    "q_sketch_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         ((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
+        |         CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT DISTINCT event_type, h, v FROM b),
+        |r AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+        |      FROM d),
+        |s AS (SELECT event_type, list(v ORDER BY v) AS sv,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM r WHERE rn <= 256 GROUP BY event_type)
+        |SELECT event_type, n AS n_sample,
+        |       sv[CAST((50 * (n - 1)) // 100 AS INT) + 1] AS p50_est,
+        |       sv[CAST((90 * (n - 1)) // 100 AS INT) + 1] AS p90_est,
+        |       sv[CAST((99 * (n - 1)) // 100 AS INT) + 1] AS p99_est
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q_range_boundaries" ->
+      """WITH b AS (
+        |  SELECT ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
+        |         CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |d AS (SELECT DISTINCT h, v FROM b),
+        |r AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM d),
+        |s AS (SELECT list(v ORDER BY v) AS sv, CAST(count(*) AS BIGINT) AS n
+        |      FROM r WHERE rn <= 512),
+        |g AS (SELECT unnest(range(1, 32)) AS bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       sv[CAST((bucket * (n - 1)) // 32 AS INT) + 1] AS upper_bound
+        |FROM g, s ORDER BY bucket""".stripMargin,
+    "q_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ms, event_id)
+        |        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+        |v AS (SELECT *, sum(chg) OVER
+        |        (PARTITION BY user_id ORDER BY ms, event_id) AS version FROM m),
+        |r AS (SELECT user_id, version, event_type, min(ms) AS valid_from_ms,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM v GROUP BY user_id, version, event_type),
+        |f AS (SELECT *, lead(valid_from_ms) OVER
+        |        (PARTITION BY user_id ORDER BY version) AS valid_to_ms FROM r)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |       valid_from_ms, valid_to_ms, n_events,
+        |       CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
     "q_doc_similarity" ->
       s"""$postingsCte, df AS (
          |  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term

@@ -109,3 +109,81 @@ object KmvSketchAgg {
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(h), k).toAggregateExpression())
 }
+
+/** KMV MEMBER VARIANT — same bounded mergeable state as [[KmvSketchAgg]]
+  * but `eval` returns the sketch MEMBERS (the k smallest distinct hashes,
+  * ascending `array<bigint>`) instead of just (k, kth_min). The members
+  * are what sketch SET ALGEBRA needs: the union sketch of A and B is the
+  * k smallest of K(A) ∪ K(B) (pure array math on two k-sized arrays — no
+  * second pass over the data), and the Jaccard estimate is the fraction
+  * of union-sketch members present in both K(A) and K(B) — the classic
+  * KMV coincidence estimator. Deterministic and duplicate-insensitive
+  * like the parent, so oracle-checkable.
+  *
+  * SQL surface: `kmv_hashes(h, k)` via [[graft.GraftExtensions]].
+  */
+case class KmvHashesAgg(
+    child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvState] with UnaryLike[Expression] {
+
+  require(k > 0, "kmv_hashes: k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(buffer: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvState, other: KmvState): KmvState = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: KmvState): Any = {
+    val out = new Array[Long](buffer.mins.size)
+    val it = buffer.mins.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 } // TreeSet: ascending
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buffer: KmvState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.mins.size)
+    bb.putInt(buffer.mins.size)
+    val it = buffer.mins.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new KmvState(k)
+    var i = 0
+    while (i < n) { st.add(bb.getLong); i += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvHashesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvHashesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvHashesAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_hashes"
+}
+
+object KmvHashesAgg {
+  /** Column-API face: `kmvHashes(col("h"), 64)` → array<bigint>, the k
+    * smallest distinct hashes ascending.
+    */
+  def kmvHashes(h: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvHashesAgg(ColumnBridge.expression(h), k).toAggregateExpression())
+}

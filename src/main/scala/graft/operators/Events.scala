@@ -517,4 +517,39 @@ object Events {
       .select(col("event_id"), col("event_type"), col("ms"), col("h_ms"),
         col("prev_n"))
       .orderBy("event_id")
+
+  /** SCD TYPE-2 DIMENSION BUILD — collapse each user's event-type stream
+    * into validity-interval versions: a new version opens whenever the
+    * tracked attribute (event_type) CHANGES from the previous event, and
+    * each version carries [valid_from, valid_to) with the open version
+    * flagged current. This is the lakehouse slowly-changing-dimension
+    * shape (track attribute history without rewriting facts), built
+    * with the gaps-and-islands idiom: change flag by `lag`, version by
+    * running sum of flags, interval close by `lead` of the next
+    * version's open — three per-user window passes riding ONE user-keyed
+    * exchange, linear per user, no self-join (the naive
+    * "each row joins its successor" formulation is quadratic on hot
+    * keys). Ordering is (ms, event_id) so ties are deterministic; times
+    * go out as epoch millis per the timestamp-parity rule.
+    */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull
+          .or(col("prev_type") =!= col("event_type")), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(w))
+      .groupBy("user_id", "version", "event_type")
+      .agg(min("ms").as("valid_from_ms"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(byVersion))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("event_type"), col("valid_from_ms"), col("valid_to_ms"),
+        col("n_events").cast("long").as("n_events"),
+        when(col("valid_to_ms").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version")
+  }
 }

@@ -426,6 +426,70 @@ object IndexQueries {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** [[vocabOverlapKMV]] executed via the NATIVE sketch-members aggregate
+    * ([[graft.functions.KmvHashesAgg]]) — KMV SET ALGEBRA on shipped
+    * sketches. The declarative twin re-ranks the merged hash rows with a
+    * per-pair `row_number` window, i.e. it needs the raw bottom-k ROWS of
+    * every language co-located per pair; this form instead reduces each
+    * language to ONE row carrying its ≤ k member hashes (map-side partial
+    * sketches, ≤ k longs per task per language reach the exchange) and
+    * answers every pairwise overlap question with O(k) array math:
+    *
+    *  - union sketch K(A∪B) = k smallest of K(A) ∪ K(B)
+    *    (concat → distinct → sort → slice: exact sketch union);
+    *  - |A∪B|^ = (|K|−1)·H / max(K)  (same estimator as [[vocabKMV]]);
+    *  - J^ = |K(A∪B) ∩ K(A) ∩ K(B)| / |K| (coincidence estimator).
+    *
+    * At 100 TB the sketch relation is #groups rows of k longs — the
+    * overlap matrix never touches the data again; only the exact audit
+    * legs (inter_exact/union_exact, kept for error inspection) still scan
+    * the vocabulary. Identical output to [[vocabOverlapKMV]] by
+    * construction, so it answers to the IDENTICAL oracle.
+    */
+  def vocabOverlapNative(spark: SparkSession, sfDir: String,
+                         k: Int = 64): DataFrame = {
+    val lt = Tables.documents(spark, sfDir)
+      .select(col("lang"), explodedTokens(col("text")).as("term"))
+      .distinct()
+    // one row per language: the sketch MEMBERS, ascending
+    val sk = lt.select(col("lang"), polyFold64(col("term")).as("h"))
+      .groupBy("lang")
+      .agg(graft.functions.KmvHashesAgg.kmvHashes(col("h"), k).as("ks"))
+    val pairs = sk.as("x").join(sk.as("y"), col("x.lang") < col("y.lang"))
+      .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"),
+        col("x.ks").as("ka"), col("y.ks").as("kb"))
+    val est = pairs
+      .withColumn("ku",
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k))
+      .select(col("lang_a"), col("lang_b"),
+        size(col("ku")).cast("long").as("k"),
+        element_at(col("ku"), size(col("ku"))).as("kth_min"),
+        size(array_intersect(col("ku"),
+          array_intersect(col("ka"), col("kb")))).cast("long").as("n_both"))
+    // exact audit legs — same subplan as the declarative twin
+    val langs = sk.select("lang")
+    val lp = langs.as("x").join(langs.as("y"), col("x.lang") < col("y.lang"))
+      .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+    val exact = broadcast(lp)
+      .join(lt, col("lang") === col("lang_a") || col("lang") === col("lang_b"))
+      .groupBy("lang_a", "lang_b", "term")
+      .agg(max(when(col("lang") === col("lang_a"), 1).otherwise(0)).as("a"),
+        max(when(col("lang") =!= col("lang_a"), 1).otherwise(0)).as("b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("inter_exact"),
+        count(lit(1)).as("union_exact"))
+    est.join(exact, Seq("lang_a", "lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        round(col("n_both").cast("double") / col("k"), 6).as("jaccard_est"),
+        floor(((col("k") - 1) * lit(KmvHashSpace)) / col("kth_min") + 0.5)
+          .cast("long").as("union_est"),
+        col("inter_exact"), col("union_exact"),
+        round(col("inter_exact").cast("double") / col("union_exact"), 6)
+          .as("jaccard_exact"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** Posting-list DELTA + VARINT cost model — the classic IR index
     * compression, computed relationally: per term, doc_ids sorted and
     * gap-encoded (first id absolute, then differences via lag over the

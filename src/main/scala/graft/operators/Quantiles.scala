@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BottomKSketchAgg, HashFunctions}
+import graft.sources.Tables
+
+/** Sketch-based quantile estimation and range-partition planning — the
+  * two jobs a 100 TB engine does with a SAMPLE, never the data:
+  *
+  *  - "what is p99 latency per event type?" must not shuffle every row
+  *    to its group (exact `percentile` does exactly that, and
+  *    `q_value_percentiles` keeps that exact path for comparison);
+  *  - "where do I cut 32 range partitions for a global sort?" is what
+  *    Spark's own `RangePartitioner` answers by sampling — here the
+  *    boundary table is a first-class, oracle-checked relation a
+  *    pipeline can persist and reuse across runs (stable shard
+  *    boundaries across daily builds, the way the reference's 26 letter
+  *    files are a FIXED alphabetic range partitioning,
+  *    `/root/reference/helper_map.c:343-364`).
+  *
+  * Both ride [[graft.functions.BottomKSketchAgg]]: the k smallest
+  * distinct (knuth-hash, value) pairs — a uniform fixed-size sample
+  * that merges map-side (each task forwards ≤ k pairs per group, the
+  * input-vs-k reduction), is layout-invariant, and — because the hash
+  * is the engine-exact multiplicative hash the sampling operators
+  * already share — reproduces bit-for-bit in the DuckDB oracle, unlike
+  * `percentile_approx`, whose compaction is arrival-order-dependent.
+  *
+  * The quantile rule is pure integer arithmetic so both engines index
+  * the same sample slot: rank(p%) = (p · (n−1)) div 100 into the
+  * value-ascending sample (floating `p·(n−1)` would tie-break
+  * differently across engines when the product lands near an integer).
+  */
+object Quantiles {
+
+  private val M32 = 4294967296L
+
+  /** Per-event-type quantile estimates (p50/p90/p99) of `value` from a
+    * k-sized bottom-k sample per group. One partial-aggregating shuffle
+    * of ≤ k pairs per (task, group) — compare `q_value_percentiles`,
+    * whose exact percentile must move every row.
+    */
+  def sketchQuantiles(spark: SparkSession, sfDir: String,
+                      k: Int = 256): DataFrame = {
+    val ev = Tables.events(spark, sfDir).where(col("value").isNotNull)
+    val base = ev.select(col("event_type"),
+      HashFunctions.knuthMod(col("event_id"), M32).as("h"),
+      col("value").cast("double").as("v"))
+    base.groupBy("event_type")
+      .agg(BottomKSketchAgg.bottomkSketch(col("h"), col("v"), k).as("s"))
+      .selectExpr(
+        "event_type",
+        "CAST(size(s) AS BIGINT) AS n_sample",
+        "element_at(s, CAST((50 * (size(s) - 1)) DIV 100 AS INT) + 1) AS p50_est",
+        "element_at(s, CAST((90 * (size(s) - 1)) DIV 100 AS INT) + 1) AS p90_est",
+        "element_at(s, CAST((99 * (size(s) - 1)) DIV 100 AS INT) + 1) AS p99_est")
+      .orderBy("event_type")
+  }
+
+  /** Range-partition boundary plan over document length: the 31 cut
+    * points that tile `n_chars` into `parts` ≈equal-row range buckets,
+    * from one corpus-wide k-sample. This is the planning relation for
+    * `repartitionByRange`-style global sorts and stable length-bucketed
+    * sharding — computed in one pass, O(k) state, deterministic across
+    * runs/layouts (Spark's internal RangePartitioner re-samples per run,
+    * so its boundaries drift; a persisted boundary table doesn't).
+    */
+  def rangeBoundaries(spark: SparkSession, sfDir: String,
+                      parts: Int = 32, k: Int = 512): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).where(col("n_chars").isNotNull)
+    val base = docs.select(
+      HashFunctions.knuthMod(col("doc_id"), M32).as("h"),
+      col("n_chars").cast("double").as("v"))
+    base
+      .agg(BottomKSketchAgg.bottomkSketch(col("h"), col("v"), k).as("s"))
+      .select(explode(sequence(lit(1), lit(parts - 1))).as("bucket"), col("s"))
+      .selectExpr(
+        "CAST(bucket AS BIGINT) AS bucket",
+        s"element_at(s, CAST((bucket * (size(s) - 1)) DIV $parts AS INT) + 1) AS upper_bound")
+      .orderBy("bucket")
+  }
+}
