@@ -532,12 +532,18 @@ object Events {
     * keys). Ordering is (ms, event_id) so ties are deterministic; times
     * go out as epoch millis per the timestamp-parity rule.
     */
-  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Of(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type")))
+
+  /** Core of [[scd2Build]] over a (user_id, event_id, ms, event_type)
+    * relation — split out so specs can drive handcrafted histories.
+    */
+  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     val byVersion = Window.partitionBy("user_id").orderBy("version")
-    Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("ms"), col("event_type"))
+    ev
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .withColumn("chg",
         when(col("prev_type").isNull
