@@ -28,7 +28,8 @@ object Explain {
         "q_asof_broadcast", "q_pareto_frontier", "q_pmi_collocations",
         "q_robust_anomaly", "q_vocab_kmv_native",
         "q_constraint_audit", "q_distribution_drift", "q_epoch_shuffle",
-        "q_hourly_anomaly")
+        "q_hourly_anomaly", "q_sketch_quantiles", "q_range_boundaries",
+        "q_vocab_overlap_native", "q_scd2_build")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

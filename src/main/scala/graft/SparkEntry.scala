@@ -177,6 +177,13 @@ object SparkEntry {
     // range-partition boundary planning from the same sketch: the
     // 31 cut points for a 32-way repartitionByRange over doc length
     "q_range_boundaries" -> ((s, d) => Quantiles.rangeBoundaries(s, d)),
+    // the boundary plan CONSUMED: per-doc shard assignment by row-local
+    // array fold against the broadcast cut points, plus the shard census
+    "q_range_shards"   -> ((s, d) => Quantiles.rangeShards(s, d)),
+    // the same per-type sketch maintained as streaming state (O(k) per
+    // group); drained state == batch sketch, so the oracle is shared
+    "q_streaming_quantiles" -> ((s, d) =>
+      graft.streaming.StreamingSketch.sketchQuantilesAvailableNow(s, d)),
     // CMS maintained as streaming state; drained state ≡ the batch
     // sketch because cellwise add IS the sketch merge
     "q_streaming_cms"  -> ((s, d) =>
@@ -543,6 +550,44 @@ object SparkEntry {
          |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
          |       exact_vocab
          |FROM a ORDER BY lang""".stripMargin
+
+  // bottom-k sample quantiles per event type — shared by the batch query
+  // (q_sketch_quantiles) and the streaming-state twin
+  // (q_streaming_quantiles): the drained stream state IS the batch sketch
+  private lazy val sketchQuantilesOracleSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |         ((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
+      |         CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |d AS (SELECT DISTINCT event_type, h, v FROM b),
+      |r AS (SELECT event_type, v,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+      |      FROM d),
+      |s AS (SELECT event_type, list(v ORDER BY v) AS sv,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM r WHERE rn <= 256 GROUP BY event_type)
+      |SELECT event_type, n AS n_sample,
+      |       sv[CAST((50 * (n - 1)) // 100 AS INT) + 1] AS p50_est,
+      |       sv[CAST((90 * (n - 1)) // 100 AS INT) + 1] AS p90_est,
+      |       sv[CAST((99 * (n - 1)) // 100 AS INT) + 1] AS p99_est
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // range-boundary plan body (no final ORDER BY so q_range_shards can
+  // embed it as a CTE); q_range_boundaries appends the sort itself
+  private lazy val rangeBoundariesOracleBody: String =
+    """WITH b AS (
+      |  SELECT ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
+      |         CAST(n_chars AS DOUBLE) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |d AS (SELECT DISTINCT h, v FROM b),
+      |r AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM d),
+      |s AS (SELECT list(v ORDER BY v) AS sv, CAST(count(*) AS BIGINT) AS n
+      |      FROM r WHERE rn <= 512),
+      |g AS (SELECT unnest(range(1, 32)) AS bucket)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |       sv[CAST((bucket * (n - 1)) // 32 AS INT) + 1] AS upper_bound
+      |FROM g, s""".stripMargin
 
   // full pairwise vocabulary-overlap matrix (KMV estimates + exact audit
   // legs) — shared by the declarative window formulation (q_vocab_overlap)
@@ -1045,37 +1090,20 @@ object SparkEntry {
     "q_vocab_overlap" -> vocabOverlapOracleSql,
     // the native sketch-members twin computes the IDENTICAL matrix
     "q_vocab_overlap_native" -> vocabOverlapOracleSql,
-    "q_sketch_quantiles" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |         ((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
-        |         CAST(value AS DOUBLE) AS v
-        |  FROM events WHERE value IS NOT NULL),
-        |d AS (SELECT DISTINCT event_type, h, v FROM b),
-        |r AS (SELECT event_type, v,
-        |        row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
-        |      FROM d),
-        |s AS (SELECT event_type, list(v ORDER BY v) AS sv,
-        |        CAST(count(*) AS BIGINT) AS n
-        |      FROM r WHERE rn <= 256 GROUP BY event_type)
-        |SELECT event_type, n AS n_sample,
-        |       sv[CAST((50 * (n - 1)) // 100 AS INT) + 1] AS p50_est,
-        |       sv[CAST((90 * (n - 1)) // 100 AS INT) + 1] AS p90_est,
-        |       sv[CAST((99 * (n - 1)) // 100 AS INT) + 1] AS p99_est
-        |FROM s ORDER BY event_type""".stripMargin,
+    "q_sketch_quantiles" -> sketchQuantilesOracleSql,
+    // streaming twin: drained sketch state == the batch sketch
+    "q_streaming_quantiles" -> sketchQuantilesOracleSql,
     "q_range_boundaries" ->
-      """WITH b AS (
-        |  SELECT ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
-        |         CAST(n_chars AS DOUBLE) AS v
-        |  FROM documents WHERE n_chars IS NOT NULL),
-        |d AS (SELECT DISTINCT h, v FROM b),
-        |r AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM d),
-        |s AS (SELECT list(v ORDER BY v) AS sv, CAST(count(*) AS BIGINT) AS n
-        |      FROM r WHERE rn <= 512),
-        |g AS (SELECT unnest(range(1, 32)) AS bucket)
-        |SELECT CAST(bucket AS BIGINT) AS bucket,
-        |       sv[CAST((bucket * (n - 1)) // 32 AS INT) + 1] AS upper_bound
-        |FROM g, s ORDER BY bucket""".stripMargin,
+      s"$rangeBoundariesOracleBody ORDER BY bucket",
+    "q_range_shards" ->
+      s"""WITH bq AS ($rangeBoundariesOracleBody),
+        |bl AS (SELECT list(upper_bound ORDER BY bucket) AS bs FROM bq),
+        |dd AS (SELECT CAST(n_chars AS DOUBLE) AS v
+        |       FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT CAST(len(list_filter(bs, b -> b < v)) AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(v) AS min_chars, max(v) AS max_chars
+        |FROM dd, bl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scd2_build" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),

@@ -48,16 +48,23 @@ object Quantiles {
     val base = ev.select(col("event_type"),
       HashFunctions.knuthMod(col("event_id"), M32).as("h"),
       col("value").cast("double").as("v"))
-    base.groupBy("event_type")
-      .agg(BottomKSketchAgg.bottomkSketch(col("h"), col("v"), k).as("s"))
-      .selectExpr(
+    quantilesOfSketches(
+      base.groupBy("event_type")
+        .agg(BottomKSketchAgg.bottomkSketch(col("h"), col("v"), k).as("s")))
+  }
+
+  /** Quantile extraction over a (event_type, s: array<double>) sketch
+    * relation — shared by the batch path and the streaming twin (whose
+    * drained state is the same sketch, so the same extraction applies).
+    */
+  private[graft] def quantilesOfSketches(sketches: DataFrame): DataFrame =
+    sketches.selectExpr(
         "event_type",
         "CAST(size(s) AS BIGINT) AS n_sample",
         "element_at(s, CAST((50 * (size(s) - 1)) DIV 100 AS INT) + 1) AS p50_est",
         "element_at(s, CAST((90 * (size(s) - 1)) DIV 100 AS INT) + 1) AS p90_est",
         "element_at(s, CAST((99 * (size(s) - 1)) DIV 100 AS INT) + 1) AS p99_est")
       .orderBy("event_type")
-  }
 
   /** Range-partition boundary plan over document length: the 31 cut
     * points that tile `n_chars` into `parts` ≈equal-row range buckets,
@@ -80,5 +87,31 @@ object Quantiles {
         "CAST(bucket AS BIGINT) AS bucket",
         s"element_at(s, CAST((bucket * (size(s) - 1)) DIV $parts AS INT) + 1) AS upper_bound")
       .orderBy("bucket")
+  }
+
+  /** Range-shard ASSIGNMENT — the consumer of [[rangeBoundaries]]: every
+    * document gets the shard whose boundary window contains its length
+    * (shard = number of cut points strictly below it), then the shard
+    * census proves the plan balances. The physical shape is the one that
+    * holds at 100 TB: the boundary table collapses to ONE row carrying a
+    * 31-double array, broadcast to every task; assignment is a row-local
+    * O(log parts)-equivalent array fold (no shuffle, no join blow-up —
+    * the relational "join each row against all boundaries" form
+    * multiplies the corpus by `parts` before aggregating). This is
+    * `repartitionByRange` reified as data: same sample, same cuts, but
+    * persistable and REPRODUCIBLE across runs/engines.
+    */
+  def rangeShards(spark: SparkSession, sfDir: String,
+                  parts: Int = 32, k: Int = 512): DataFrame = {
+    val bounds = rangeBoundaries(spark, sfDir, parts, k)
+      .agg(sort_array(collect_list(col("upper_bound"))).as("bs"))
+    val docs = Tables.documents(spark, sfDir).where(col("n_chars").isNotNull)
+      .select(col("n_chars").cast("double").as("v"))
+    docs.crossJoin(broadcast(bounds))
+      .selectExpr("CAST(size(filter(bs, b -> b < v)) AS BIGINT) AS shard", "v")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("v").as("min_chars"), max("v").as("max_chars"))
+      .orderBy("shard")
   }
 }

@@ -55,4 +55,31 @@ object StreamingSketch {
             .groupBy(expr("unix_millis(ts) div 3600000").as("hour_id"))
             .agg(count(lit(1)).as("n"))
         })
+
+  private val quantileScratch = new graft.util.ScratchSlot
+
+  /** QUANTILES-AT-INGEST: the per-type bottom-k sample sketch
+    * ([[graft.functions.BottomKSketchAgg]]) maintained as STREAMING
+    * STATE — fixed O(k) state per group regardless of feed volume, each
+    * micro-batch folded in by the sketch's own merge (bottom-k of a
+    * union = bottom-k of the bottom-k's), so the drained state is
+    * bit-identical to the batch sketch over the same events and the
+    * batch quantile extraction + oracle apply unchanged. The streaming
+    * answer to "what is p99 right now?" without retaining the feed.
+    */
+  def sketchQuantilesAvailableNow(spark: SparkSession, sfDir: String,
+                                  k: Int = 256): DataFrame =
+    graft.operators.Quantiles.quantilesOfSketches(
+      StreamingIndexer.drainToTable(spark, sfDir, "events.parquet",
+        "stream_quantiles", quantileScratch) { (ss, watch) =>
+          graft.sources.Tables.eventsStream(ss, watch, watch)
+            .where(col("value").isNotNull)
+            .select(col("event_type"),
+              graft.functions.HashFunctions.knuthMod(col("event_id"),
+                4294967296L).as("h"),
+              col("value").cast("double").as("v"))
+            .groupBy("event_type")
+            .agg(graft.functions.BottomKSketchAgg.bottomkSketch(
+              col("h"), col("v"), k).as("s"))
+        })
 }

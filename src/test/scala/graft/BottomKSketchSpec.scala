@@ -98,6 +98,27 @@ class BottomKSketchSpec extends SparkTestBase {
     }
   }
 
+  test("rangeShards: covers the corpus with ordered, non-overlapping ranges") {
+    val rows = Quantiles.rangeShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nDocs = graft.sources.Tables.documents(spark, sf)
+      .where(col("n_chars").isNotNull).count()
+    assert(rows.map(_._2).sum == nDocs, "every doc lands in exactly one shard")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 31))
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(p, n) => assert(p._4 <= n._3,
+        s"shard ${p._1} range must precede shard ${n._1}")
+      case _ =>
+    }
+  }
+
+  test("streaming quantile sketch drains to the batch result") {
+    val batch = Quantiles.sketchQuantiles(spark, sf).collect().toSeq
+    val streamed = graft.streaming.StreamingSketch
+      .sketchQuantilesAvailableNow(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("rangeBoundaries: 31 non-decreasing cuts within the data range") {
     val rows = Quantiles.rangeBoundaries(spark, sf).collect()
     assert(rows.length == 31)
