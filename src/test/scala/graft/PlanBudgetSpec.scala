@@ -190,7 +190,25 @@ class PlanBudgetSpec extends SparkTestBase {
     // wide relation at all (per-doc work at any corpus size)
     "q_self_scrub" -> 3,
     // drained hour-cell read + the hour-TABLE trailing window + order
-    "q_streaming_anomaly" -> 2
+    "q_streaming_anomaly" -> 2,
+    // round-12 sketch/planning queries. ONE partial-sketch agg exchange
+    // (≤ k pairs per task per group reach it) + output order
+    "q_sketch_quantiles" -> 2,
+    // 1-row global sketch agg + output order over 31 rows
+    "q_range_boundaries" -> 2,
+    // boundaries subplan + 1-row bounds collect + shard census agg +
+    // order — the per-doc assignment itself is a row-local array fold
+    // against the broadcast bounds (NO shuffle)
+    "q_range_shards" -> 4,
+    // ONE user exchange (both windows + the run agg ride it) + order
+    "q_scd2_build" -> 2,
+    // 2 sketch aggs (lang exchange carries ≤ k longs per task; static
+    // plan duplicates the subtree, runtime ReuseExchange collapses it)
+    // + pair/exact-leg joins + order — every exchange vocab- or
+    // sketch-sized
+    "q_vocab_overlap_native" -> 9,
+    // drained memory-table read + the output order
+    "q_streaming_quantiles" -> 1
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
