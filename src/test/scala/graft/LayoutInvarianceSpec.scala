@@ -24,7 +24,12 @@ class LayoutInvarianceSpec extends SparkTestBase {
     "q5_region_revenue", "q_stratified_sample", "q_winnowing",
     "q_asof_broadcast", "q_top_terms_per_doc", "q_heavy_hitters",
     // native sketch: partial/merge must commute with any partitioning
-    "q_vocab_kmv_native")
+    "q_vocab_kmv_native",
+    // round-12 sketches: bottom-k partial/merge and KMV member algebra
+    // must commute with any partitioning; SCD2's (ms, event_id) tie rule
+    // must hold under any input split
+    "q_sketch_quantiles", "q_range_shards", "q_vocab_overlap_native",
+    "q_scd2_build")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
