@@ -180,6 +180,10 @@ object SparkEntry {
     // the boundary plan CONSUMED: per-doc shard assignment by row-local
     // array fold against the broadcast cut points, plus the shard census
     "q_range_shards"   -> ((s, d) => Quantiles.rangeShards(s, d)),
+    // sketch-based join-size estimation: two k-hash sketches + a
+    // members-only count probe predict |orders ⋈ lineitem| without
+    // running the join (exact count kept as the audit leg)
+    "q_join_size_est"  -> ((s, d) => JoinEstimate.joinSizeEstimate(s, d)),
     // the same per-type sketch maintained as streaming state (O(k) per
     // group); drained state == batch sketch, so the oracle is shared
     "q_streaming_quantiles" -> ((s, d) =>
@@ -1104,6 +1108,42 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       min(v) AS min_chars, max(v) AS max_chars
         |FROM dd, bl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_size_est" ->
+      """WITH oh AS (SELECT ((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296) AS h
+        |           FROM orders),
+        |lh AS (SELECT ((CAST(l_orderkey AS HUGEINT) * 2654435761) % 4294967296) AS h
+        |       FROM lineitem),
+        |ka AS (SELECT h FROM (SELECT DISTINCT h FROM oh) ORDER BY h LIMIT 256),
+        |kb AS (SELECT h FROM (SELECT DISTINCT h FROM lh) ORDER BY h LIMIT 256),
+        |ku AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |       FROM (SELECT h FROM ka UNION SELECT h FROM kb)),
+        |m AS (SELECT h,
+        |        h IN (SELECT h FROM ka) AS in_a,
+        |        h IN (SELECT h FROM kb) AS in_b
+        |      FROM ku WHERE rn <= 256),
+        |ca AS (SELECT h, CAST(count(*) AS BIGINT) AS c_a FROM oh
+        |       WHERE h IN (SELECT h FROM m) GROUP BY h),
+        |cb AS (SELECT h, CAST(count(*) AS BIGINT) AS c_b FROM lh
+        |       WHERE h IN (SELECT h FROM m) GROUP BY h),
+        |e0 AS (SELECT CAST(count(*) AS BIGINT) AS k_union, max(h) AS kth,
+        |         CAST(sum(CASE WHEN in_a AND in_b THEN c_a * c_b ELSE 0 END)
+        |           AS BIGINT) AS sample_rows
+        |       FROM m LEFT JOIN ca USING (h) LEFT JOIN cb USING (h)),
+        |e1 AS (SELECT k_union, sample_rows,
+        |         CAST(floor((k_union - 1) * CAST(4294967296 AS DOUBLE)
+        |           / CAST(kth AS DOUBLE) + 0.5) AS BIGINT) AS est_keys
+        |       FROM e0),
+        |e2 AS (SELECT k_union, sample_rows, est_keys,
+        |         CAST(floor(CAST(sample_rows AS DOUBLE)
+        |           * CAST(est_keys AS DOUBLE) / k_union + 0.5) AS BIGINT)
+        |           AS est_join_rows
+        |       FROM e1),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT k_union, est_keys, sample_rows, est_join_rows, exact_join_rows,
+        |       round(abs(CAST(est_join_rows AS DOUBLE) - exact_join_rows)
+        |         / exact_join_rows, 6) AS rel_err
+        |FROM e2, x""".stripMargin,
     "q_scd2_build" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),

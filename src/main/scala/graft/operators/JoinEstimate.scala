@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, KmvHashesAgg}
+import graft.sources.Tables
+
+/** SKETCH-BASED JOIN-SIZE ESTIMATION — the planning question every big
+  * join asks before it runs: "how many rows will orders ⋈ lineitem
+  * produce?", answered WITHOUT running the join. The estimator is the
+  * KMV member-sample form of Vengerov-style sketch join estimation:
+  *
+  *  1. each side reduces to its k smallest distinct join-key hashes
+  *     ([[graft.functions.KmvHashesAgg]] — map-side partial sketches,
+  *     ≤ k longs per task cross the exchange; the Knuth multiplier is
+  *     odd, so h is a BIJECTION on 64-bit keys mod 2^32 and key
+  *     distinctness is preserved);
+  *  2. the union sketch K(A∪B) (array math on the two k-arrays) gives
+  *     the key-universe estimate Û = (|K|−1)·2^32 / max(K);
+  *  3. the union-sketch members are a uniform sample of the key
+  *     universe, so their per-key row counts — fetched by a
+  *     MEMBERS-ONLY probe (each side filtered to ≤ k hash literals, a
+  *     map-side semi filter, then a ≤ k-row count) — extrapolate:
+  *     |A ⋈ B|^ = Σ_{m ∈ K, m∈A∩B} cA(m)·cB(m) · Û / |K|.
+  *
+  * Nothing data-sized moves: two sketch passes + two members-only
+  * probes. The exact join count is kept as the audit leg (the thing a
+  * planner would NOT compute). Deterministic end-to-end — sketch,
+  * probe, and estimator arithmetic reproduce bit-for-bit in the DuckDB
+  * oracle.
+  */
+object JoinEstimate {
+
+  private val M32 = 4294967296L
+
+  /** One-row report: union-key estimate, estimated vs exact join rows,
+    * relative error — for orders ⋈ lineitem on the order key.
+    */
+  def joinSizeEstimate(spark: SparkSession, sfDir: String,
+                       k: Int = 256): DataFrame = {
+    val oh = Tables.orders(spark, sfDir)
+      .select(HashFunctions.knuthMod(col("o_orderkey"), M32).as("h"))
+    val lh = Tables.lineitem(spark, sfDir)
+      .select(HashFunctions.knuthMod(col("l_orderkey"), M32).as("h"))
+    val sk = oh.agg(KmvHashesAgg.kmvHashes(col("h"), k).as("ka"))
+      .crossJoin(lh.agg(KmvHashesAgg.kmvHashes(col("h"), k).as("kb")))
+      .selectExpr("ka", "kb",
+        s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k) AS ku")
+    // member relation: ≤ k rows of (h, in_a, in_b)
+    val members = sk.select(explode(col("ku")).as("h"),
+      col("ka"), col("kb"))
+      .select(col("h"),
+        array_contains(col("ka"), col("h")).as("in_a"),
+        array_contains(col("kb"), col("h")).as("in_b"))
+    // members-only count probes: the semi filter is map-side (broadcast
+    // of ≤ k hashes), the count table is ≤ k rows
+    val ca = oh.join(broadcast(members.select("h")), "h")
+      .groupBy("h").agg(count(lit(1)).as("c_a"))
+    val cb = lh.join(broadcast(members.select("h")), "h")
+      .groupBy("h").agg(count(lit(1)).as("c_b"))
+    val est = members
+      .join(ca, Seq("h"), "left").join(cb, Seq("h"), "left")
+      .agg(count(lit(1)).as("k_union"), max("h").as("kth"),
+        sum(when(col("in_a") && col("in_b"),
+          col("c_a") * col("c_b")).otherwise(0L)).as("sample_rows"))
+      .selectExpr("k_union", "sample_rows",
+        s"CAST(floor((k_union - 1) * CAST($M32 AS DOUBLE) / CAST(kth AS DOUBLE) + 0.5) AS BIGINT) AS est_keys")
+      .selectExpr("k_union", "sample_rows", "est_keys",
+        "CAST(floor(CAST(sample_rows AS DOUBLE) * CAST(est_keys AS DOUBLE) / k_union + 0.5) AS BIGINT) AS est_join_rows")
+    // audit leg: the exact join count the planner would NOT run
+    val exact = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    est.crossJoin(exact)
+      .selectExpr("k_union", "est_keys", "sample_rows", "est_join_rows",
+        "exact_join_rows",
+        "round(abs(CAST(est_join_rows AS DOUBLE) - exact_join_rows) / exact_join_rows, 6) AS rel_err")
+  }
+}
