@@ -208,7 +208,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // sketch-sized
     "q_vocab_overlap_native" -> 9,
     // drained memory-table read + the output order
-    "q_streaming_quantiles" -> 1
+    "q_streaming_quantiles" -> 1,
+    // 2 sketch aggs + 2 members-only probe aggs (semi filters broadcast)
+    // + exact-leg join/count — nothing data-sized after the scans
+    "q_join_size_est" -> 8
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
