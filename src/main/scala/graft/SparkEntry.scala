@@ -88,6 +88,9 @@ object SparkEntry {
     // incremental view maintenance: materialized partial states + delta
     // merge — oracle recomputes the rollup from scratch (incremental ≡ full)
     "q_ivm_rollup" -> ((s, d) => Incremental.incrementalRollup(s, d)),
+    // SCD2 maintained by STATE MERGE: stored dimension + event delta,
+    // base events never re-read; hash-match vs the monolithic rebuild
+    "q_ivm_scd2" -> ((s, d) => Incremental.scd2Incremental(s, d)),
     // two-sided delta-join maintenance: ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB merged into
     // materialized state — oracle re-joins the full tables from scratch
     "q_ivm_join" -> ((s, d) => Incremental.incrementalJoinView(s, d)),
@@ -554,6 +557,28 @@ object SparkEntry {
          |       CAST(floor((k - 1) * (CAST(2147483647 AS DOUBLE) * CAST(4294967296 AS DOUBLE)) / kth_min + 0.5) AS BIGINT) AS estimate,
          |       exact_vocab
          |FROM a ORDER BY lang""".stripMargin
+
+  // SCD2 monolithic rebuild — shared by the direct build (q_scd2_build)
+  // and the state-merge incremental maintenance (q_ivm_scd2): merge ==
+  // rebuild is exactly the claim under test
+  private lazy val scd2OracleSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ms, event_id)
+        |        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+        |v AS (SELECT *, sum(chg) OVER
+        |        (PARTITION BY user_id ORDER BY ms, event_id) AS version FROM m),
+        |r AS (SELECT user_id, version, event_type, min(ms) AS valid_from_ms,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM v GROUP BY user_id, version, event_type),
+        |f AS (SELECT *, lead(valid_from_ms) OVER
+        |        (PARTITION BY user_id ORDER BY version) AS valid_to_ms FROM r)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |       valid_from_ms, valid_to_ms, n_events,
+        |       CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin
 
   // bottom-k sample quantiles per event type — shared by the batch query
   // (q_sketch_quantiles) and the streaming-state twin
@@ -1144,24 +1169,10 @@ object SparkEntry {
         |       round(abs(CAST(est_join_rows AS DOUBLE) - exact_join_rows)
         |         / exact_join_rows, 6) AS rel_err
         |FROM e2, x""".stripMargin,
-    "q_scd2_build" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
-        |m AS (SELECT *, CASE WHEN lag(event_type) OVER
-        |        (PARTITION BY user_id ORDER BY ms, event_id)
-        |        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
-        |v AS (SELECT *, sum(chg) OVER
-        |        (PARTITION BY user_id ORDER BY ms, event_id) AS version FROM m),
-        |r AS (SELECT user_id, version, event_type, min(ms) AS valid_from_ms,
-        |        CAST(count(*) AS BIGINT) AS n_events
-        |      FROM v GROUP BY user_id, version, event_type),
-        |f AS (SELECT *, lead(valid_from_ms) OVER
-        |        (PARTITION BY user_id ORDER BY version) AS valid_to_ms FROM r)
-        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
-        |       valid_from_ms, valid_to_ms, n_events,
-        |       CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT)
-        |         AS is_current
-        |FROM f ORDER BY user_id, version""".stripMargin,
+    "q_scd2_build" -> scd2OracleSql,
+    // incremental maintenance answers to the IDENTICAL monolithic oracle
+    "q_ivm_scd2" -> scd2OracleSql,
+
     "q_doc_similarity" ->
       s"""$postingsCte, df AS (
          |  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term

@@ -211,7 +211,11 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_streaming_quantiles" -> 1,
     // 2 sketch aggs + 2 members-only probe aggs (semi filters broadcast)
     // + exact-leg join/count — nothing data-sized after the scans
-    "q_join_size_est" -> 8
+    "q_join_size_est" -> 8,
+    // delta-run build (ONE user exchange) + stored-table merge joins
+    // (user-keyed, dimension-sized) + output order — base events are
+    // touched only in the persisted-state build
+    "q_ivm_scd2" -> 8
   )
 
   test("q_range_join never degenerates to a nested-loop join") {

@@ -32,6 +32,42 @@ class Scd2Spec extends SparkTestBase {
       (2L, 1L, "x", 1500L, -1L, 2L, 1L)))
   }
 
+  test("incremental state merge covers every seam case") {
+    // stored state: u1 closed(a)+open(b); u2 open(x); u3 open(y); u4 open(z)
+    val base = Seq(
+      (1L, 1L, "a", 100L, Some(200L), 2L, 0L),
+      (1L, 2L, "b", 200L, None, 1L, 1L),
+      (2L, 1L, "x", 100L, None, 3L, 1L),
+      (3L, 1L, "y", 100L, None, 1L, 1L),
+      (4L, 1L, "z", 100L, None, 5L, 1L))
+    // delta runs: u1 continues b then changes to c (absorb, D>1);
+    // u2 changes immediately (close); u3 continues with ONE run
+    // (single-run absorb, stays open); u5 is new; u4 untouched
+    val delta = Seq(
+      (1L, 1L, "b", 300L, Some(400L), 2L, 0L),
+      (1L, 2L, "c", 400L, None, 1L, 1L),
+      (2L, 1L, "q", 300L, None, 1L, 1L),
+      (3L, 1L, "y", 300L, None, 4L, 1L),
+      (5L, 1L, "n", 300L, None, 2L, 1L))
+    def df(rows: Seq[(Long, Long, String, Long, Option[Long], Long, Long)]) =
+      rows.toDF("user_id", "version", "event_type", "valid_from_ms",
+        "valid_to_ms", "n_events", "is_current")
+    val got = graft.operators.Incremental.scd2Merge(df(base), df(delta))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "a", 100L, Some(200L), 2L, 0L),
+      (1L, 2L, "b", 200L, Some(400L), 3L, 0L), // absorbed run 1
+      (1L, 3L, "c", 400L, None, 1L, 1L),       // shifted delta run 2
+      (2L, 1L, "x", 100L, Some(300L), 3L, 0L), // closed at delta start
+      (2L, 2L, "q", 300L, None, 1L, 1L),
+      (3L, 1L, "y", 100L, None, 5L, 1L),       // single-run absorb, open
+      (4L, 1L, "z", 100L, None, 5L, 1L),       // untouched, verbatim
+      (5L, 1L, "n", 300L, None, 2L, 1L)))      // new user, standalone
+  }
+
   test("event-stream invariants: contiguity, chaining, one current row") {
     val rows = Events.scd2Build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
