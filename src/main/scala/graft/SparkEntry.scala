@@ -91,6 +91,10 @@ object SparkEntry {
     // SCD2 maintained by STATE MERGE: stored dimension + event delta,
     // base events never re-read; hash-match vs the monolithic rebuild
     "q_ivm_scd2" -> ((s, d) => Incremental.scd2Incremental(s, d)),
+    // the same state merge driven per micro-batch (CDC at ingest):
+    // drained dimension state == the monolithic rebuild
+    "q_streaming_scd2" -> ((s, d) =>
+      graft.streaming.StreamingScd2.scd2AvailableNow(s, d)),
     // two-sided delta-join maintenance: ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB merged into
     // materialized state — oracle re-joins the full tables from scratch
     "q_ivm_join" -> ((s, d) => Incremental.incrementalJoinView(s, d)),
@@ -1172,6 +1176,8 @@ object SparkEntry {
     "q_scd2_build" -> scd2OracleSql,
     // incremental maintenance answers to the IDENTICAL monolithic oracle
     "q_ivm_scd2" -> scd2OracleSql,
+    // so does the per-micro-batch CDC merge
+    "q_streaming_scd2" -> scd2OracleSql,
 
     "q_doc_similarity" ->
       s"""$postingsCte, df AS (

@@ -215,7 +215,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // delta-run build (ONE user exchange) + stored-table merge joins
     // (user-keyed, dimension-sized) + output order — base events are
     // touched only in the persisted-state build
-    "q_ivm_scd2" -> 8
+    "q_ivm_scd2" -> 8,
+    // drained state-parquet read + output order (merge ran in the sink)
+    "q_streaming_scd2" -> 1
   )
 
   test("q_range_join never degenerates to a nested-loop join") {

@@ -68,6 +68,15 @@ class Scd2Spec extends SparkTestBase {
       (5L, 1L, "n", 300L, None, 2L, 1L)))      // new user, standalone
   }
 
+  test("streaming CDC merge: >=2 incarnations, drained state == batch build") {
+    val batch = Events.scd2Build(spark, sf).collect().toSeq
+    val streamed = graft.streaming.StreamingScd2.scd2AvailableNow(spark, sf)
+      .collect().toSeq
+    assert(graft.streaming.StreamingScd2.lastNumBatches.get >= 2,
+      "the drain must run one batch per staged incarnation")
+    assert(streamed == batch)
+  }
+
   test("event-stream invariants: contiguity, chaining, one current row") {
     val rows = Events.scd2Build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
