@@ -191,6 +191,18 @@ object SparkEntry {
     // members-only count probe predict |orders ⋈ lineitem| without
     // running the join (exact count kept as the audit leg)
     "q_join_size_est"  -> ((s, d) => JoinEstimate.joinSizeEstimate(s, d)),
+    // closed-form linear regression: ONE aggregation pass of ten exact
+    // integer moments, Cramer solve as plan arithmetic — no gradient
+    // loop, no collect; betas bit-match DuckDB via the shared solve
+    "q_linear_model"   -> ((s, d) => LinearModel.linearFit(s, d)),
+    // many models in one shuffle: per-priority moments, betas as columns
+    "q_linear_grouped" -> ((s, d) => LinearModel.groupedFit(s, d)),
+    // score every order with the fitted model (betas ride a 1-row
+    // broadcast), keep the top-15 by |residual| (TakeOrderedAndProject)
+    "q_linear_outliers" -> ((s, d) => LinearModel.residualOutliers(s, d)),
+    // retrain from stored moments + the delta batch's moments — base
+    // orders never re-read; exact by integer-sum associativity
+    "q_ivm_linear"     -> ((s, d) => LinearModel.linearFitIncremental(s, d)),
     // the same per-type sketch maintained as streaming state (O(k) per
     // group); drained state == batch sketch, so the oracle is shared
     "q_streaming_quantiles" -> ((s, d) =>
@@ -1173,6 +1185,15 @@ object SparkEntry {
         |       round(abs(CAST(est_join_rows AS DOUBLE) - exact_join_rows)
         |         / exact_join_rows, 6) AS rel_err
         |FROM e2, x""".stripMargin,
+    // closed-form regression: oracle built from the SAME solve fragments
+    // the engine evaluates — identical expression trees over identical
+    // integer moments, bit-identical betas
+    "q_linear_model" -> LinearModel.fitOracleSql,
+    "q_linear_grouped" -> LinearModel.groupedOracleSql,
+    "q_linear_outliers" -> LinearModel.outliersOracleSql(),
+    // the incremental retrain answers the IDENTICAL monolithic oracle —
+    // moments(base)+moments(Δ) == moments(all), integer-exact
+    "q_ivm_linear" -> LinearModel.fitOracleSql,
     "q_scd2_build" -> scd2OracleSql,
     // incremental maintenance answers to the IDENTICAL monolithic oracle
     "q_ivm_scd2" -> scd2OracleSql,
