@@ -203,6 +203,11 @@ object SparkEntry {
     // retrain from stored moments + the delta batch's moments — base
     // orders never re-read; exact by integer-sum associativity
     "q_ivm_linear"     -> ((s, d) => LinearModel.linearFitIncremental(s, d)),
+    // the model kept always-current at ingest: per-micro-batch moment
+    // merge (ten longs of state), two incarnations over one checkpoint;
+    // drained betas == the monolithic retrain
+    "q_streaming_linear" -> ((s, d) =>
+      graft.streaming.StreamingLinear.linearFitAvailableNow(s, d)),
     // the same per-type sketch maintained as streaming state (O(k) per
     // group); drained state == batch sketch, so the oracle is shared
     "q_streaming_quantiles" -> ((s, d) =>
@@ -1194,6 +1199,8 @@ object SparkEntry {
     // the incremental retrain answers the IDENTICAL monolithic oracle —
     // moments(base)+moments(Δ) == moments(all), integer-exact
     "q_ivm_linear" -> LinearModel.fitOracleSql,
+    // so does the streaming per-micro-batch moment merge
+    "q_streaming_linear" -> LinearModel.fitOracleSql,
     "q_scd2_build" -> scd2OracleSql,
     // incremental maintenance answers to the IDENTICAL monolithic oracle
     "q_ivm_scd2" -> scd2OracleSql,

@@ -63,6 +63,15 @@ class LinearModelSpec extends SparkTestBase {
     assert(orders.filter(col("o_orderdate") >= split).count() > 0)
   }
 
+  test("streaming retrain: >=2 incarnations, drained betas == batch fit") {
+    val batch = LinearModel.linearFit(spark, sf).collect().toSeq
+    val streamed = graft.streaming.StreamingLinear
+      .linearFitAvailableNow(spark, sf).collect().toSeq
+    assert(graft.streaming.StreamingLinear.lastNumBatches.get >= 2,
+      "the drain must run one batch per staged incarnation")
+    assert(streamed == batch)
+  }
+
   test("outliers: scored by the fitted betas, ranked by |residual|") {
     val fit = LinearModel.linearFit(spark, sf).collect().head
     val (b0, b1, b2) = (fit.getDouble(1), fit.getDouble(2), fit.getDouble(3))
