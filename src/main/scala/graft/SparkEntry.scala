@@ -191,6 +191,10 @@ object SparkEntry {
     // members-only count probe predict |orders ⋈ lineitem| without
     // running the join (exact count kept as the audit leg)
     "q_join_size_est"  -> ((s, d) => JoinEstimate.joinSizeEstimate(s, d)),
+    // measured broadcast planning: a cheap pre-pass counts the FILTERED
+    // dimension (static stats only see file size) and broadcasts when it
+    // fits — the fact side then never shuffles
+    "q_measured_join"  -> ((s, d) => JoinPlanner.segmentRevenue(s, d)),
     // closed-form linear regression: ONE aggregation pass of ten exact
     // integer moments, Cramer solve as plan arithmetic — no gradient
     // loop, no collect; betas bit-match DuckDB via the shared solve
@@ -1190,6 +1194,7 @@ object SparkEntry {
         |       round(abs(CAST(est_join_rows AS DOUBLE) - exact_join_rows)
         |         / exact_join_rows, 6) AS rel_err
         |FROM e2, x""".stripMargin,
+    "q_measured_join" -> JoinPlanner.segmentRevenueOracleSql,
     // closed-form regression: oracle built from the SAME solve fragments
     // the engine evaluates — identical expression trees over identical
     // integer moments, bit-identical betas
