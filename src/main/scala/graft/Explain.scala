@@ -29,7 +29,9 @@ object Explain {
         "q_robust_anomaly", "q_vocab_kmv_native",
         "q_constraint_audit", "q_distribution_drift", "q_epoch_shuffle",
         "q_hourly_anomaly", "q_sketch_quantiles", "q_range_boundaries",
-        "q_vocab_overlap_native", "q_scd2_build")
+        "q_vocab_overlap_native", "q_scd2_build",
+        "q_linear_model", "q_linear_grouped", "q_linear_outliers",
+        "q_measured_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

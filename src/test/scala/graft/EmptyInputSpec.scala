@@ -58,7 +58,11 @@ class EmptyInputSpec extends SparkTestBase {
     "q_chunk_documents",  // context-window chunking
     "q_pii_mask",         // row-local masking
     "q_vocab_kmv_native", // native sketch aggregate over zero rows
-    "q_streaming_asof")   // foreachBatch drain of an empty feed
+    "q_streaming_asof",   // foreachBatch drain of an empty feed
+    "q_linear_model",     // closed-form solve of zero-row moments
+    "q_linear_grouped",   // per-group moments over zero groups
+    "q_linear_outliers",  // scoring under an empty (null-beta) model
+    "q_measured_join")    // measured decision on an empty dimension
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {
@@ -70,7 +74,10 @@ class EmptyInputSpec extends SparkTestBase {
       // n = 0); everything else must be exactly empty
       val aggregateShaped =
         Set("q_table_profile", "q_constraint_audit", "q_mixture_cube",
-          "q_funnel")
+          "q_funnel",
+          // the global moments row exists (n=0, null betas) even with
+          // zero input rows — the 1-row-report shape
+          "q_linear_model")
       if (!aggregateShaped.contains(name))
         assert(rows.isEmpty,
           s"$name returned ${rows.length} rows from zero-row inputs")

@@ -29,7 +29,11 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // must commute with any partitioning; SCD2's (ms, event_id) tie rule
     // must hold under any input split
     "q_sketch_quantiles", "q_range_shards", "q_vocab_overlap_native",
-    "q_scd2_build", "q_join_size_est", "q_ivm_scd2")
+    "q_scd2_build", "q_join_size_est", "q_ivm_scd2",
+    // closed-form regression: integer moments make the double solve
+    // layout-proof — exactly the property this net exists to check
+    "q_linear_model", "q_linear_grouped", "q_linear_outliers",
+    "q_measured_join")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

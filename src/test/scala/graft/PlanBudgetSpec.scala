@@ -217,7 +217,25 @@ class PlanBudgetSpec extends SparkTestBase {
     // touched only in the persisted-state build
     "q_ivm_scd2" -> 8,
     // drained state-parquet read + output order (merge ran in the sink)
-    "q_streaming_scd2" -> 1
+    "q_streaming_scd2" -> 1,
+    // round-12 regression/planning queries. ONE okey exchange builds the
+    // features (orders side broadcasts), one ten-long-wide moments agg;
+    // the solve is projection arithmetic on the single moments row
+    "q_linear_model" -> 2,
+    // + the priority re-key of the feature table (order rides the 5-row
+    // output)
+    "q_linear_grouped" -> 3,
+    // fit subplan + feature rebuild share the okey exchange (runtime
+    // reuse); betas broadcast; top-15 is TakeOrderedAndProject
+    "q_linear_outliers" -> 2,
+    // delta moments (okey agg + 1-row agg) + stored-state union agg —
+    // base orders touched only in the persisted-state build
+    "q_ivm_linear" -> 3,
+    // drained ten-long state read; the solve is row arithmetic
+    "q_streaming_linear" -> 0,
+    // measured broadcast: the fact side never shuffles — segment agg +
+    // output order only
+    "q_measured_join" -> 2
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
