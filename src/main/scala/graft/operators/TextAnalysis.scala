@@ -998,16 +998,23 @@ object TextAnalysis {
     * stutter, copy-paste blocks WITHIN one page) that cross-doc span
     * dedup cannot touch: every token covered by a 3-gram whose SAME-DOC
     * first occurrence is earlier is removed, keeping the first telling.
-    * No corpus-wide relation at all: one (doc, gram) exchange for the
-    * first-occurrence rank, one doc exchange for the covered window +
-    * reassembly — per-doc work regardless of corpus size.
+    *
+    * The whole computation is per-document, so the plan pays exactly ONE
+    * exchange (hash on doc_id) for any corpus size: "is this gram a
+    * repeat?" does NOT need its own (doc_id, g) shuffle — within one
+    * doc's partition, sorting the token rows by (g, pos) makes a repeat
+    * precisely the row whose PREDECESSOR carries the same gram
+    * (lag(g) = g ⟺ row_number over (doc_id, g) > 1), and the covered
+    * window + reassembly then re-sort the same partition by pos. Two
+    * in-partition sorts ride one exchange; the old formulation shuffled
+    * the full token stream twice.
     */
   def selfScrub(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byDocGram = Window.partitionBy("doc_id", "g").orderBy("pos")
+    val byDocGramOrder = Window.partitionBy("doc_id").orderBy("g", "pos")
     scrubFlagged(tokenGrams(spark, sfDir)
       .withColumn("h",
         when(col("g").isNotNull &&
-          row_number().over(byDocGram) > 1, 1).otherwise(0)))
+          lag("g", 1).over(byDocGramOrder) === col("g"), 1).otherwise(0)))
   }
 }

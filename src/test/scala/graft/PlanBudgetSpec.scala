@@ -186,9 +186,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // scrub's doc exchange + keeper window exchange + prefix-scan trio +
     // shard agg/order — each stage's own budget, nothing multiplicative
     "q_curated_shards" -> 11,
-    // one (doc, gram) exchange + one doc exchange + order — no corpus-
-    // wide relation at all (per-doc work at any corpus size)
-    "q_self_scrub" -> 3,
+    // ONE doc exchange (the (g,pos)-sort repeat flag and the pos-sort
+    // covered window both ride it) + order — no corpus-wide relation
+    "q_self_scrub" -> 2,
     // drained hour-cell read + the hour-TABLE trailing window + order
     "q_streaming_anomaly" -> 2,
     // round-12 sketch/planning queries. ONE partial-sketch agg exchange
