@@ -207,6 +207,15 @@ object SparkEntry {
     // retrain from stored moments + the delta batch's moments — base
     // orders never re-read; exact by integer-sum associativity
     "q_ivm_linear"     -> ((s, d) => LinearModel.linearFitIncremental(s, d)),
+    // closed-form multinomial Naive Bayes: sufficient statistics =
+    // mergeable counts materialized in ONE corpus pass; likelihoods
+    // quantized to integer micro-nats so scores are exact BIGINT sums
+    "q_nb_train"       -> ((s, d) => NaiveBayes.nbTrain(s, d)),
+    // held-out argmax scoring: token stream ⋈ model on term, priors
+    // broadcast; deterministic (score DESC, class ASC) tie-break
+    "q_nb_predict"     -> ((s, d) => NaiveBayes.nbPredict(s, d)),
+    // class × class held-out confusion counts — quality in one table
+    "q_nb_confusion"   -> ((s, d) => NaiveBayes.nbConfusion(s, d)),
     // the model kept always-current at ingest: per-micro-batch moment
     // merge (ten longs of state), two incarnations over one checkpoint;
     // drained betas == the monolithic retrain
@@ -457,6 +466,9 @@ object SparkEntry {
     // broadcast dim join + rollup state under the batch oracle
     "q_streaming_enrich" -> ((s, d) => graft.streaming.StreamingIndexer.enrichedSegmentRollup(s, d)),
     "q_sessionize"     -> ((s, d) => Events.sessionize(s, d)),
+    // first-order Markov transition matrix over user timelines: lead()
+    // on the user exchange, T×T result carries the row-share window
+    "q_event_transitions" -> ((s, d) => Events.transitionMatrix(s, d)),
     // SCD type-2 dimension build: per-user attribute history as
     // validity intervals (gaps-and-islands, one user-keyed exchange)
     "q_scd2_build"     -> ((s, d) => Events.scd2Build(s, d)),
@@ -696,6 +708,68 @@ object SparkEntry {
       |                     w -> w <> '') AS ts
       |  FROM documents
       |)""".stripMargin
+
+  /** Shared Naive Bayes training chain: Knuth 80/20 split (the
+    * q_train_split integer rule), train token counts, vocab × class
+    * grid, and the quantized-likelihood model — the predict/confusion
+    * oracles extend this with priors and held-out scoring. The llq
+    * formula is the SAME fragment the engine evaluates
+    * ([[operators.NaiveBayes.llqExpr]]).
+    */
+  private val nbCte =
+    s"""lbl AS (
+       |  SELECT doc_id, lang, ts,
+       |         ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 < 80 AS is_train
+       |  FROM toks
+       |), cnt AS (
+       |  SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT lang, unnest(ts) AS term FROM lbl WHERE is_train)
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1
+       |), vn AS (
+       |  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt
+       |), grid AS (
+       |  SELECT t.lang, voc.term, coalesce(c.n, 0) AS n, t.tot, vn.v
+       |  FROM (SELECT DISTINCT term FROM cnt) voc
+       |  CROSS JOIN tot t CROSS JOIN vn
+       |  LEFT JOIN cnt c ON c.term = voc.term AND c.lang = t.lang
+       |), model AS (
+       |  SELECT lang, term, CAST(n AS BIGINT) AS n,
+       |         ${operators.NaiveBayes.llqExpr} AS llq
+       |  FROM grid
+       |)""".stripMargin
+
+  /** Held-out scoring tail shared by q_nb_predict / q_nb_confusion. */
+  private val nbScoreCte =
+    s"""pri AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM lbl WHERE is_train GROUP BY 1
+       |), ntr AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_train FROM pri
+       |), priors AS (
+       |  SELECT lang AS cls, ${operators.NaiveBayes.priorExpr} AS prior_llq
+       |  FROM pri CROSS JOIN ntr
+       |), te AS (
+       |  SELECT doc_id, lang AS actual, ts FROM lbl WHERE NOT is_train
+       |), tkc AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
+       |  FROM (SELECT doc_id, unnest(ts) AS term FROM te) GROUP BY 1, 2
+       |), tsc AS (
+       |  SELECT tkc.doc_id, m.lang AS cls,
+       |         CAST(sum(tkc.k * m.llq) AS BIGINT) AS tok_llq
+       |  FROM tkc JOIN model m ON m.term = tkc.term GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT t.doc_id, t.actual, p.cls,
+       |         p.prior_llq + coalesce(s.tok_llq, 0) AS score
+       |  FROM te t CROSS JOIN priors p
+       |  LEFT JOIN tsc s ON s.doc_id = t.doc_id AND s.cls = p.cls
+       |), pred AS (
+       |  SELECT doc_id, actual, cls, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, cls) AS rn
+       |  FROM sc
+       |)""".stripMargin
 
   /** Monolithic full-corpus packing summary — the oracle for BOTH the
     * direct q_pack_summary and the incremental q_ivm_packing (append ≡
@@ -1200,6 +1274,18 @@ object SparkEntry {
     // integer moments, bit-identical betas
     "q_linear_model" -> LinearModel.fitOracleSql,
     "q_linear_grouped" -> LinearModel.groupedOracleSql,
+    "q_nb_train" ->
+      s"""WITH $toksCte, $nbCte
+         |SELECT lang, term, n, llq FROM model ORDER BY lang, term""".stripMargin,
+    "q_nb_predict" ->
+      s"""WITH $toksCte, $nbCte, $nbScoreCte
+         |SELECT doc_id, cls AS predicted, actual, CAST(score AS BIGINT) AS score
+         |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_nb_confusion" ->
+      s"""WITH $toksCte, $nbCte, $nbScoreCte
+         |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT actual, cls AS predicted FROM pred WHERE rn = 1)
+         |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
     "q_linear_outliers" -> LinearModel.outliersOracleSql(),
     // the incremental retrain answers the IDENTICAL monolithic oracle —
     // moments(base)+moments(Δ) == moments(all), integer-exact
@@ -3348,6 +3434,19 @@ object SparkEntry {
         |       CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ms(ts), event_id) AS to_type
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events

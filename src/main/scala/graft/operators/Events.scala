@@ -558,4 +558,31 @@ object Events {
         when(col("valid_to_ms").isNull, 1L).otherwise(0L).as("is_current"))
       .orderBy("user_id", "version")
   }
+
+  /** USER-JOURNEY TRANSITION MATRIX — the first-order Markov model of
+    * the event feed: for every consecutive step in a user's timeline,
+    * count (event_type → next event_type) and report each transition's
+    * share among the steps leaving the same state. One user_id exchange
+    * carries the lead() window (the same exchange sessionize pays); the
+    * (from, to) aggregation collapses to a T×T table, so its row-share
+    * window is metadata-sized no matter how large the feed is. Ordering
+    * parity per the file contract: (epoch ms, event_id), never raw ts.
+    * The probability is one division of two exact counts rounded at 6
+    * decimals — the identical expression tree both engines evaluate.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val steps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+    steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** CLOSED-FORM DISTRIBUTED NAIVE BAYES — the language classifier a
+  * curation pipeline trains over its own corpus in ONE aggregation pass.
+  * Like [[LinearModel]]'s moments, multinomial NB's sufficient statistics
+  * are plain mergeable counts: per-(class, term) token counts and
+  * per-class document counts. One corpus scan materializes them; the
+  * model (Laplace-smoothed log-likelihoods over the vocab × class grid),
+  * the priors, and every later prediction batch are vocabulary-sized —
+  * at 100 TB the training cost is the one token-stream exchange and the
+  * serve cost is a token-stream ⋈ model join on term (broadcastable
+  * whenever vocab × classes fits an executor).
+  *
+  * Engine parity (the reason this is DuckDB-oracle-checkable):
+  *  - the statistics are exact BIGINT counts, order-independent;
+  *  - the only floating-point step, ln(smoothed likelihood), is QUANTIZED
+  *    per (term, class) to integer micro-nats ([[llqExpr]] — one shared
+  *    SQL fragment both engines evaluate over identical integers), so a
+  *    document's score is an exact BIGINT dot product of token counts
+  *    and quantized log-likelihoods — no order-dependent double sums;
+  *  - argmax ties break deterministically on (score DESC, class ASC).
+  *
+  * Split contract: the same Knuth multiplicative cut as
+  * [[TextAnalysis.trainValTestSplit]], 80% train / 20% held out; unseen
+  * test-time terms (outside the train vocabulary) are ignored, the
+  * standard multinomial treatment, and a test doc with NO in-vocabulary
+  * tokens still scores on priors alone.
+  *
+  * Reference scope: the reference engine (map-reduce-indexing) stops at
+  * counting (`helper_map.c:166`, `helper_reduce.c:153`); this derives a
+  * trained classifier from the same count shapes.
+  */
+object NaiveBayes {
+
+  /** Quantized log-likelihood in integer MICRO-NATS over (n, tot, v):
+    * round(ln((n+1)/(tot+V)) · 1e6). |llq| ≤ ~21e6 for any real corpus
+    * (a 1e-9 probability is −20.7 nats), so k·llq summed over a
+    * million-token document stays far inside int64.
+    */
+  private[graft] val llqExpr =
+    "CAST(round(ln(CAST(n + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  /** Quantized class-prior log-probability over (n_docs, n_train). */
+  private[graft] val priorExpr =
+    "CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  private val TrainPct = 80
+
+  /** Documents with the Knuth-hash train flag (98/1/1 sibling: the
+    * split rule is the oracle-identical integer form).
+    */
+  private def labeled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (HashFunctions.knuthMod(col("doc_id"), 4294967296L) % 100 < TrainPct)
+          .as("is_train"))
+
+  private val statsBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Materialize the sufficient statistics — (lang, term, n) token counts
+    * over the TRAIN split — once per sf dir: the single corpus-sized pass.
+    * Model grid, vocab size, class totals, and the predict join all read
+    * this vocabulary-sized parquet instead of re-tokenizing the corpus.
+    */
+  private[graft] def ensureTrainCounts(spark: SparkSession, sfDir: String): String = {
+    val path = graft.util.Scratch.dir(spark,
+      "graft_nb_counts_" + Integer.toHexString(sfDir.hashCode))
+    statsBuilt.getOrElseUpdate(path, {
+      labeled(spark, sfDir)
+        .where(col("is_train"))
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  /** The model: Laplace-smoothed quantized log-likelihoods on the FULL
+    * vocab × class grid (zeros filled in, so unseen-in-class terms carry
+    * their smoothed penalty). Class totals and the vocab size are one-row
+    * aggregates of the counts table, broadcast onto the grid.
+    */
+  private[graft] def modelGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = spark.read.parquet(ensureTrainCounts(spark, sfDir))
+    val tot = cnt.groupBy("lang").agg(sum("n").as("tot"))
+    val vn = cnt.select("term").distinct().agg(count(lit(1)).as("v"))
+    cnt.select("term").distinct()
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(vn))
+      .join(cnt, Seq("term", "lang"), "left")
+      .select(col("lang"), col("term"), coalesce(col("n"), lit(0L)).as("n"),
+        col("tot"), col("v"))
+      .select(col("lang"), col("term"), col("n"), expr(llqExpr).as("llq"))
+  }
+
+  /** Quantized class priors from train DOC counts (a metadata-sized
+    * aggregate — the text column is never read).
+    */
+  private[graft] def priors(spark: SparkSession, sfDir: String): DataFrame = {
+    val perClass = labeled(spark, sfDir).where(col("is_train"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    perClass
+      .crossJoin(broadcast(perClass.agg(sum("n_docs").as("n_train"))))
+      .select(col("lang"), col("n_docs"), expr(priorExpr).as("prior_llq"))
+  }
+
+  /** q_nb_train: the trained model table. */
+  def nbTrain(spark: SparkSession, sfDir: String): DataFrame =
+    modelGrid(spark, sfDir).orderBy("lang", "term")
+
+  /** Per-test-doc class scores: prior + Σ k·llq over the doc's
+    * in-vocabulary terms (exact BIGINT arithmetic end to end).
+    */
+  private def scores(spark: SparkSession, sfDir: String): DataFrame = {
+    val te = labeled(spark, sfDir).where(!col("is_train"))
+    val tokScores = te
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+      .join(modelGrid(spark, sfDir), "term")
+      .groupBy(col("doc_id"), col("lang").as("cls"))
+      .agg(sum(col("k") * col("llq")).as("tok_llq"))
+    te.select(col("doc_id"), col("lang").as("actual"))
+      .crossJoin(broadcast(priors(spark, sfDir)
+        .select(col("lang").as("cls"), col("prior_llq"))))
+      .join(tokScores, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("actual"), col("cls"),
+        (col("prior_llq") + coalesce(col("tok_llq"), lit(0L))).as("score"))
+  }
+
+  /** q_nb_predict: argmax class per held-out doc, with the true label
+    * alongside. Deterministic tie-break (score DESC, class ASC).
+    */
+  def nbPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    scores(spark, sfDir)
+      .withColumn("rn", row_number().over(byDoc))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("predicted"), col("actual"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** q_nb_confusion: the held-out confusion matrix — class × class
+    * counts, the classifier's quality surface in one tiny table.
+    */
+  def nbConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    nbPredict(spark, sfDir)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+}
