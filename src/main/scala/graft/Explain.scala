@@ -31,7 +31,9 @@ object Explain {
         "q_hourly_anomaly", "q_sketch_quantiles", "q_range_boundaries",
         "q_vocab_overlap_native", "q_scd2_build",
         "q_linear_model", "q_linear_grouped", "q_linear_outliers",
-        "q_measured_join")
+        "q_measured_join",
+        "q_nb_train", "q_nb_predict", "q_event_transitions",
+        "q_mv_hourly", "q_mv_bytype", "q_self_scrub")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -459,6 +459,11 @@ object SparkEntry {
     "q_skew_join"      -> ((s, d) => Skew.skewedSupplierRevenue(s, d)),
     // — event-time analytics —
     "q_hourly_rollup"  -> ((s, d) => Events.hourlyRollup(s, d)),
+    // materialized-view rewrite: both queries are WRITTEN against base
+    // events; the optimizer rule serves them from the registered hourly
+    // view (oracle runs on base — a hash match proves the rewrite exact)
+    "q_mv_hourly"      -> ((s, d) => RollupView.hourlyServe(s, d)),
+    "q_mv_bytype"      -> ((s, d) => RollupView.byTypeServe(s, d)),
     // the same windows produced by the watermarked streaming aggregation,
     // drained AvailableNow — streaming window state under the batch oracle
     "q_streaming_hourly" -> ((s, d) => graft.streaming.StreamingIndexer.hourlyRollupAvailableNow(s, d)),
@@ -3419,6 +3424,20 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // base-table formulations on purpose: the ENGINE side answers these
+    // from the materialized hourly view via the optimizer rewrite
+    "q_mv_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_mv_bytype" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // streaming drain of the same windows (no n_users: streaming
     // aggregations cannot countDistinct) — window state must converge to
     // the batch rollup

@@ -118,16 +118,22 @@ object NaiveBayes {
     modelGrid(spark, sfDir).orderBy("lang", "term")
 
   /** Per-test-doc class scores: prior + Σ k·llq over the doc's
-    * in-vocabulary terms (exact BIGINT arithmetic end to end).
+    * in-vocabulary terms (exact BIGINT arithmetic end to end). The dot
+    * product needs no (doc, term) pre-aggregation: summing llq once per
+    * token OCCURRENCE is identical to k·llq per distinct term, so the
+    * token stream joins the BROADCAST model and partial aggregation
+    * collapses it map-side — the only data-sized exchange carries
+    * pre-combined (doc, class) partials. (For a vocab × classes grid too
+    * large to broadcast, drop the hint and the same plan shuffles on
+    * term.)
     */
   private def scores(spark: SparkSession, sfDir: String): DataFrame = {
     val te = labeled(spark, sfDir).where(!col("is_train"))
     val tokScores = te
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
-      .join(modelGrid(spark, sfDir), "term")
+      .join(broadcast(modelGrid(spark, sfDir)), "term")
       .groupBy(col("doc_id"), col("lang").as("cls"))
-      .agg(sum(col("k") * col("llq")).as("tok_llq"))
+      .agg(sum(col("llq")).as("tok_llq"))
     te.select(col("doc_id"), col("lang").as("actual"))
       .crossJoin(broadcast(priors(spark, sfDir)
         .select(col("lang").as("cls"), col("prior_llq"))))

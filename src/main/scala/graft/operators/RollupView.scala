@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+
+import graft.plans.AggRewriteRule
+import graft.sources.Tables
+
+/** The hourly events MATERIALIZED VIEW behind [[graft.plans.AggRewriteRule]]:
+  * built once into scratch parquet, registered so the optimizer serves
+  * matching aggregates from it transparently. The stored partials are
+  * chosen for EXACT re-aggregation — count as long, the value sum as
+  * decimal(14,2) (decimal addition is associative, so regrouped sums are
+  * bit-identical; a double sum would not be), min/max as themselves.
+  * The q_mv_* queries are written against the BASE events table and
+  * their DuckDB oracles run on the base too: a hash match therefore
+  * proves the REWRITE exact, not just the view.
+  *
+  * Templates are extracted from the analyzed view definition itself, so
+  * they are precisely the trees the same analyzer produces for user
+  * queries (same eval modes, time zone, cast semantics).
+  */
+object RollupView {
+
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The view definition. The outer cast pins the stored sum back to
+    * decimal(14,2) so re-summing yields the same decimal(24,2) a direct
+    * query gets (per-cell sums comfortably fit 12 integer digits).
+    */
+  private def viewDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)"))
+          .cast("decimal(14,2)").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Build (once per JVM per sf dir) and register the view. */
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val path = graft.util.Scratch.dir(spark,
+      "graft_mv_hourly_" + Integer.toHexString(sfDir.hashCode))
+    built.getOrElseUpdate(path, {
+      viewDf(spark, sfDir).write.mode("overwrite").parquet(path)
+      path
+    })
+    register(spark, sfDir, path)
+    path
+  }
+
+  private def register(spark: SparkSession, sfDir: String, mvPath: String): Unit = {
+    val analyzed = viewDf(spark, sfDir).queryExecution.analyzed
+    val agg = analyzed.collectFirst { case ag: Aggregate => ag }.get
+    val d = AggRewriteRule.destructure(agg).getOrElse(
+      throw new IllegalStateException("view definition did not destructure"))
+    val baseKey = AggRewriteRule.rootKey(d.rel).getOrElse(
+      throw new IllegalStateException("view base is not a file-source relation"))
+    val keyExprs = d.g.map { case al: Alias => al.child; case e => e }
+    val afs = d.a.flatMap(_.collect {
+      case ae: AggregateExpression => ae.aggregateFunction
+    })
+    require(keyExprs.size == 2 && afs.size == 4,
+      s"unexpected view shape: ${keyExprs.size} keys, ${afs.size} aggs")
+    val mvPlan = spark.read.parquet(mvPath).queryExecution.analyzed
+    AggRewriteRule.register(spark, baseKey, AggRewriteRule.MvSpec(
+      mvPlan = mvPlan,
+      keys = Seq("hour_ts" -> keyExprs(0), "event_type" -> keyExprs(1)),
+      aggs = Seq(
+        (afs(0), "n", (a: Attribute) => Sum(a)),
+        (afs(1), "sum_value", (a: Attribute) => Sum(a)),
+        (afs(2), "min_value", (a: Attribute) => Min(a)),
+        (afs(3), "max_value", (a: Attribute) => Max(a)))))
+  }
+
+  /** q_mv_hourly: an hour × type aggregate with a key filter, WRITTEN
+    * AGAINST BASE EVENTS — the optimizer must serve it from the view
+    * (the filter and the date_format ride the view's key columns).
+    */
+  def hourlyServe(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** q_mv_bytype: a COARSER grouping than the view's keys — the rewrite
+    * must roll the view's (hour, type) cells up to per-type totals.
+    */
+  def byTypeServe(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,204 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** MATERIALIZED-VIEW QUERY REWRITE — the optimizer half of incremental
+  * view maintenance ([[graft.operators.Incremental]] keeps aggregate
+  * state fresh; this rule makes queries USE it without the user knowing
+  * the view exists). An aggregate over the registered base table whose
+  * grouping keys are (expressions over) the view's keys and whose
+  * aggregates all merge from the view's stored partial states is
+  * rewritten to re-aggregate the view — at 100 TB that turns a full
+  * fact-table scan into a scan of a group-count-sized parquet.
+  *
+  * Soundness is COMPILER-GRADE conservative; the rule rewrites only when
+  * every piece maps, and otherwise returns the plan untouched:
+  *  - the aggregate's child must destructure to alias-inlinable
+  *    Project/Filter steps over a file-source relation whose root paths
+  *    are a registered base (path identity, not names);
+  *  - every grouping expression, filter conjunct, and non-aggregate
+  *    subtree must — after replacing each subtree that is semantically
+  *    equal to a view key's defining expression with the view's key
+  *    column — reference only view columns (so a filter on a key, e.g.
+  *    `event_type IN (...)` or `date_trunc('hour', ts) >= X`, rewrites;
+  *    a filter on a non-key column vetoes the rewrite);
+  *  - every AggregateExpression must match a registered mergeable
+  *    template (count ↦ sum of stored counts, sum of an EXACT type ↦
+  *    sum of stored partial sums, min/max ↦ min/max of stored bounds);
+  *    DISTINCT and FILTER aggregates veto (their partials don't merge —
+  *    the honest incremental form is a sketch);
+  *  - the rewritten output must carry the original column-by-column
+  *    dataTypes and exprIds, so parent operators never see the change.
+  *
+  * Exactness note: a view qualifies only if re-aggregating its partials
+  * is BIT-IDENTICAL to aggregating the base — counts/longs/decimals
+  * (associative) and min/max qualify; a double sum does not (regrouping
+  * reorders the additions), which is why the events view stores its sum
+  * as decimal. Template expressions are produced by the same analyzer
+  * that will analyze user queries and are re-bound to each candidate
+  * relation's attributes by name before semantic comparison.
+  */
+object AggRewriteRule extends Rule[LogicalPlan] {
+
+  /** One registered view: the analyzed scan of the materialized parquet,
+    * key columns with their defining expressions over the base relation
+    * (template attribute names re-bound at match time), and mergeable
+    * aggregate templates (base aggregate function ↦ view column + merge
+    * function over it).
+    */
+  final case class MvSpec(
+      mvPlan: LogicalPlan,
+      keys: Seq[(String, Expression)],
+      aggs: Seq[(AggregateFunction2, String, Attribute => AggregateFunction2)])
+
+  // the catalyst class is named AggregateFunction; alias locally to keep
+  // the public MvSpec signature readable next to AggregateExpression
+  type AggregateFunction2 =
+    org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+
+  private val registry = TrieMap.empty[String, MvSpec]
+
+  /** Canonical identity of a file-source relation: its sorted root paths. */
+  private[graft] def rootKey(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toString).sorted.mkString(";"))
+      case _ => None
+    }
+
+  /** Register (or refresh) a view for a base relation and make sure the
+    * rule itself is installed in the session's optimizer.
+    */
+  def register(spark: SparkSession, baseKey: String, spec: MvSpec): Unit = {
+    registry.put(baseKey, spec)
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(AggRewriteRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ AggRewriteRule
+  }
+
+  private[graft] def registered(baseKey: String): Boolean =
+    registry.contains(baseKey)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transform {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** An Aggregate reduced to relation level: Project aliases inlined
+    * into the grouping/aggregate expression copies, Filter conditions
+    * collected (inlined the same way as the walk descends).
+    */
+  private[graft] final case class Destructured(
+      rel: LogicalRelation, g: Seq[Expression], a: Seq[Expression],
+      fs: Seq[Expression])
+
+  private[graft] def destructure(agg: Aggregate): Option[Destructured] = {
+    var g: Seq[Expression] = agg.groupingExpressions
+    var a: Seq[Expression] = agg.aggregateExpressions
+    var fs: Seq[Expression] = Nil
+    var cur: LogicalPlan = agg.child
+    while (true) cur match {
+      case Project(pl, ch)
+          if pl.forall(ne => ne.isInstanceOf[AttributeReference] ||
+            ne.isInstanceOf[Alias]) =>
+        val m: Map[ExprId, Expression] =
+          pl.collect { case al: Alias => al.exprId -> al.child }.toMap
+        def inline(e: Expression): Expression = e.transformUp {
+          case ar: AttributeReference if m.contains(ar.exprId) => m(ar.exprId)
+        }
+        g = g.map(inline); a = a.map(inline); fs = fs.map(inline)
+        cur = ch
+      case Filter(cond, ch) =>
+        fs = fs :+ cond
+        cur = ch
+      case lr: LogicalRelation =>
+        return Some(Destructured(lr, g, a, fs))
+      case _ => return None
+    }
+    None // unreachable
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val Destructured(rel, g, a, fs) = destructure(agg).getOrElse(return None)
+    val spec = rootKey(rel).flatMap(registry.get).getOrElse(return None)
+
+    // 2. fresh view-scan instance (new exprIds per use) + column lookup
+    val mv = spec.mvPlan.transformUp {
+      case lr: LogicalRelation => lr.newInstance()
+    }
+    val mvAttr: Map[String, Attribute] = mv.output.map(x => x.name -> x).toMap
+
+    // 3. re-bind a template expression's attributes onto THIS relation's
+    //    output by name (None if a name is absent)
+    val relByName: Map[String, Attribute] = rel.output.map(x => x.name -> x).toMap
+    def rebind(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transformUp {
+        case ar: AttributeReference =>
+          relByName.get(ar.name) match {
+            case Some(x) => x
+            case None => ok = false; ar
+          }
+      }
+      if (ok) Some(r) else None
+    }
+    val keyPairs: Seq[(Expression, Attribute)] = for {
+      (name, tmpl) <- spec.keys
+      bound <- rebind(tmpl)
+      attr <- mvAttr.get(name)
+    } yield (bound, attr)
+    val aggPairs: Seq[(Expression, AggregateFunction2)] = for {
+      (tmpl, name, build) <- spec.aggs
+      bound <- rebind(tmpl)
+      attr <- mvAttr.get(name)
+    } yield (bound, build(attr))
+
+    // 4. map every AggregateExpression through a mergeable template;
+    //    any unmapped aggregate (or DISTINCT / FILTER form) vetoes
+    var failed = false
+    def mapAggs(e: Expression): Expression = e.transformDown {
+      case ae: AggregateExpression =>
+        if (ae.isDistinct || ae.filter.isDefined) { failed = true; ae }
+        else aggPairs.find(_._1.semanticEquals(ae.aggregateFunction)) match {
+          case Some((_, merged)) => ae.copy(aggregateFunction = merged)
+          case None => failed = true; ae
+        }
+    }
+    // 5. replace each view-key-defining subtree with the view column
+    def substKeys(e: Expression): Expression = e.transformDown {
+      case s if keyPairs.exists(_._1.semanticEquals(s)) =>
+        keyPairs.find(_._1.semanticEquals(s)).get._2
+    }
+    val aNew = a.map(e => substKeys(mapAggs(e)))
+    if (failed) return None
+    val gNew = g.map(substKeys)
+    val fNew = fs.map(substKeys)
+
+    // 6. everything must now live on the view, with identical types
+    val mvOut = mv.outputSet
+    if (!(gNew ++ aNew ++ fNew).forall(_.references.subsetOf(mvOut))) return None
+    if (a.zip(aNew).exists { case (o, n) => o.dataType != n.dataType }) return None
+
+    // 7. reassemble, preserving the original output names and exprIds so
+    //    parents (sorts, projections) resolve unchanged; prune the view
+    //    scan to the referenced columns
+    val aNamed: Seq[NamedExpression] = agg.aggregateExpressions.zip(aNew).map {
+      case (orig, t: NamedExpression) if t.exprId == orig.exprId => t
+      case (orig, t) => Alias(t, orig.name)(exprId = orig.exprId)
+    }
+    var child: LogicalPlan = mv
+    if (fNew.nonEmpty) child = Filter(fNew.reduce(And), child)
+    val needed = mv.output.filter(
+      (gNew ++ aNew).flatMap(_.references).toSet)
+    if (needed.size < mv.output.size) child = Project(needed, child)
+    Some(Aggregate(gNew, aNamed, child))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RollupView
+import graft.plans.AggRewriteRule
+import graft.sources.Tables
+
+/** The materialized-view rewrite must (a) actually fire — the optimized
+  * plan scans the view parquet, never the base events file — and (b) be
+  * invisible: answers identical to the same query with the rule
+  * uninstalled. Non-mergeable shapes (DISTINCT aggregates, filters on
+  * non-key columns, unknown aggregate sources) must veto the rewrite and
+  * keep scanning the base.
+  */
+class AggRewriteSpec extends SparkTestBase {
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+
+  private def withoutRule[T](body: => T): T = {
+    val exp = spark.experimental
+    val saved = exp.extraOptimizations
+    exp.extraOptimizations = saved.filterNot(_ == AggRewriteRule)
+    try body finally exp.extraOptimizations = saved
+  }
+
+  private lazy val mvPath: String = RollupView.ensure(spark, sf)
+
+  test("hourlyServe rewrites to the view and matches the base answer") {
+    val df = RollupView.hourlyServe(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains(mvPath)), s"no view scan in $paths")
+    assert(!paths.exists(_.contains("events.parquet")),
+      s"base scan survived the rewrite: $paths")
+    val got = df.collect().toSeq
+    val expected = withoutRule(RollupView.hourlyServe(spark, sf).collect().toSeq)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("byTypeServe rolls the view up to coarser keys, identically") {
+    val df = RollupView.byTypeServe(spark, sf)
+    assert(scanPaths(df).exists(_.contains(mvPath)))
+    val got = df.collect().toSeq
+    val expected = withoutRule(RollupView.byTypeServe(spark, sf).collect().toSeq)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("DISTINCT aggregates veto the rewrite") {
+    mvPath // ensure registered
+    val df = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events.parquet")), s"got $paths")
+    assert(!paths.exists(_.contains(mvPath)))
+  }
+
+  test("filters on non-key columns veto the rewrite") {
+    mvPath
+    val df = Tables.events(spark, sf)
+      .where(col("value") > 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(df).exists(_.contains("events.parquet")))
+  }
+
+  test("unmapped aggregate sources veto the rewrite") {
+    mvPath
+    val df = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(sum(col("user_id")).as("s")) // user_id sums are not stored
+    assert(scanPaths(df).exists(_.contains("events.parquet")))
+  }
+
+  test("a filter on the hour key itself rewrites") {
+    mvPath
+    val df = Tables.events(spark, sf)
+      .where(date_trunc("hour", col("ts")) >= lit("2024-01-10 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains(mvPath)), s"got $paths")
+    val expected = withoutRule(
+      Tables.events(spark, sf)
+        .where(date_trunc("hour", col("ts")) >= lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).collect().toSeq)
+    assert(df.collect().toSeq === expected)
+  }
+}

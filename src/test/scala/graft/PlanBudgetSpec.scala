@@ -235,7 +235,25 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_streaming_linear" -> 0,
     // measured broadcast: the fact side never shuffles — segment agg +
     // output order only
-    "q_measured_join" -> 2
+    "q_measured_join" -> 2,
+    // round-12 model/MV queries. Transitions: ONE user exchange (lead
+    // window) + T×T agg + its row-share window + order
+    "q_event_transitions" -> 4,
+    // model build reads the materialized counts parquet: class-total
+    // agg + vocab distinct/count pair + order — all vocabulary-sized
+    // (the one corpus pass happened in the counts build)
+    "q_nb_train" -> 4,
+    // the ONLY data-sized exchanges: (doc, class) partial-sum agg (the
+    // token stream joins the BROADCAST model, so scores pre-combine
+    // map-side), the test-doc × class spine, argmax window (group-limit
+    // pre-pruned map-side), output order; the rest are vocab/metadata-
+    // sized model internals
+    "q_nb_predict" -> 10,
+    "q_nb_confusion" -> 11, // + the T×T confusion agg
+    // served from the materialized view: view agg + output order only —
+    // the base fact table is never scanned
+    "q_mv_hourly" -> 2,
+    "q_mv_bytype" -> 2
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
