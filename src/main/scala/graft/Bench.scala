@@ -113,7 +113,9 @@ object Bench {
       "clustered_layout_materialize" ->
         (() => { graft.operators.Clustering.ensureClustered(spark, sfDir); () }),
       "bloom_manifest_materialize" ->
-        (() => { graft.operators.BloomSkip.ensureBloom(spark, sfDir); () }))
+        (() => { graft.operators.BloomSkip.ensureBloom(spark, sfDir); () }),
+      "graph_edges_materialize" ->
+        (() => { graft.operators.Graph.ensureEdges(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

@@ -33,7 +33,8 @@ object Explain {
         "q_linear_model", "q_linear_grouped", "q_linear_outliers",
         "q_measured_join",
         "q_nb_train", "q_nb_predict", "q_event_transitions",
-        "q_mv_hourly", "q_mv_bytype", "q_self_scrub")
+        "q_mv_hourly", "q_mv_bytype", "q_self_scrub",
+        "q_copurchase_triangles")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -420,6 +420,8 @@ object SparkEntry {
     "q_price_position" -> ((s, d) => Relational.pricePosition(s, d)),
     // iterative graph propagation as one relational plan (integer mass)
     "q_rank_propagation" -> ((s, d) => IndexQueries.rankPropagation(s, d, 25)),
+    // degree-oriented triangle counting over the part co-purchase graph
+    "q_copurchase_triangles" -> ((s, d) => Graph.copurchaseTriangles(s, d)),
     // TPC-H Q15 shape: view + max-over-view, decimal-exact winner cut
     "q_top_supplier"   -> ((s, d) => Relational.topRevenueSupplier(s, d)),
     // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
@@ -3268,6 +3270,19 @@ object SparkEntry {
          |       FROM p JOIN td USING (term) JOIN t2 USING (term) GROUP BY doc_id)
          |SELECT doc_id, CAST(rank_uu AS BIGINT) AS rank_uu
          |FROM d2 ORDER BY rank_uu DESC, doc_id LIMIT 25""".stripMargin,
+    // naive canonical-edge triangle join (a<b<c) — fine for the oracle;
+    // the engine runs the degree-oriented forward algorithm instead
+    "q_copurchase_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT p AS p_partkey, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM x GROUP BY 1 ORDER BY n_tri DESC, p_partkey LIMIT 50""".stripMargin,
     // Q15 shape: exact decimal revenue; winner-by-equality against the
     // max over the same aggregation
     "q_top_supplier" ->

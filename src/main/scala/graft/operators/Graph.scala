@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over relations the engine already has — the
+  * co-purchase graph (parts are adjacent iff they appear in the same
+  * order) is the classic market-basket structure a training-data
+  * pipeline mines for item affinity, and triangle counting is its
+  * canonical "does this hold at scale" problem: naive wedge enumeration
+  * is Σ deg(v)² — quadratic in the hub degrees, which is exactly what
+  * power-law co-occurrence graphs have.
+  *
+  * We run the DEGREE-ORIENTED (a.k.a. "forward") algorithm: orient every
+  * undirected edge from its lower-(degree, id) endpoint to the higher
+  * one. Each triangle then has exactly ONE vertex with both spokes
+  * out-oriented, so counting (u→v, u→w, v→w) patterns counts each
+  * triangle once — and the out-degree of EVERY vertex, hubs included, is
+  * bounded by O(√|E|), so total wedge work is O(|E|^1.5) worst case
+  * instead of Σ deg² (Latapy 2008; the same orientation behind GraphX's
+  * triangleCount). Wedges are generated ROW-LOCALLY from each vertex's
+  * sorted out-neighborhood array (bounded by the orientation, so no
+  * array ever exceeds ~√|E| entries); the only exchanges are linear
+  * shuffles on vertex/edge keys.
+  *
+  * The oriented edge relation is materialized to scratch parquet once
+  * per sf (same rationale as [[Dedup.ensureShingles]]): the triangle
+  * plan consumes it twice (adjacency build + closing-edge probe), and an
+  * un-materialized pipeline would re-derive the distinct + degree +
+  * orientation subtree — two extra passes over the fact table — per
+  * consumer, since exchange reuse cannot unify branches once column
+  * pruning specializes them.
+  */
+object Graph {
+
+  /** Distinct undirected co-purchase edges (u < v), from a self-join of
+    * lineitem on the orderkey both sides already hash to. Order sizes
+    * are bounded tiny (≤7 items in TPC-H), so the pair blow-up is
+    * O(|L|·items-per-order) — linear in the fact table.
+    */
+  private[graft] def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    l.as("a").join(l.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
+  /** Edges re-oriented lower-(degree, id) → higher, carrying the
+    * destination's degree so consumers can order spokes by rank without
+    * re-joining degrees. deg is a |V|-sized relation; the two annotation
+    * joins are linear shuffles on the vertex key (Spark broadcasts when
+    * it fits — either plan is scale-safe).
+    */
+  private[graft] def orientedEdges(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val uRank = struct(col("du").as("d"), col("u").as("n"))
+    val vRank = struct(col("dv").as("d"), col("v").as("n"))
+    e.select(
+      when(uRank < vRank, col("u")).otherwise(col("v")).as("src"),
+      when(uRank < vRank, col("v")).otherwise(col("u")).as("dst"),
+      when(uRank < vRank, col("dv")).otherwise(col("du")).as("dst_deg"))
+  }
+
+  private val edgesBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Materialize the oriented co-purchase edge relation once per sf. */
+  private[graft] def ensureEdges(spark: SparkSession, sfDir: String): String = {
+    val path = graft.util.Scratch.dir(spark,
+      "graft_graph_edges_" + Integer.toHexString(sfDir.hashCode))
+    edgesBuilt.getOrElseUpdate(path, {
+      orientedEdges(copurchaseEdges(spark, sfDir))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  /** Per-vertex triangle participation counts from an oriented edge set
+    * (src, dst, dst_deg). Wedges are the ordered spoke pairs of each
+    * out-neighborhood, generated row-locally from the sorted adjacency
+    * array; a wedge (v, w) is a triangle iff the oriented edge v→w
+    * exists — one hash join on the edge key.
+    */
+  private[graft] def triangleCounts(o: DataFrame): DataFrame = {
+    val adj = o.groupBy("src")
+      .agg(sort_array(collect_list(
+        struct(col("dst_deg").as("d"), col("dst").as("n")))).as("nbrs"))
+      .where(size(col("nbrs")) >= 2)
+    val wedges = adj.select(col("src").as("a"), explode(expr(
+      """flatten(transform(sequence(0, size(nbrs) - 2), i ->
+        |  transform(sequence(i + 1, size(nbrs) - 1), j ->
+        |    struct(nbrs[i].n AS v, nbrs[j].n AS w))))""".stripMargin)).as("vw"))
+      .select(col("a"), col("vw.v").as("v"), col("vw.w").as("w"))
+    val closing = o.select(col("src").as("v"), col("dst").as("w"))
+    wedges.join(closing, Seq("v", "w"))
+      .select(explode(array(col("a"), col("v"), col("w"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** The 50 parts sitting in the most co-purchase triangles (ties broken
+    * by part key — a total order, so the limit is deterministic).
+    */
+  def copurchaseTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCounts(spark.read.parquet(ensureEdges(spark, sfDir)))
+      .orderBy(col("n_tri").desc, col("p_partkey"))
+      .limit(50)
+}

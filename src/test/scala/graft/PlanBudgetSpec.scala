@@ -253,7 +253,11 @@ class PlanBudgetSpec extends SparkTestBase {
     // served from the materialized view: view agg + output order only —
     // the base fact table is never scanned
     "q_mv_hourly" -> 2,
-    "q_mv_bytype" -> 2
+    "q_mv_bytype" -> 2,
+    // from the materialized oriented-edge parquet: adjacency agg + the
+    // (v,w) closing join's two sides + per-part agg; wedges row-local,
+    // top-50 via TakeOrdered
+    "q_copurchase_triangles" -> 4
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
