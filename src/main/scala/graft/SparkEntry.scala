@@ -370,6 +370,9 @@ object SparkEntry {
     // SemDeDup: per-cell min-id-keeper semantic dedup on fixed centroids
     "q_semdedup"       -> ((s, d) => Similarity.semDedup(s, d, 0.3)),
     "q_quantize_embed" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
+    // exact covariance grid from integer micro-unit moments (row-local
+    // pair products; the only exchange is the d²-cell partial sums)
+    "q_embed_covariance" -> ((s, d) => Covariance.covarianceGrid(s, d)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_unshipped" -> ((s, d) => Relational.q3TopUnshipped(s, d)),
@@ -2617,6 +2620,30 @@ object SparkEntry {
          |  FROM embeddings)
          |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // exact covariance moments: the same ⌊x·1e6+0.5⌋ micro-unit
+    // quantization, naive lateral pair expansion (fine for the oracle;
+    // the engine generates pairs row-locally with HOFs), HUGEINT combine
+    // kept internal — outputs are BIGINT moments + one rounded double
+    "q_embed_covariance" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT CAST(a.i - 1 AS INTEGER) AS dim_i, CAST(b.i - 1 AS INTEGER) AS dim_j,
+        |         p.qs[a.i] AS qi, p.qs[b.i] AS qj
+        |  FROM q p,
+        |       LATERAL (SELECT unnest(generate_series(1, len(p.qs))) AS i) a,
+        |       LATERAL (SELECT unnest(generate_series(1, len(p.qs))) AS i) b
+        |  WHERE b.i >= a.i),
+        |g AS (SELECT dim_i, dim_j, count(*) AS n, sum(qi) AS s_i,
+        |             sum(qj) AS s_j, sum(qi * qj) AS s_ij
+        |      FROM ex GROUP BY 1, 2)
+        |SELECT dim_i, dim_j, CAST(n AS BIGINT) AS n, CAST(s_i AS BIGINT) AS s_i,
+        |       CAST(s_j AS BIGINT) AS s_j, CAST(s_ij AS BIGINT) AS s_ij,
+        |       round(CAST(CAST(n AS HUGEINT) * s_ij - CAST(s_i AS HUGEINT) * s_j AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) AS cov
+        |FROM g ORDER BY dim_i, dim_j""".stripMargin,
     // int8 quantization: float→double casts, greatest-fold max|x|, explicit
     // ⌊x+0.5⌋ rounding (engine round() tie-breaks differ), sequential
     // error fold — every step engine-exact

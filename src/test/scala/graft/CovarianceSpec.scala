@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Covariance
+import graft.sources.Tables
+
+/** The covariance grid must equal a driver-side recomputation from the
+  * raw vectors, and the power-iteration component must actually be an
+  * eigenvector of that grid with the dominant Rayleigh quotient.
+  */
+class CovarianceSpec extends SparkTestBase {
+
+  private lazy val vecs: Array[Array[Long]] =
+    Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+
+  test("grid matches a driver-side recomputation of the exact moments") {
+    val d = vecs.head.length
+    val got = Covariance.covarianceGrid(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.size === d * (d + 1) / 2)
+    val n = vecs.length.toLong
+    for (i <- 0 until d; j <- i until d) {
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      val cov = BigDecimal((BigInt(n) * sij - BigInt(si) * sj).toDouble /
+        (n.toDouble * n.toDouble * 1e12))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((i, j)) === ((n, si, sj, sij, cov)), s"cell ($i,$j)")
+    }
+  }
+
+  test("power iteration returns the dominant eigenpair") {
+    val (v, lambda) = Covariance.pcaTopComponent(spark, sf)
+    val d = v.length
+    val rows = Covariance.covarianceGrid(spark, sf)
+      .select("dim_i", "dim_j", "cov").collect()
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      a(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      a(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    // unit norm, positive eigenvalue, and A·v ≈ λ·v
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(lambda > 0)
+    val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+    // convergence rate is (λ2/λ1)^iters: near-isotropic synthetic
+    // embeddings have a tiny eigengap, so pin a realistic residual
+    val resid = math.sqrt(av.zip(v).map { case (x, y) => val e = x - lambda * y; e * e }.sum)
+    assert(resid < 1e-3 * lambda, s"residual $resid vs lambda $lambda")
+    // dominance: beats the Rayleigh quotient of every coordinate axis
+    val axes = (0 until d).map(k => a(k)(k))
+    assert(lambda >= axes.max - 1e-12)
+  }
+}

@@ -257,7 +257,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // from the materialized oriented-edge parquet: adjacency agg + the
     // (v,w) closing join's two sides + per-part agg; wedges row-local,
     // top-50 via TakeOrdered
-    "q_copurchase_triangles" -> 4
+    "q_copurchase_triangles" -> 4,
+    // pair products are row-local HOFs; the only data exchange is the
+    // d²-cell partial-sum agg + the output range sort
+    "q_embed_covariance" -> 2
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
