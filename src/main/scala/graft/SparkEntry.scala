@@ -221,6 +221,11 @@ object SparkEntry {
     // drained betas == the monolithic retrain
     "q_streaming_linear" -> ((s, d) =>
       graft.streaming.StreamingLinear.linearFitAvailableNow(s, d)),
+    // the hourly view kept current at ingest (per-batch exact cell
+    // merge, resume over one checkpoint), then SERVED via the optimizer
+    // rewrite — the query and its oracle both run against base events
+    "q_streaming_mv" -> ((s, d) =>
+      graft.streaming.StreamingMv.mvServeAvailableNow(s, d)),
     // the same per-type sketch maintained as streaming state (O(k) per
     // group); drained state == batch sketch, so the oracle is shared
     "q_streaming_quantiles" -> ((s, d) =>
@@ -3480,6 +3485,14 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // base-table formulation again: the engine side drains the streaming
+    // view maintenance, registers the state, and the rewrite serves it
+    "q_streaming_mv" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events WHERE date_trunc('hour', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // streaming drain of the same windows (no n_users: streaming
     // aggregations cannot countDistinct) — window state must converge to
     // the batch rollup

@@ -52,6 +52,15 @@ object RollupView {
     path
   }
 
+  /** Register a parquet relation with the view's schema as THE hourly
+    * rollup for this sf's base events — also the entry point for the
+    * streaming-maintained copy ([[graft.streaming.StreamingMv]]), whose
+    * drained state is bit-identical to the batch build and therefore an
+    * equally sound rewrite target.
+    */
+  private[graft] def registerAt(spark: SparkSession, sfDir: String, mvPath: String): Unit =
+    register(spark, sfDir, mvPath)
+
   private def register(spark: SparkSession, sfDir: String, mvPath: String): Unit = {
     val analyzed = viewDf(spark, sfDir).queryExecution.analyzed
     val agg = analyzed.collectFirst { case ag: Aggregate => ag }.get

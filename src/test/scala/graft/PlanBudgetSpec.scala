@@ -260,7 +260,10 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_copurchase_triangles" -> 4,
     // pair products are row-local HOFs; the only data exchange is the
     // d²-cell partial-sum agg + the output range sort
-    "q_embed_covariance" -> 2
+    "q_embed_covariance" -> 2,
+    // served from the streaming-maintained view state: view agg + order —
+    // base events never scanned (the drain itself is micro-batch-side)
+    "q_streaming_mv" -> 2
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
