@@ -474,6 +474,9 @@ object SparkEntry {
     // view (oracle runs on base — a hash match proves the rewrite exact)
     "q_mv_hourly"      -> ((s, d) => RollupView.hourlyServe(s, d)),
     "q_mv_bytype"      -> ((s, d) => RollupView.byTypeServe(s, d)),
+    // derived aggregates (sum/count average, max−min range) + HAVING —
+    // the rewrite maps each aggregate inside the larger expression tree
+    "q_mv_avg"         -> ((s, d) => RollupView.avgServe(s, d)),
     // the same windows produced by the watermarked streaming aggregation,
     // drained AvailableNow — streaming window state under the batch oracle
     "q_streaming_hourly" -> ((s, d) => graft.streaming.StreamingIndexer.hourlyRollupAvailableNow(s, d)),
@@ -3485,6 +3488,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_mv_avg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS avg_value,
+        |       max(value) - min(value) AS value_range,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 HAVING count(*) > 100 ORDER BY event_type""".stripMargin,
     // base-table formulation again: the engine side drains the streaming
     // view maintenance, registers the state, and the rewrite serves it
     "q_streaming_mv" ->

@@ -104,6 +104,28 @@ object RollupView {
       .orderBy("hour", "event_type")
   }
 
+  /** q_mv_avg: DERIVED aggregates — an average written as sum/count and
+    * a mean-absolute-bound written as (max−min) — rewrite compositionally
+    * because the rule maps each AggregateExpression INSIDE the larger
+    * expression tree; no avg-specific machinery exists or is needed. The
+    * division happens once per output group on exact merged partials, so
+    * it is bit-identical to the base-table division.
+    */
+  def avgServe(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        // exact decimal sum → double (≤14 digits: exact), ONE IEEE
+        // division — engine-portable, unlike decimal-division scale rules
+        (sum(col("value").cast("decimal(14,2)")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_value"),
+        (max(col("value")) - min(col("value"))).as("value_range"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 100) // HAVING above the rewritten aggregate
+      .orderBy("event_type")
+  }
+
   /** q_mv_bytype: a COARSER grouping than the view's keys — the rewrite
     * must roll the view's (hour, type) cells up to per-type totals.
     */
