@@ -25,6 +25,10 @@ import graft.sources.Tables
   */
 object RollupView {
 
+  // view path → the base's file-listing signature AS OF the build; the
+  // registration must carry the build-time signature (not a fresh one),
+  // or a base mutated after the build would wrongly re-validate a stale
+  // view on the next ensure()
   private val built = scala.collection.concurrent.TrieMap[String, String]()
 
   /** The view definition. The outer cast pins the stored sum back to
@@ -44,12 +48,24 @@ object RollupView {
   def ensure(spark: SparkSession, sfDir: String): String = {
     val path = graft.util.Scratch.dir(spark,
       "graft_mv_hourly_" + Integer.toHexString(sfDir.hashCode))
-    built.getOrElseUpdate(path, {
-      viewDf(spark, sfDir).write.mode("overwrite").parquet(path)
-      path
+    val sig = built.getOrElseUpdate(path, {
+      val df = viewDf(spark, sfDir)
+      val s = baseSigOf(spark, df)
+      df.write.mode("overwrite").parquet(path)
+      s
     })
-    register(spark, sfDir, path)
+    register(spark, sfDir, path, Some(sig))
     path
+  }
+
+  /** The base file-listing signature behind a view definition. */
+  private def baseSigOf(spark: SparkSession, df: DataFrame): String = {
+    val agg = df.queryExecution.analyzed
+      .collectFirst { case ag: Aggregate => ag }.get
+    val d = AggRewriteRule.destructure(agg).getOrElse(
+      throw new IllegalStateException("view definition did not destructure"))
+    AggRewriteRule.fileSig(d.rel).getOrElse(
+      throw new IllegalStateException("view base is not a file-source relation"))
   }
 
   /** Register a parquet relation with the view's schema as THE hourly
@@ -59,9 +75,10 @@ object RollupView {
     * equally sound rewrite target.
     */
   private[graft] def registerAt(spark: SparkSession, sfDir: String, mvPath: String): Unit =
-    register(spark, sfDir, mvPath)
+    register(spark, sfDir, mvPath, None)
 
-  private def register(spark: SparkSession, sfDir: String, mvPath: String): Unit = {
+  private def register(spark: SparkSession, sfDir: String, mvPath: String,
+                       sigAtBuild: Option[String]): Unit = {
     val analyzed = viewDf(spark, sfDir).queryExecution.analyzed
     val agg = analyzed.collectFirst { case ag: Aggregate => ag }.get
     val d = AggRewriteRule.destructure(agg).getOrElse(
@@ -82,7 +99,9 @@ object RollupView {
         (afs(0), "n", (a: Attribute) => Sum(a)),
         (afs(1), "sum_value", (a: Attribute) => Sum(a)),
         (afs(2), "min_value", (a: Attribute) => Min(a)),
-        (afs(3), "max_value", (a: Attribute) => Max(a)))))
+        (afs(3), "max_value", (a: Attribute) => Max(a))),
+      baseSig = sigAtBuild.getOrElse(AggRewriteRule.fileSig(d.rel).getOrElse(
+        throw new IllegalStateException("view base has no file listing")))))
   }
 
   /** q_mv_hourly: an hour × type aggregate with a key filter, WRITTEN

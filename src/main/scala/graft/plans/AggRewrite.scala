@@ -49,14 +49,20 @@ object AggRewriteRule extends Rule[LogicalPlan] {
 
   /** One registered view: the analyzed scan of the materialized parquet,
     * key columns with their defining expressions over the base relation
-    * (template attribute names re-bound at match time), and mergeable
+    * (template attribute names re-bound at match time), mergeable
     * aggregate templates (base aggregate function ↦ view column + merge
-    * function over it).
+    * function over it), and the base's file-listing signature AS OF THE
+    * VIEW BUILD — the staleness guard: a query whose base relation lists
+    * different files (append, overwrite, compaction) must NOT be served
+    * from the view, so a signature mismatch vetoes the rewrite and the
+    * query falls back to the base scan. Serving stale data silently is
+    * the one failure mode a rewrite rule can never have.
     */
   final case class MvSpec(
       mvPlan: LogicalPlan,
       keys: Seq[(String, Expression)],
-      aggs: Seq[(AggregateFunction2, String, Attribute => AggregateFunction2)])
+      aggs: Seq[(AggregateFunction2, String, Attribute => AggregateFunction2)],
+      baseSig: String)
 
   // the catalyst class is named AggregateFunction; alias locally to keep
   // the public MvSpec signature readable next to AggregateExpression
@@ -70,6 +76,21 @@ object AggRewriteRule extends Rule[LogicalPlan] {
     lr.relation match {
       case fs: HadoopFsRelation =>
         Some(fs.location.rootPaths.map(_.toString).sorted.mkString(";"))
+      case _ => None
+    }
+
+  /** Content signature of a file-source relation: the sorted
+    * (path, length, mtime) listing. The FileIndex caches its listing, so
+    * this is an in-memory walk at optimization time, not an FS call; any
+    * base mutation (append, overwrite, compaction) changes it.
+    */
+  private[graft] def fileSig(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.listFiles(Nil, Nil)
+          .flatMap(_.files)
+          .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString("\n"))
       case _ => None
     }
 
@@ -129,6 +150,10 @@ object AggRewriteRule extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val Destructured(rel, g, a, fs) = destructure(agg).getOrElse(return None)
     val spec = rootKey(rel).flatMap(registry.get).getOrElse(return None)
+
+    // staleness guard: the query's base listing must be the one the view
+    // was built from, or the view's contents no longer summarize the base
+    if (!fileSig(rel).contains(spec.baseSig)) return None
 
     // 2. fresh view-scan instance (new exprIds per use) + column lookup
     val mv = spec.mvPlan.transformUp {

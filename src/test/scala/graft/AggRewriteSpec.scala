@@ -94,6 +94,35 @@ class AggRewriteSpec extends SparkTestBase {
     assert(scanPaths(df).exists(_.contains("events.parquet")))
   }
 
+  test("a base mutated after the view build vetoes the rewrite (staleness guard)") {
+    // stage a private copy of the base so we can mutate it
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_stale_")
+    val dir = root.toString
+    spark.read.parquet(s"$sf/events.parquet").coalesce(1)
+      .write.parquet(s"$dir/events.parquet")
+
+    RollupView.ensure(spark, dir)
+    val stalePath = graft.util.Scratch.dir(spark,
+      "graft_mv_hourly_" + Integer.toHexString(dir.hashCode))
+    assert(scanPaths(RollupView.byTypeServe(spark, dir))
+      .exists(_.contains(stalePath)), "rewrite should fire on the fresh base")
+
+    // base mutation: append rows — the file listing changes
+    spark.read.parquet(s"$sf/events.parquet").limit(500).coalesce(1)
+      .write.mode("append").parquet(s"$dir/events.parquet")
+
+    // ensure() re-registers with the BUILD-TIME signature, so the stale
+    // view must not serve; the query falls back to the base scan...
+    val df = RollupView.byTypeServe(spark, dir)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains(s"$dir/events.parquet")), s"got $paths")
+    assert(!paths.exists(_.contains(stalePath)), s"stale view served: $paths")
+    // ...and the answer reflects the appended rows
+    val expected = withoutRule(RollupView.byTypeServe(spark, dir).collect().toSeq)
+    assert(df.collect().toSeq === expected)
+    graft.util.Scratch.deleteRecursively(root)
+  }
+
   test("a filter on the hour key itself rewrites") {
     mvPath
     val df = Tables.events(spark, sf)
