@@ -430,6 +430,8 @@ object SparkEntry {
     "q_rank_propagation" -> ((s, d) => IndexQueries.rankPropagation(s, d, 25)),
     // degree-oriented triangle counting over the part co-purchase graph
     "q_copurchase_triangles" -> ((s, d) => Graph.copurchaseTriangles(s, d)),
+    // association rules (support/confidence/lift) over the same baskets
+    "q_basket_rules"   -> ((s, d) => Graph.basketRules(s, d)),
     // TPC-H Q15 shape: view + max-over-view, decimal-exact winner cut
     "q_top_supplier"   -> ((s, d) => Relational.topRevenueSupplier(s, d)),
     // TPC-H Q18 shape: HAVING subquery → aggregate + join over winners
@@ -3318,6 +3320,23 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM tri)
         |SELECT p AS p_partkey, CAST(count(*) AS BIGINT) AS n_tri
         |FROM x GROUP BY 1 ORDER BY n_tri DESC, p_partkey LIMIT 50""".stripMargin,
+    // exact-count association rules; one rounded division per measure
+    "q_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |item AS (SELECT pk, count(*) AS cnt FROM li GROUP BY 1),
+        |pair AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+        |         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |         GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+        |       CAST(ia.cnt AS BIGINT) AS n_a, CAST(ib.cnt AS BIGINT) AS n_b,
+        |       CAST(n.n_orders AS BIGINT) AS n_orders,
+        |       round(CAST(n_pair AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6) AS support,
+        |       round(CAST(n_pair AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) AS confidence,
+        |       round(CAST(n_pair AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        |             / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) AS lift
+        |FROM pair JOIN item ia ON part_a = ia.pk JOIN item ib ON part_b = ib.pk, n
+        |ORDER BY lift DESC, part_a, part_b LIMIT 25""".stripMargin,
     // Q15 shape: exact decimal revenue; winner-by-equality against the
     // max over the same aggregation
     "q_top_supplier" ->

@@ -111,4 +111,42 @@ object Graph {
     triangleCounts(spark.read.parquet(ensureEdges(spark, sfDir)))
       .orderBy(col("n_tri").desc, col("p_partkey"))
       .limit(50)
+
+  /** Association rules over the same baskets: the top-25 part pairs by
+    * lift among pairs co-bought in ≥ minSupport orders. All counts are
+    * exact integers off linear aggregations (distinct (order, part) →
+    * per-part and per-pair counts); support/confidence/lift are single
+    * double divisions of those integers rounded at 6dp. The per-item
+    * count table is |V|-sized and the order total is one broadcast row,
+    * so the only data-sized exchanges are the basket self-join on the
+    * orderkey and the pair-count aggregation — both linear (order sizes
+    * are bounded tiny). The support floor prunes the rule table BEFORE
+    * the item-count joins, so the joined relation is output-sized.
+    */
+  def basketRules(spark: SparkSession, sfDir: String,
+                  minSupport: Long = 2): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select(countDistinct(col("ok")).as("n_orders"))
+    val itemN = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairN = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minSupport)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    pairN
+      .join(itemN.select(col("pk").as("part_a"), col("cnt").as("n_a")), "part_a")
+      .join(itemN.select(col("pk").as("part_b"), col("cnt").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"),
+        col("n_b"), col("n_orders"),
+        round(d(col("n_pair")) / d(col("n_orders")), 6).as("support"),
+        round(d(col("n_pair")) / d(col("n_a")), 6).as("confidence"),
+        round(d(col("n_pair")) * d(col("n_orders"))
+          / (d(col("n_a")) * d(col("n_b"))), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
 }

@@ -47,6 +47,31 @@ class GraphSpec extends SparkTestBase {
       s"orientation did not reduce the hub out-degree ($maxOut vs $maxDeg)")
   }
 
+  test("basket rules match a driver-side recomputation") {
+    val got = Graph.basketRules(spark, sf).collect()
+    assert(got.length === 25)
+    val baskets = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq.distinct
+    val nOrders = baskets.map(_._1).distinct.size.toLong
+    val itemN = baskets.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val pairN = baskets.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (k, v) if v.size >= 2 => k -> v.size.toLong }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pairN.toSeq.map { case ((a, b), np) =>
+      val (na, nb) = (itemN(a), itemN(b))
+      (a, b, np, na, nb, nOrders, r6(np.toDouble / nOrders),
+        r6(np.toDouble / na), r6(np.toDouble * nOrders / (na.toDouble * nb)))
+    }.sortBy { case (a, b, _, _, _, _, _, _, lift) => (-lift, a, b) }.take(25)
+    val gotT = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+      r.getDouble(7), r.getDouble(8))).toSeq
+    assert(gotT === expected)
+  }
+
   test("sf0.001 co-purchase triangles match brute force") {
     val got = Graph.copurchaseTriangles(spark, sf)
       .as[(Long, Long)].collect().toSeq

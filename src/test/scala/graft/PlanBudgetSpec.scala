@@ -264,7 +264,11 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_embed_covariance" -> 2,
     // served from the streaming-maintained view state: view agg + order —
     // base events never scanned (the drain itself is micro-batch-side)
-    "q_streaming_mv" -> 2
+    "q_streaming_mv" -> 2,
+    // basket distinct + pair agg + per-item/ per-side distinct+count legs
+    // (AQE stage reuse collapses the identical distinct subtrees at run
+    // time); rule table is support-pruned before the item joins
+    "q_basket_rules" -> 6
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
