@@ -131,11 +131,12 @@ class AggRewriteSpec extends SparkTestBase {
       .agg(count(lit(1)).as("n"))
     val paths = scanPaths(df)
     assert(paths.exists(_.contains(mvPath)), s"got $paths")
+    // no ORDER BY in the query, so compare order-insensitively
     val expected = withoutRule(
       Tables.events(spark, sf)
         .where(date_trunc("hour", col("ts")) >= lit("2024-01-10 00:00:00").cast("timestamp"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n")).collect().toSeq)
-    assert(df.collect().toSeq === expected)
+        .agg(count(lit(1)).as("n")).collect().toSeq.sortBy(_.toString))
+    assert(df.collect().toSeq.sortBy(_.toString) === expected)
   }
 }

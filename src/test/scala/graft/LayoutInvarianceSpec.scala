@@ -33,7 +33,12 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // closed-form regression: integer moments make the double solve
     // layout-proof — exactly the property this net exists to check
     "q_linear_model", "q_linear_grouped", "q_linear_outliers",
-    "q_measured_join")
+    "q_measured_join",
+    // round-12 additions: integer-moment covariance, tie-broken top-k
+    // over graph counts and rule lifts, NB integer scoring, and the MV
+    // rewrite path (view partials must merge layout-independently)
+    "q_embed_covariance", "q_copurchase_triangles", "q_basket_rules",
+    "q_nb_predict", "q_mv_avg")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
