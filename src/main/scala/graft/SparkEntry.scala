@@ -479,6 +479,8 @@ object SparkEntry {
     // derived aggregates (sum/count average, max−min range) + HAVING —
     // the rewrite maps each aggregate inside the larger expression tree
     "q_mv_avg"         -> ((s, d) => RollupView.avgServe(s, d)),
+    // coarser TIME GRAIN: day truncation composes through the hour key
+    "q_mv_daily"       -> ((s, d) => RollupView.dailyServe(s, d)),
     // the same windows produced by the watermarked streaming aggregation,
     // drained AvailableNow — streaming window state under the batch oracle
     "q_streaming_hourly" -> ((s, d) => graft.streaming.StreamingIndexer.hourlyRollupAvailableNow(s, d)),
@@ -3507,6 +3509,12 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_mv_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |       max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_mv_avg" ->
       """SELECT event_type,
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)

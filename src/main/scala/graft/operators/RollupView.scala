@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
@@ -92,9 +92,23 @@ object RollupView {
     require(keyExprs.size == 2 && afs.size == 4,
       s"unexpected view shape: ${keyExprs.size} keys, ${afs.size} aggs")
     val mvPlan = spark.read.parquet(mvPath).queryExecution.analyzed
+    // time-hierarchy derivations: date_trunc(u, ts) for any unit coarser
+    // than the stored hour composes through the key — the same truncation
+    // applied to hour_ts is bit-identical (hour ⊂ day ⊂ week/month/…)
+    val hourTrunc = keyExprs(0).asInstanceOf[TruncTimestamp]
+    val coarser: Seq[(String, Expression, Attribute => Expression)] =
+      Seq("day", "week", "month", "quarter", "year").map { u =>
+        ("hour_ts",
+          hourTrunc.copy(format = Literal(u)): Expression,
+          (a: Attribute) => hourTrunc.copy(format = Literal(u), timestamp = a)
+            : Expression)
+      }
+    val idKeys: Seq[(String, Expression, Attribute => Expression)] =
+      Seq(("hour_ts", keyExprs(0), (a: Attribute) => a),
+        ("event_type", keyExprs(1), (a: Attribute) => a))
     AggRewriteRule.register(spark, baseKey, AggRewriteRule.MvSpec(
       mvPlan = mvPlan,
-      keys = Seq("hour_ts" -> keyExprs(0), "event_type" -> keyExprs(1)),
+      keys = idKeys ++ coarser,
       aggs = Seq(
         (afs(0), "n", (a: Attribute) => Sum(a)),
         (afs(1), "sum_value", (a: Attribute) => Sum(a)),
@@ -143,6 +157,24 @@ object RollupView {
         count(lit(1)).as("n"))
       .filter(col("n") > 100) // HAVING above the rewritten aggregate
       .orderBy("event_type")
+  }
+
+  /** q_mv_daily: a COARSER TIME GRAIN — grouping base events by
+    * date_trunc('day', ts) serves from the HOURLY view because day
+    * truncation composes through the stored hour key (the registered
+    * derivation rewrites it to date_trunc('day', hour_ts), rolling 24
+    * hour cells into each day).
+    */
+  def dailyServe(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    Tables.events(spark, sfDir)
+      .groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("day", "event_type")
   }
 
   /** q_mv_bytype: a COARSER grouping than the view's keys — the rewrite

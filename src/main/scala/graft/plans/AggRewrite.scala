@@ -58,9 +58,18 @@ object AggRewriteRule extends Rule[LogicalPlan] {
     * query falls back to the base scan. Serving stale data silently is
     * the one failure mode a rewrite rule can never have.
     */
+  /** keys: (view column name, base-side template, view-side builder).
+    * The builder turns the view column's attribute into the expression
+    * that REPLACES a matched template — `identity` for the key itself,
+    * or a derivation for functions of the key that compose through the
+    * stored granularity (e.g. `date_trunc('day', ts)` over an hourly key
+    * becomes `date_trunc('day', hour_ts)`: truncating hours to days IS
+    * truncating raw timestamps to days, so coarser time hierarchies
+    * serve from the finer view with no extra machinery downstream).
+    */
   final case class MvSpec(
       mvPlan: LogicalPlan,
-      keys: Seq[(String, Expression)],
+      keys: Seq[(String, Expression, Attribute => Expression)],
       aggs: Seq[(AggregateFunction2, String, Attribute => AggregateFunction2)],
       baseSig: String)
 
@@ -175,11 +184,11 @@ object AggRewriteRule extends Rule[LogicalPlan] {
       }
       if (ok) Some(r) else None
     }
-    val keyPairs: Seq[(Expression, Attribute)] = for {
-      (name, tmpl) <- spec.keys
+    val keyPairs: Seq[(Expression, Expression)] = for {
+      (name, tmpl, build) <- spec.keys
       bound <- rebind(tmpl)
       attr <- mvAttr.get(name)
-    } yield (bound, attr)
+    } yield (bound, build(attr))
     val aggPairs: Seq[(Expression, AggregateFunction2)] = for {
       (tmpl, name, build) <- spec.aggs
       bound <- rebind(tmpl)

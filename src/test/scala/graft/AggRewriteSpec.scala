@@ -55,6 +55,18 @@ class AggRewriteSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("a coarser time grain (day over hours) serves from the hourly view") {
+    val df = RollupView.dailyServe(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains(mvPath)), s"no view scan in $paths")
+    assert(!paths.exists(_.contains("events.parquet")),
+      s"base scan survived the rewrite: $paths")
+    val got = df.collect().toSeq
+    val expected = withoutRule(RollupView.dailyServe(spark, sf).collect().toSeq)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("derived aggregates (sum/count, max−min) and HAVING rewrite") {
     val df = RollupView.avgServe(spark, sf)
     val paths = scanPaths(df)

@@ -255,6 +255,7 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_mv_hourly" -> 2,
     "q_mv_bytype" -> 2,
     "q_mv_avg" -> 2,
+    "q_mv_daily" -> 2,
     // from the materialized oriented-edge parquet: adjacency agg + the
     // (v,w) closing join's two sides + per-part agg; wedges row-local,
     // top-50 via TakeOrdered
