@@ -34,7 +34,8 @@ object Explain {
         "q_measured_join",
         "q_nb_train", "q_nb_predict", "q_event_transitions",
         "q_mv_hourly", "q_mv_bytype", "q_self_scrub",
-        "q_copurchase_triangles", "q_embed_covariance")
+        "q_copurchase_triangles", "q_embed_covariance",
+        "q_basket_rules", "q_mv_daily")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
