@@ -481,6 +481,11 @@ object SparkEntry {
     "q_mv_avg"         -> ((s, d) => RollupView.avgServe(s, d)),
     // coarser TIME GRAIN: day truncation composes through the hour key
     "q_mv_daily"       -> ((s, d) => RollupView.dailyServe(s, d)),
+    // INDEX-AWARE rewrite: raw tokenize-and-count over documents served
+    // from the postings index (Generate-aware matcher; oracle tokenizes
+    // the base, so the hash match proves the rewrite exact)
+    "q_index_rewrite"  -> ((s, d) => IndexRewrite.topTermsServe(s, d)),
+    "q_index_rewrite_doc" -> ((s, d) => IndexRewrite.termDocServe(s, d, "the")),
     // the same windows produced by the watermarked streaming aggregation,
     // drained AvailableNow — streaming window state under the batch oracle
     "q_streaming_hourly" -> ((s, d) => graft.streaming.StreamingIndexer.hourlyRollupAvailableNow(s, d)),
@@ -3509,6 +3514,16 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // base-corpus formulations: the engine serves both from the postings
+    // index via the Generate-aware rewrite
+    "q_index_rewrite" ->
+      s"""$postingsCte
+         |SELECT term, CAST(sum(tf) AS BIGINT) AS n
+         |FROM postings GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "q_index_rewrite_doc" ->
+      s"""$postingsCte
+         |SELECT doc_id, CAST(tf AS BIGINT) AS n
+         |FROM postings WHERE term = 'the' ORDER BY doc_id""".stripMargin,
     "q_mv_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type, count(*) AS n,

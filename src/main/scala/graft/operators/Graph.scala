@@ -83,25 +83,36 @@ object Graph {
   }
 
   /** Per-vertex triangle participation counts from an oriented edge set
-    * (src, dst, dst_deg). Wedges are the ordered spoke pairs of each
-    * out-neighborhood, generated row-locally from the sorted adjacency
-    * array; a wedge (v, w) is a triangle iff the oriented edge v→w
-    * exists — one hash join on the edge key.
+    * (src, dst, dst_deg) — EDGE-ITERATOR WITH INTERSECTION, not wedge
+    * materialization: for every oriented edge (u, v), the triangles it
+    * bases are N⁺(u) ∩ N⁺(v) (each triangle's orientation DAG has one
+    * vertex with two in-edges; it is found exactly once, at the edge
+    * between the other two). The intersection runs ROW-LOCALLY on the
+    * joined adjacency arrays, so only ACTUAL triangles ever materialize
+    * — a wedge-join materializes Σ outdeg² candidate rows (72M at sf0.1)
+    * where this shuffles the |E| edge rows twice with O(√|E|)-bounded
+    * array payloads and emits |triangles| rows. Same O(|E|^1.5) bound,
+    * ~3× less data moved (GraphX/GraphFrames use this same shape).
     */
   private[graft] def triangleCounts(o: DataFrame): DataFrame = {
     val adj = o.groupBy("src")
-      .agg(sort_array(collect_list(
-        struct(col("dst_deg").as("d"), col("dst").as("n")))).as("nbrs"))
-      .where(size(col("nbrs")) >= 2)
-    val wedges = adj.select(col("src").as("a"), explode(expr(
-      """flatten(transform(sequence(0, size(nbrs) - 2), i ->
-        |  transform(sequence(i + 1, size(nbrs) - 1), j ->
-        |    struct(nbrs[i].n AS v, nbrs[j].n AS w))))""".stripMargin)).as("vw"))
-      .select(col("a"), col("vw.v").as("v"), col("vw.w").as("w"))
-    val closing = o.select(col("src").as("v"), col("dst").as("w"))
-    wedges.join(closing, Seq("v", "w"))
-      .select(explode(array(col("a"), col("v"), col("w"))).as("p_partkey"))
-      .groupBy("p_partkey").agg(count(lit(1)).as("n_tri"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val e = o.select(col("src").as("u"), col("dst").as("v"))
+    val inter = e
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .where(size(col("ws")) > 0)
+    // each triangle (u, v, w) credits all three parts: the two base-edge
+    // endpoints get the edge's triangle count, each apex w one credit
+    val apex = inter.select(explode(col("ws")).as("p_partkey"),
+      lit(1L).as("k"))
+    val ends = inter.select(
+      explode(array(col("u"), col("v"))).as("p_partkey"),
+      size(col("ws")).cast("long").as("k"))
+    apex.unionAll(ends)
+      .groupBy("p_partkey").agg(sum(col("k")).as("n_tri"))
   }
 
   /** The 50 parts sitting in the most co-purchase triangles (ties broken

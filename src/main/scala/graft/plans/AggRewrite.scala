@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -67,11 +67,21 @@ object AggRewriteRule extends Rule[LogicalPlan] {
     * truncating raw timestamps to days, so coarser time hierarchies
     * serve from the finer view with no extra machinery downstream).
     */
+  /** gen: when the view is defined over an EXPLODED base (the inverted
+    * index: documents → explode(tokens(text)) → count per (term, doc)),
+    * the template is the Generate's generator expression over base
+    * columns and the view column holding the generator's output. A query
+    * destructures through at most one matching non-outer Generate; its
+    * generator-output references map to that view column. A query with
+    * no Generate never matches a generated view (the view's rows are
+    * per-ELEMENT, not per-row) and vice versa.
+    */
   final case class MvSpec(
       mvPlan: LogicalPlan,
       keys: Seq[(String, Expression, Attribute => Expression)],
       aggs: Seq[(AggregateFunction2, String, Attribute => AggregateFunction2)],
-      baseSig: String)
+      baseSig: String,
+      gen: Option[(Expression, String)] = None)
 
   // the catalyst class is named AggregateFunction; alias locally to keep
   // the public MvSpec signature readable next to AggregateExpression
@@ -124,16 +134,20 @@ object AggRewriteRule extends Rule[LogicalPlan] {
 
   /** An Aggregate reduced to relation level: Project aliases inlined
     * into the grouping/aggregate expression copies, Filter conditions
-    * collected (inlined the same way as the walk descends).
+    * collected (inlined the same way as the walk descends), and at most
+    * one non-outer Generate recorded as (generator expression — itself
+    * inlined as the walk passes Projects below it — and the generator's
+    * output exprIds, which survive in g/a/fs as free references).
     */
   private[graft] final case class Destructured(
       rel: LogicalRelation, g: Seq[Expression], a: Seq[Expression],
-      fs: Seq[Expression])
+      fs: Seq[Expression], gen: Option[(Expression, Seq[ExprId])] = None)
 
   private[graft] def destructure(agg: Aggregate): Option[Destructured] = {
     var g: Seq[Expression] = agg.groupingExpressions
     var a: Seq[Expression] = agg.aggregateExpressions
     var fs: Seq[Expression] = Nil
+    var gen: Option[(Expression, Seq[ExprId])] = None
     var cur: LogicalPlan = agg.child
     while (true) cur match {
       case Project(pl, ch)
@@ -145,19 +159,24 @@ object AggRewriteRule extends Rule[LogicalPlan] {
           case ar: AttributeReference if m.contains(ar.exprId) => m(ar.exprId)
         }
         g = g.map(inline); a = a.map(inline); fs = fs.map(inline)
+        gen = gen.map { case (e, ids) => (inline(e), ids) }
         cur = ch
       case Filter(cond, ch) =>
         fs = fs :+ cond
         cur = ch
+      case gn: Generate if !gn.outer && gen.isEmpty =>
+        gen = Some((gn.generator, gn.generatorOutput.map(_.exprId)))
+        cur = gn.child
       case lr: LogicalRelation =>
-        return Some(Destructured(lr, g, a, fs))
+        return Some(Destructured(lr, g, a, fs, gen))
       case _ => return None
     }
     None // unreachable
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val Destructured(rel, g, a, fs) = destructure(agg).getOrElse(return None)
+    val Destructured(rel, g, a, fs, dgen) =
+      destructure(agg).getOrElse(return None)
     val spec = rootKey(rel).flatMap(registry.get).getOrElse(return None)
 
     // staleness guard: the query's base listing must be the one the view
@@ -184,6 +203,21 @@ object AggRewriteRule extends Rule[LogicalPlan] {
       }
       if (ok) Some(r) else None
     }
+    // generator alignment: a query exploding the same generator as the
+    // view maps its generator-output references to the view's gen column;
+    // a shape mismatch (either side has a Generate the other lacks, or a
+    // different generator expression) vetoes — the view's rows are
+    // per-ELEMENT, so nothing else is sound
+    val genMap: Map[ExprId, Attribute] = (dgen, spec.gen) match {
+      case (None, None) => Map.empty
+      case (Some((ge, ids)), Some((tmpl, viewCol))) =>
+        val bound = rebind(tmpl).getOrElse(return None)
+        if (!bound.semanticEquals(ge)) return None
+        val attr = mvAttr.getOrElse(viewCol, return None)
+        ids.map(_ -> attr).toMap
+      case _ => return None
+    }
+
     val keyPairs: Seq[(Expression, Expression)] = for {
       (name, tmpl, build) <- spec.keys
       bound <- rebind(tmpl)
@@ -207,7 +241,11 @@ object AggRewriteRule extends Rule[LogicalPlan] {
         }
     }
     // 5. replace each view-key-defining subtree with the view column
+    //    (generator outputs first — they are free references, matched by
+    //    exprId, not semantic equality)
     def substKeys(e: Expression): Expression = e.transformDown {
+      case ar: AttributeReference if genMap.contains(ar.exprId) =>
+        genMap(ar.exprId)
       case s if keyPairs.exists(_._1.semanticEquals(s)) =>
         keyPairs.find(_._1.semanticEquals(s)).get._2
     }

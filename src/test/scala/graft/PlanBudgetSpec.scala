@@ -269,7 +269,12 @@ class PlanBudgetSpec extends SparkTestBase {
     // basket distinct + pair agg + per-item/ per-side distinct+count legs
     // (AQE stage reuse collapses the identical distinct subtrees at run
     // time); rule table is support-pruned before the item joins
-    "q_basket_rules" -> 6
+    "q_basket_rules" -> 6,
+    // served from the postings index via the Generate-aware rewrite: the
+    // text column is never read, the corpus never tokenized — only the
+    // term agg (+ the doc variant's output order) exchanges
+    "q_index_rewrite" -> 1,
+    "q_index_rewrite_doc" -> 2
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
