@@ -68,6 +68,16 @@ object IndexRewrite {
       baseSig = AggRewriteRule.fileSig(d.rel).getOrElse(
         throw new IllegalStateException("documents base has no file listing")),
       gen = Some((genExpr, "term"))))
+    // compose with layout-aware pruning: the rewrite leaves its Filter
+    // directly over the full view scan (first_letter included), so the
+    // letter rule can conjoin the implied partition predicate and a
+    // rewritten term lookup opens only its letter directories — the
+    // reference's ./index/<c> seek, recovered through TWO optimizer
+    // rewrites (extraOptimizations is a fixed-point batch; order-safe)
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(graft.plans.LetterPruningRule))
+      exp.extraOptimizations =
+        exp.extraOptimizations :+ graft.plans.LetterPruningRule
   }
 
   /** q_index_rewrite: the top-50 terms by corpus occurrences, WRITTEN AS

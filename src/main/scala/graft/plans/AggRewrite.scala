@@ -259,12 +259,22 @@ object AggRewriteRule extends Rule[LogicalPlan] {
     if (!(gNew ++ aNew ++ fNew).forall(_.references.subsetOf(mvOut))) return None
     if (a.zip(aNew).exists { case (o, n) => o.dataType != n.dataType }) return None
 
-    // 7. reassemble, preserving the original output names and exprIds so
-    //    parents (sorts, projections) resolve unchanged; prune the view
-    //    scan to the referenced columns
+    // 7. reassemble, preserving the original output names, exprIds AND
+    //    nullability so parents (sorts, projections, V2 writes — whose
+    //    outputResolved checks nullability compatibility) resolve
+    //    unchanged; prune the view scan to the referenced columns.
+    //    Nullability can only WIDEN in a sound rewrite (parquet view
+    //    columns are nullable, count↦sum turns non-null into nullable),
+    //    and the widened value is provably the same non-null value the
+    //    base plan produced, so KnownNotNull restores the contract.
     val aNamed: Seq[NamedExpression] = agg.aggregateExpressions.zip(aNew).map {
-      case (orig, t: NamedExpression) if t.exprId == orig.exprId => t
-      case (orig, t) => Alias(t, orig.name)(exprId = orig.exprId)
+      case (orig, t: NamedExpression)
+          if t.exprId == orig.exprId && t.nullable == orig.nullable => t
+      case (orig, t) =>
+        val body = t match { case al: Alias => al.child; case e => e }
+        val fixed = if (!orig.nullable && body.nullable) KnownNotNull(body)
+          else body
+        Alias(fixed, orig.name)(exprId = orig.exprId)
     }
     var child: LogicalPlan = mv
     if (fNew.nonEmpty) child = Filter(fNew.reduce(And), child)

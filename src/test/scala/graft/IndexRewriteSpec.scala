@@ -55,6 +55,22 @@ class IndexRewriteSpec extends SparkTestBase {
     assert(expected.nonEmpty)
   }
 
+  test("the rewritten term filter gains letter partition pruning") {
+    val df = IndexRewrite.termDocServe(spark, sf, "the")
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pf = scans.map(_.partitionFilters.mkString(" && ")).mkString("; ")
+    assert(pf.contains("first_letter"),
+      s"no letter partition filter on the rewritten scan: $pf")
+  }
+
   test("a documents aggregate with no explode never matches the index") {
     indexPath
     val df = Tables.documents(spark, sf)
