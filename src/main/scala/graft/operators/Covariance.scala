@@ -30,20 +30,30 @@ object Covariance {
     */
   def covarianceGrid(spark: SparkSession, sfDir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    Tables.embeddings(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))")
         .as("q"))
-      .select(explode(expr(
+    // the hot stream carries ONE struct of two longs per pair — the pair
+    // identity packed as i·d+j and the product — NOT the (qi, qj) values:
+    // the per-dim first moments are a d-cell side aggregation joined back
+    // onto the d²-cell grid (both metadata-sized, broadcast), which keeps
+    // the n·d²-row stage to the minimum bytes the algorithm needs
+    val pairSums = q
+      .select(size(col("q")).as("d"), explode(expr(
         """flatten(transform(sequence(0, size(q) - 1), i ->
           |  transform(sequence(i, size(q) - 1), j ->
-          |    struct(i AS di, j AS dj, q[i] AS qi, q[j] AS qj))))""".stripMargin))
+          |    struct(i * size(q) + j AS idx, q[i] * q[j] AS qq))))""".stripMargin))
         .as("p"))
-      .groupBy(col("p.di").as("dim_i"), col("p.dj").as("dim_j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("p.qi").cast(d38)).as("si"),
-        sum(col("p.qj").cast(d38)).as("sj"),
-        sum((col("p.qi") * col("p.qj")).cast(d38)).as("sij"))
+      .groupBy(expr("CAST(p.idx DIV d AS INT)").as("dim_i"),
+        pmod(col("p.idx"), col("d")).cast("int").as("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.qq").cast(d38)).as("sij"))
+    val dimSums = q
+      .select(posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("dim")).agg(sum(col("qv").cast(d38)).as("s"))
+    pairSums
+      .join(broadcast(dimSums.select(col("dim").as("dim_i"), col("s").as("si"))), "dim_i")
+      .join(broadcast(dimSums.select(col("dim").as("dim_j"), col("s").as("sj"))), "dim_j")
       .select(col("dim_i"), col("dim_j"), col("n"),
         col("si").cast("long").as("s_i"),
         col("sj").cast("long").as("s_j"),

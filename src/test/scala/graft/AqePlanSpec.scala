@@ -22,7 +22,12 @@ class AqePlanSpec extends SparkTestBase {
     "q_nation_trade"     -> 2,
     "q9_profit_nation"   -> 2,
     "q_bucketed_join"    -> 1,
-    "q_skew_join"        -> 2)
+    "q_skew_join"        -> 2,
+    // round-12 join-bearing additions: the triangle closing joins and
+    // the rule table's item-count joins must keep their shapes under
+    // runtime re-planning
+    "q_copurchase_triangles" -> 4,
+    "q_basket_rules"         -> 6)
 
   /** Flatten an executed adaptive plan across query-stage boundaries:
     * QueryStageExec is a leaf node, so a plain `collect` sees only the

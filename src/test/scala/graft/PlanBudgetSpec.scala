@@ -260,9 +260,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // (v,w) closing join's two sides + per-part agg; wedges row-local,
     // top-50 via TakeOrdered
     "q_copurchase_triangles" -> 4,
-    // pair products are row-local HOFs; the only data exchange is the
-    // d²-cell partial-sum agg + the output range sort
-    "q_embed_covariance" -> 2,
+    // pair products are row-local HOFs; the only DATA-sized exchange is
+    // the d²-cell partial-sum agg — the d-cell first-moment agg and the
+    // output range sort are metadata-sized
+    "q_embed_covariance" -> 3,
     // served from the streaming-maintained view state: view agg + order —
     // base events never scanned (the drain itself is micro-batch-side)
     "q_streaming_mv" -> 2,
