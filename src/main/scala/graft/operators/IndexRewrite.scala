@@ -72,8 +72,9 @@ object IndexRewrite {
     // directly over the full view scan (first_letter included), so the
     // letter rule can conjoin the implied partition predicate and a
     // rewritten term lookup opens only its letter directories — the
-    // reference's ./index/<c> seek, recovered through TWO optimizer
-    // rewrites (extraOptimizations is a fixed-point batch; order-safe)
+    // reference's ./index/<c> seek (/root/reference/helper_reduce.c:238-257
+    // opens exactly one letter file per query), recovered through TWO
+    // optimizer rewrites (extraOptimizations is a fixed-point batch)
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(graft.plans.LetterPruningRule))
       exp.extraOptimizations =
