@@ -481,6 +481,10 @@ object SparkEntry {
     "q_mv_avg"         -> ((s, d) => RollupView.avgServe(s, d)),
     // coarser TIME GRAIN: day truncation composes through the hour key
     "q_mv_daily"       -> ((s, d) => RollupView.dailyServe(s, d)),
+    // full lifecycle: staged base copy → view → append → INCREMENTAL
+    // refresh (delta file only) → serve from the refreshed generation;
+    // oracle recomputes over base ∪ the same appended batch
+    "q_mv_refresh"     -> ((s, d) => RollupView.refreshedServe(s, d)),
     // INDEX-AWARE rewrite: raw tokenize-and-count over documents served
     // from the postings index (Generate-aware matcher; oracle tokenizes
     // the base, so the hash match proves the rewrite exact)
@@ -3530,6 +3534,15 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // base ∪ the deterministic appended batch: the engine answers from
+    // the incrementally-refreshed view generation
+    "q_mv_refresh" ->
+      """WITH b AS (SELECT * FROM events UNION ALL
+        |           (SELECT * FROM events ORDER BY event_id LIMIT 500))
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM b GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_mv_avg" ->
       """SELECT event_type,
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)

@@ -25,18 +25,23 @@ import graft.sources.Tables
   */
 object RollupView {
 
-  // view path → the base's file-listing signature AS OF the build; the
-  // registration must carry the build-time signature (not a fresh one),
-  // or a base mutated after the build would wrongly re-validate a stale
-  // view on the next ensure()
-  private val built = scala.collection.concurrent.TrieMap[String, String]()
-
-  /** The view definition. The outer cast pins the stored sum back to
-    * decimal(14,2) so re-summing yields the same decimal(24,2) a direct
-    * query gets (per-cell sums comfortably fit 12 integer digits).
+  /** One view generation: its parquet location, the base's file-listing
+    * signature AS OF the generation's build/refresh, and the generation
+    * number. The registration must carry the generation's signature (not
+    * a fresh one), or a base mutated after the build would wrongly
+    * re-validate a stale view on the next ensure().
     */
-  private def viewDf(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  private final case class Gen(dataPath: String, sig: String, gen: Int)
+
+  private val built = scala.collection.concurrent.TrieMap[String, Gen]()
+
+  /** The per-cell representation over any events-shaped frame — shared by
+    * the full build and the delta refresh. The outer cast pins the stored
+    * sum back to decimal(14,2) so re-summing yields the same decimal(24,2)
+    * a direct query gets (per-cell sums comfortably fit 12 integer digits).
+    */
+  private def cellsOf(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(14,2)"))
@@ -44,18 +49,83 @@ object RollupView {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
+  /** The view definition over the registered base. */
+  private def viewDf(spark: SparkSession, sfDir: String): DataFrame =
+    cellsOf(Tables.events(spark, sfDir))
+
+  private def rootOf(spark: SparkSession, sfDir: String): String =
+    graft.util.Scratch.dir(spark,
+      "graft_mv_hourly_" + Integer.toHexString(sfDir.hashCode))
+
   /** Build (once per JVM per sf dir) and register the view. */
   def ensure(spark: SparkSession, sfDir: String): String = {
-    val path = graft.util.Scratch.dir(spark,
-      "graft_mv_hourly_" + Integer.toHexString(sfDir.hashCode))
-    val sig = built.getOrElseUpdate(path, {
+    val root = rootOf(spark, sfDir)
+    val g = built.getOrElseUpdate(root, {
       val df = viewDf(spark, sfDir)
       val s = baseSigOf(spark, df)
-      df.write.mode("overwrite").parquet(path)
-      s
+      val p = s"$root/g0"
+      df.write.mode("overwrite").parquet(p)
+      Gen(p, s, 0)
     })
-    register(spark, sfDir, path, Some(sig))
-    path
+    register(spark, sfDir, g.dataPath, Some(g.sig))
+    g.dataPath
+  }
+
+  /** Spec observability: the base files the last refresh read. */
+  private[graft] val lastDeltaFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** INCREMENTAL REFRESH: when the base has only GROWN since the stored
+    * generation (pure appends — new files, no file removed or rewritten),
+    * aggregate ONLY the delta files and merge their cells into the stored
+    * view (count/decimal-sum/min/max are all exact merges, so the result
+    * is bit-identical to a full rebuild), then re-register under the new
+    * listing — the staleness veto lifts without ever re-reading base
+    * history. At 100 TB this is the whole point of keeping a view: the
+    * daily refresh costs one pass over the day's files, not the table.
+    * A removed or rewritten file invalidates stored cells (their rows may
+    * be gone), so that case falls back to a full rebuild — only growth is
+    * incremental, honestly.
+    */
+  def refresh(spark: SparkSession, sfDir: String): String = {
+    val root = rootOf(spark, sfDir)
+    ensure(spark, sfDir)
+    val prev = built(root)
+    val df = viewDf(spark, sfDir)
+    val curSig = baseSigOf(spark, df)
+    if (curSig == prev.sig) return prev.dataPath // already current
+    val prevEntries = prev.sig.split('\n').toSet
+    val curEntries = curSig.split('\n').toSeq
+    val removed = prevEntries -- curEntries.toSet
+    val next =
+      if (removed.nonEmpty) { // overwrite/compaction: full rebuild
+        lastDeltaFiles.set(Nil)
+        val p = s"$root/g${prev.gen + 1}"
+        df.write.mode("overwrite").parquet(p)
+        Gen(p, curSig, prev.gen + 1)
+      } else {
+        // entry format "path:len:mtime" — path itself may contain ':'
+        // (file: URIs), so strip the LAST two :-fields
+        val files = curEntries.filterNot(prevEntries).map { e =>
+          e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1))
+        }
+        lastDeltaFiles.set(files)
+        val delta = cellsOf(Tables.normalizeTs(
+          spark.read.parquet(files: _*)))
+        val merged = spark.read.parquet(prev.dataPath)
+          .unionByName(delta)
+          .groupBy("hour_ts", "event_type")
+          .agg(sum("n").as("n"),
+            sum("sum_value").cast("decimal(14,2)").as("sum_value"),
+            min("min_value").as("min_value"),
+            max("max_value").as("max_value"))
+        val p = s"$root/g${prev.gen + 1}"
+        merged.write.mode("overwrite").parquet(p)
+        Gen(p, curSig, prev.gen + 1)
+      }
+    built.put(root, next)
+    register(spark, sfDir, next.dataPath, Some(next.sig))
+    next.dataPath
   }
 
   /** The base file-listing signature behind a view definition. */
@@ -175,6 +245,38 @@ object RollupView {
         sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"),
         max(col("value")).as("max_value"))
       .orderBy("day", "event_type")
+  }
+
+  private val stagedBase = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q_mv_refresh: the full lifecycle under one driver-checked oracle —
+    * stage a private copy of the base, build the view, APPEND a
+    * deterministic batch (the 500 lowest event_ids re-inserted),
+    * INCREMENTALLY refresh (delta file only — asserted in spec), and
+    * serve a base-written aggregate from the refreshed generation. The
+    * oracle recomputes over base ∪ the same batch, so the hash match
+    * proves append-detection, delta aggregation, AND exact cell merge in
+    * one row.
+    */
+  def refreshedServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedBase.getOrElseUpdate(sfDir, {
+      val d = graft.util.Scratch.dir(spark,
+        "graft_mv_refresh_base_" + Integer.toHexString(sfDir.hashCode))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+      ensure(spark, d)
+      raw.orderBy("event_id").limit(500).coalesce(1)
+        .write.mode("append").parquet(s"$d/events.parquet")
+      refresh(spark, d)
+      d
+    })
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
   }
 
   /** q_mv_bytype: a COARSER grouping than the view's keys — the rewrite

@@ -135,6 +135,23 @@ class AggRewriteSpec extends SparkTestBase {
     graft.util.Scratch.deleteRecursively(root)
   }
 
+  test("incremental refresh lifts the staleness veto via the delta file only") {
+    val df = RollupView.refreshedServe(spark, sf)
+    // the refresh must have read exactly the ONE appended file
+    assert(RollupView.lastDeltaFiles.get().size === 1,
+      s"delta read ${RollupView.lastDeltaFiles.get()}")
+    // ...and the serve must come from the REFRESHED generation (g1)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("/g1")), s"no refreshed view scan in $paths")
+    assert(!paths.exists(_.contains("events.parquet")),
+      s"base scan survived the rewrite: $paths")
+    // refreshed state ≡ a from-scratch rebuild of the mutated base
+    val got = df.collect().toSeq
+    val expected = withoutRule(RollupView.refreshedServe(spark, sf).collect().toSeq)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("a filter on the hour key itself rewrites") {
     mvPath
     val df = Tables.events(spark, sf)

@@ -256,6 +256,7 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_mv_bytype" -> 2,
     "q_mv_avg" -> 2,
     "q_mv_daily" -> 2,
+    "q_mv_refresh" -> 2, // serve plan only; the refresh is build-side
     // from the materialized oriented-edge parquet: adjacency agg + the
     // (v,w) closing join's two sides + per-part agg; wedges row-local,
     // top-50 via TakeOrdered
