@@ -152,6 +152,26 @@ class AggRewriteSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("a rewritten base file falls back to a full view rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_rebuild_")
+    val dir = root.toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.coalesce(1).write.parquet(s"$dir/events.parquet")
+    RollupView.ensure(spark, dir)
+    // OVERWRITE (not append): stored cells may describe vanished rows
+    raw.limit(2000).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    RollupView.refresh(spark, dir)
+    assert(RollupView.lastDeltaFiles.get().isEmpty,
+      "an overwrite must not be treated as a delta")
+    val df = RollupView.byTypeServe(spark, dir)
+    assert(scanPaths(df).exists(_.contains("/g1")),
+      s"not served from the rebuilt generation: ${scanPaths(df)}")
+    val expected = withoutRule(RollupView.byTypeServe(spark, dir).collect().toSeq)
+    assert(df.collect().toSeq === expected)
+    graft.util.Scratch.deleteRecursively(root)
+  }
+
   test("a filter on the hour key itself rewrites") {
     mvPath
     val df = Tables.events(spark, sf)
