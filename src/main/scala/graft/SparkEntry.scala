@@ -216,6 +216,8 @@ object SparkEntry {
     "q_nb_predict"     -> ((s, d) => NaiveBayes.nbPredict(s, d)),
     // class × class held-out confusion counts — quality in one table
     "q_nb_confusion"   -> ((s, d) => NaiveBayes.nbConfusion(s, d)),
+    // exact one-vs-rest ROC-AUC from integer rank sums (ties averaged)
+    "q_nb_auc"         -> ((s, d) => NaiveBayes.nbAuc(s, d)),
     // the model kept always-current at ingest: per-micro-batch moment
     // merge (ten longs of state), two incarnations over one checkpoint;
     // drained betas == the monolithic retrain
@@ -1317,6 +1319,25 @@ object SparkEntry {
          |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT actual, cls AS predicted FROM pred WHERE rn = 1)
          |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+    // exact rank-sum AUC over the same integer scores: doubled average
+    // rank of a tie group = 2*cum_before + cnt + 1, all BIGINT
+    "q_nb_auc" ->
+      s"""WITH $toksCte, $nbCte, $nbScoreCte,
+         |g AS (SELECT cls, score, count(*) AS cnt,
+         |             sum(CASE WHEN actual = cls THEN 1 ELSE 0 END) AS np
+         |      FROM sc GROUP BY 1, 2),
+         |c AS (SELECT cls, np, cnt,
+         |             coalesce(sum(cnt) OVER (PARTITION BY cls ORDER BY score
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |      FROM g),
+         |a AS (SELECT cls, CAST(sum(np) AS BIGINT) AS p,
+         |             CAST(sum(cnt) - sum(np) AS BIGINT) AS n,
+         |             CAST(sum(np * (2*cumb + cnt + 1)) AS BIGINT) AS s2
+         |      FROM c GROUP BY 1)
+         |SELECT cls, p, n, s2,
+         |       round(CAST(s2 - p*(p+1) AS DOUBLE)
+         |             / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
+         |FROM a WHERE p > 0 AND n > 0 ORDER BY cls""".stripMargin,
     "q_linear_outliers" -> LinearModel.outliersOracleSql(),
     // the incremental retrain answers the IDENTICAL monolithic oracle —
     // moments(base)+moments(Δ) == moments(all), integer-exact

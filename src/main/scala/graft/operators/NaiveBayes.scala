@@ -127,7 +127,7 @@ object NaiveBayes {
     * large to broadcast, drop the hint and the same plan shuffles on
     * term.)
     */
-  private def scores(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def scores(spark: SparkSession, sfDir: String): DataFrame = {
     val te = labeled(spark, sfDir).where(!col("is_train"))
     val tokScores = te
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -154,6 +154,39 @@ object NaiveBayes {
       .select(col("doc_id"), col("cls").as("predicted"), col("actual"),
         col("score"))
       .orderBy("doc_id")
+  }
+
+  /** q_nb_auc: one-vs-rest ROC-AUC per class, EXACTLY — AUC is a rank
+    * statistic, and the scores are integers, so it reduces to integer
+    * rank sums with tie groups averaged: per (class, score) cell, the
+    * doubled average rank of its members is 2·cum_before + cnt + 1,
+    * giving S2 = Σ np·(2·cumb + cnt + 1) and
+    * AUC = (S2 − P(P+1)) / (2·P·N) — every term a BIGINT off one
+    * aggregation and a per-class running sum over DISTINCT score cells
+    * (score-group-sized, not doc-sized), then ONE double division
+    * rounded at 6dp. No sampling, no float rank jitter — the metric is
+    * as exact as the model.
+    */
+  def nbAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = scores(spark, sfDir)
+      .select(col("cls"), col("score"),
+        when(col("actual") === col("cls"), 1L).otherwise(0L).as("pos"))
+    val g = sc.groupBy("cls", "score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+    val w = Window.partitionBy("cls").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .groupBy("cls")
+      .agg(sum("np").as("p"),
+        (sum("cnt") - sum("np")).as("n"),
+        sum(col("np") * (lit(2L) * col("cumb") + col("cnt") + lit(1L)))
+          .as("s2"))
+      .where(col("p") > 0 && col("n") > 0)
+      .select(col("cls"), col("p"), col("n"), col("s2"),
+        round((col("s2") - col("p") * (col("p") + lit(1L))).cast("double")
+          / (lit(2.0) * col("p").cast("double") * col("n").cast("double")), 6)
+          .as("auc"))
+      .orderBy("cls")
   }
 
   /** q_nb_confusion: the held-out confusion matrix — class × class

@@ -86,4 +86,30 @@ class NaiveBayesSpec extends SparkTestBase {
     val n = NaiveBayes.nbConfusion(spark, sf).collect().map(_.getLong(2)).sum
     assert(n === docs.count(d => !isTrain(d._1)))
   }
+
+  test("nbAuc matches the brute-force pairwise AUC") {
+    // independent definition: AUC = (#(pos>neg) + ½·#(pos==neg)) / (P·N)
+    // over every positive/negative score pair — the rank-sum formulation
+    // must agree exactly (up to the 6dp output rounding)
+    val sc = NaiveBayes.scores(spark, sf)
+      .select("cls", "actual", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = NaiveBayes.nbAuc(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    sc.groupBy(_._1).foreach { case (cls, rows) =>
+      val pos = rows.filter(r => r._2 == cls).map(_._3)
+      val neg = rows.filter(r => r._2 != cls).map(_._3)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val wins = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val expect = BigDecimal(wins.toDouble / (2.0 * pos.size * neg.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (gp, gn, gauc) = got(cls)
+        assert((gp, gn) === ((pos.size.toLong, neg.size.toLong)), s"cls $cls")
+        assert(gauc === expect, s"cls $cls")
+      } else assert(!got.contains(cls))
+    }
+  }
 }

@@ -250,6 +250,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // sized model internals
     "q_nb_predict" -> 10,
     "q_nb_confusion" -> 11, // + the T×T confusion agg
+    // AUC rides the same (doc, class) partial-sum exchange; the rank
+    // machinery (score-cell agg + per-class running sum + final agg +
+    // order) is score-group-sized
+    "q_nb_auc" -> 12,
     // served from the materialized view: view agg + output order only —
     // the base fact table is never scanned
     "q_mv_hourly" -> 2,
