@@ -380,6 +380,8 @@ object SparkEntry {
     // exact covariance grid from integer micro-unit moments (row-local
     // pair products; the only exchange is the d²-cell partial sums)
     "q_embed_covariance" -> ((s, d) => Covariance.covarianceGrid(s, d)),
+    // k-NN label vote over the exact-cosine top-k (map-side partial top-k)
+    "q_knn_classify"   -> ((s, d) => Similarity.knnClassify(s, d)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_unshipped" -> ((s, d) => Relational.q3TopUnshipped(s, d)),
@@ -2662,6 +2664,28 @@ object SparkEntry {
          |  FROM embeddings)
          |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // naive windowed kNN vote — same rounded cosine, same tie rules
+    "q_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS actual
+         |           FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0),
+         |j AS (
+         |  SELECT query_id, actual, vec_id, label,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT q.query_id, q.actual, c.vec_id, c.label,
+         |           round(${cosSql("q.q_emb", "c.embedding")}, 6) AS cosine
+         |    FROM c CROSS JOIN q)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, vec_id) AS rnk FROM j),
+         |v AS (SELECT query_id, actual, label, CAST(count(*) AS BIGINT) AS votes
+         |      FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3),
+         |p AS (SELECT query_id, label AS predicted, votes, actual,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY votes DESC, label) AS rn FROM v)
+         |SELECT query_id, predicted, votes, actual
+         |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin,
     // exact covariance moments: the same ⌊x·1e6+0.5⌋ micro-unit
     // quantization, naive lateral pair expansion (fine for the oracle;
     // the engine generates pairs row-locally with HOFs), HUGEINT combine

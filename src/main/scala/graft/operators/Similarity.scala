@@ -43,6 +43,40 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** q_knn_classify: k-NN label prediction — the similarity stack applied
+    * to supervision. Every 20th vector is a query; its label is predicted
+    * by majority vote over the k nearest corpus vectors (exact cosine,
+    * the [[TopKByScore]] map-side partial top-k, so the corpus never
+    * shuffles and the only exchange is O(k)/query). The vote itself runs
+    * on the OUTPUT-sized top-k table: neighbor labels arrive by joining
+    * the tiny top-k ids back to the embeddings relation (broadcast —
+    * corpus side unmoved), majority with deterministic (votes DESC,
+    * label ASC) ties, the same convention as the NB argmax.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val isQuery = pmod(col("vec_id"), lit(20L)) === 0
+    val q = emb.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("actual"))
+    val scored = emb.filter(!isQuery)
+      .crossJoin(broadcast(q.select("query_id", "q_emb")))
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col("embedding")), 6), lit(-2.0)))
+      .select("query_id", "vec_id", "cosine")
+    val votes = topKPerQuery(scored, k)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(byVotes)).where(col("rn") === 1)
+      .join(broadcast(q.select(col("query_id"), col("actual"))), "query_id")
+      .select(col("query_id"), col("label").as("predicted"), col("votes"),
+        col("actual"))
+      .orderBy("query_id")
+  }
+
   /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries),
     * excluding self-matches.
     */

@@ -276,6 +276,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // (AQE stage reuse collapses the identical distinct subtrees at run
     // time); rule table is support-pruned before the item joins
     "q_basket_rules" -> 6,
+    // corpus never shuffles: broadcast queries + O(k)/query partial
+    // top-k; the vote runs on the output-sized top-k table
+    "q_knn_classify" -> 4,
     // served from the postings index via the Generate-aware rewrite: the
     // text column is never read, the corpus never tokenized — only the
     // term agg (+ the doc variant's output order) exchanges

@@ -35,6 +35,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === naiveTopK(10, 5))
   }
 
+  test("knnClassify matches a naive driver-side vote (sf0.001)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], String)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = vecs.filter(_._1 % 20 != 0)
+    val expected = vecs.filter(_._1 % 20 == 0).map { case (qid, q, actual) =>
+      val top = corpus.map { case (id, v, label) =>
+        (id, label, BigDecimal(cos(q, v))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, _, c) => (-c, id) }.take(10)
+      val (label, votes) = top.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.minBy { case (l, n) => (-n, l) }
+      (qid, label, votes, actual)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.knnClassify(spark, sf)
+      .as[(Long, String, Long, String)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("annTopK recall vs exact top-k is usable and all results are true cosines") {
     val exact = naiveTopK(10, 5)
     val ann = Similarity.annTopK(spark, sf, 5, 10)
