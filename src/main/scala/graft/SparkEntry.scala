@@ -380,6 +380,14 @@ object SparkEntry {
     // exact covariance grid from integer micro-unit moments (row-local
     // pair products; the only exchange is the d²-cell partial sums)
     "q_embed_covariance" -> ((s, d) => Covariance.covarianceGrid(s, d)),
+    // eigenpair of the grid pinned by oracle-checkable matrix invariants
+    "q_pca_top"        -> ((s, d) => Covariance.pcaTopQuery(s, d)),
+    // Pearson correlation from the same exact moments (diagonal self-join
+    // rides the reused pair-cell exchange — one corpus pass)
+    "q_embed_correlation" -> ((s, d) => Covariance.correlationGrid(s, d)),
+    // streaming-maintained moment cells, drained state == batch grid
+    "q_streaming_covariance" ->
+      ((s, d) => graft.streaming.StreamingCovariance.covarianceGridAvailableNow(s, d)),
     // k-NN label vote over the exact-cosine top-k (map-side partial top-k)
     "q_knn_classify"   -> ((s, d) => Similarity.knnClassify(s, d)),
     // — relational (TPC-H-style) —
@@ -480,6 +488,9 @@ object SparkEntry {
     // view (oracle runs on base — a hash match proves the rewrite exact)
     "q_mv_hourly"      -> ((s, d) => RollupView.hourlyServe(s, d)),
     "q_mv_bytype"      -> ((s, d) => RollupView.byTypeServe(s, d)),
+    // multi-view selection: hourly + per-type both registered, optimizer
+    // serves the per-type aggregate from the cheaper per-type view
+    "q_mv_choose"      -> ((s, d) => RollupView.chooseServe(s, d)),
     // derived aggregates (sum/count average, max−min range) + HAVING —
     // the rewrite maps each aggregate inside the larger expression tree
     "q_mv_avg"         -> ((s, d) => RollupView.avgServe(s, d)),
@@ -494,6 +505,8 @@ object SparkEntry {
     // the base, so the hash match proves the rewrite exact)
     "q_index_rewrite"  -> ((s, d) => IndexRewrite.topTermsServe(s, d)),
     "q_index_rewrite_doc" -> ((s, d) => IndexRewrite.termDocServe(s, d, "the")),
+    // postings-view lifecycle: append → delta-only refresh → serve
+    "q_index_refresh"  -> ((s, d) => IndexRewrite.refreshedServe(s, d)),
     // the same windows produced by the watermarked streaming aggregation,
     // drained AvailableNow — streaming window state under the batch oracle
     "q_streaming_hourly" -> ((s, d) => graft.streaming.StreamingIndexer.hourlyRollupAvailableNow(s, d)),
@@ -545,6 +558,33 @@ object SparkEntry {
   /** Tokenization CTE fragment, defined identically to
     * [[graft.functions.TextFunctions.tokens]].
     */
+  /** Covariance grid CTEs — shared by the grid query and the PCA
+    * invariant query. The `+ 0.0` canonicalizes IEEE −0.0 (a tiny
+    * negative raw covariance keeps its sign through DuckDB's round but
+    * not Spark's; the driver hash sees the sign bit).
+    */
+  private val covGridOracleCtes =
+    """WITH q AS (
+      |  SELECT list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qs
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT CAST(a.i - 1 AS INTEGER) AS dim_i, CAST(b.i - 1 AS INTEGER) AS dim_j,
+      |         p.qs[a.i] AS qi, p.qs[b.i] AS qj
+      |  FROM q p,
+      |       LATERAL (SELECT unnest(generate_series(1, len(p.qs))) AS i) a,
+      |       LATERAL (SELECT unnest(generate_series(1, len(p.qs))) AS i) b
+      |  WHERE b.i >= a.i),
+      |g AS (SELECT dim_i, dim_j, count(*) AS n, sum(qi) AS s_i,
+      |             sum(qj) AS s_j, sum(qi * qj) AS s_ij
+      |      FROM ex GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT dim_i, dim_j, CAST(n AS BIGINT) AS n, CAST(s_i AS BIGINT) AS s_i,
+      |         CAST(s_j AS BIGINT) AS s_j, CAST(s_ij AS BIGINT) AS s_ij,
+      |         round(CAST(CAST(n AS HUGEINT) * s_ij - CAST(s_i AS HUGEINT) * s_j AS DOUBLE)
+      |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) + 0.0 AS cov
+      |  FROM g)""".stripMargin
+
   /** Fraction-free |z|>3 anomaly oracle — shared verbatim by the batch
     * detector and its streaming-state twin.
     */
@@ -1268,9 +1308,9 @@ object SparkEntry {
         |       min(v) AS min_chars, max(v) AS max_chars
         |FROM dd, bl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_size_est" ->
-      """WITH oh AS (SELECT ((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296) AS h
+      """WITH oh AS (SELECT ((CAST(o_orderkey AS HUGEINT) * 2850178704830799361) % 4611686018427387904) AS h
         |           FROM orders),
-        |lh AS (SELECT ((CAST(l_orderkey AS HUGEINT) * 2654435761) % 4294967296) AS h
+        |lh AS (SELECT ((CAST(l_orderkey AS HUGEINT) * 2850178704830799361) % 4611686018427387904) AS h
         |       FROM lineitem),
         |ka AS (SELECT h FROM (SELECT DISTINCT h FROM oh) ORDER BY h LIMIT 256),
         |kb AS (SELECT h FROM (SELECT DISTINCT h FROM lh) ORDER BY h LIMIT 256),
@@ -1289,7 +1329,7 @@ object SparkEntry {
         |           AS BIGINT) AS sample_rows
         |       FROM m LEFT JOIN ca USING (h) LEFT JOIN cb USING (h)),
         |e1 AS (SELECT k_union, sample_rows,
-        |         CAST(floor((k_union - 1) * CAST(4294967296 AS DOUBLE)
+        |         CAST(floor((k_union - 1) * CAST(4611686018427387904 AS DOUBLE)
         |           / CAST(kth AS DOUBLE) + 0.5) AS BIGINT) AS est_keys
         |       FROM e0),
         |e2 AS (SELECT k_union, sample_rows, est_keys,
@@ -2664,11 +2704,12 @@ object SparkEntry {
          |  FROM embeddings)
          |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
-    // naive windowed kNN vote — same rounded cosine, same tie rules
+    // naive windowed kNN vote — same rounded cosine, same tie rules;
+    // fixed 50-query budget (vec_id < 50), corpus = the rest
     "q_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS actual
-         |           FROM embeddings WHERE vec_id % 20 = 0),
-         |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0),
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 50),
          |j AS (
          |  SELECT query_id, actual, vec_id, label,
          |         CASE WHEN cosine IS NULL OR isnan(cosine)
@@ -2688,28 +2729,52 @@ object SparkEntry {
          |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin,
     // exact covariance moments: the same ⌊x·1e6+0.5⌋ micro-unit
     // quantization, naive lateral pair expansion (fine for the oracle;
-    // the engine generates pairs row-locally with HOFs), HUGEINT combine
-    // kept internal — outputs are BIGINT moments + one rounded double
+    // the engine generates pairs row-locally with the native
+    // pair_products expression), HUGEINT combine kept internal —
+    // outputs are BIGINT moments + one rounded double
     "q_embed_covariance" ->
-      """WITH q AS (
-        |  SELECT list_transform(embedding,
-        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qs
-        |  FROM embeddings),
-        |ex AS (
-        |  SELECT CAST(a.i - 1 AS INTEGER) AS dim_i, CAST(b.i - 1 AS INTEGER) AS dim_j,
-        |         p.qs[a.i] AS qi, p.qs[b.i] AS qj
-        |  FROM q p,
-        |       LATERAL (SELECT unnest(generate_series(1, len(p.qs))) AS i) a,
-        |       LATERAL (SELECT unnest(generate_series(1, len(p.qs))) AS i) b
-        |  WHERE b.i >= a.i),
-        |g AS (SELECT dim_i, dim_j, count(*) AS n, sum(qi) AS s_i,
-        |             sum(qj) AS s_j, sum(qi * qj) AS s_ij
-        |      FROM ex GROUP BY 1, 2)
-        |SELECT dim_i, dim_j, CAST(n AS BIGINT) AS n, CAST(s_i AS BIGINT) AS s_i,
-        |       CAST(s_j AS BIGINT) AS s_j, CAST(s_ij AS BIGINT) AS s_ij,
-        |       round(CAST(CAST(n AS HUGEINT) * s_ij - CAST(s_i AS HUGEINT) * s_j AS DOUBLE)
-        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) AS cov
-        |FROM g ORDER BY dim_i, dim_j""".stripMargin,
+      s"""$covGridOracleCtes
+        |SELECT dim_i, dim_j, n, s_i, s_j, s_ij, cov
+        |FROM grid ORDER BY dim_i, dim_j""".stripMargin,
+    // the drained streaming state must equal the batch grid bit-for-bit:
+    // same oracle as q_embed_covariance
+    "q_streaming_covariance" ->
+      s"""$covGridOracleCtes
+        |SELECT dim_i, dim_j, n, s_i, s_j, s_ij, cov
+        |FROM grid ORDER BY dim_i, dim_j""".stripMargin,
+    // Pearson r from the same exact moments: numerator and the two
+    // diagonal variance numerators stay exact integers until ONE
+    // double cast + sqrt, mirrored token-for-token by the engine;
+    // zero-variance dims yield NULL identically on both sides
+    "q_embed_correlation" ->
+      s"""$covGridOracleCtes,
+        |dv AS (SELECT dim_i AS dim,
+        |              CAST(n AS HUGEINT) * s_ij - CAST(s_i AS HUGEINT) * s_i AS dvar
+        |       FROM grid WHERE dim_i = dim_j)
+        |SELECT g.dim_i, g.dim_j,
+        |       CASE WHEN a.dvar = 0 OR b.dvar = 0 THEN NULL
+        |            ELSE round(
+        |              CAST(CAST(g.n AS HUGEINT) * g.s_ij
+        |                   - CAST(g.s_i AS HUGEINT) * g.s_j AS DOUBLE)
+        |              / sqrt(CAST(a.dvar AS DOUBLE) * CAST(b.dvar AS DOUBLE)),
+        |              6) + 0.0 END AS corr
+        |FROM grid g
+        |JOIN dv a ON g.dim_i = a.dim
+        |JOIN dv b ON g.dim_j = b.dim
+        |ORDER BY g.dim_i, g.dim_j""".stripMargin,
+    // eigenpair invariants: trace / max-diagonal in the grid's 6dp
+    // micro-units (engine-agreed integers) + TRUE for each invariant a
+    // broken eigen-solve would flip — see Covariance.pcaTopQuery
+    "q_pca_top" ->
+      s"""$covGridOracleCtes,
+        |dg AS (SELECT CAST(floor(cov * 1e6 + 0.5) AS BIGINT) AS c
+        |       FROM grid WHERE dim_i = dim_j)
+        |SELECT (SELECT CAST(max(dim_j) + 1 AS INTEGER) FROM grid) AS d,
+        |       CAST(sum(c) AS BIGINT) AS trace_micro,
+        |       CAST(max(c) AS BIGINT) AS max_diag_micro,
+        |       TRUE AS unit_norm_ok, TRUE AS dominance_ok,
+        |       TRUE AS bounded_ok, TRUE AS resid_ok, TRUE AS sign_ok
+        |FROM dg""".stripMargin,
     // int8 quantization: float→double casts, greatest-fold max|x|, explicit
     // ⌊x+0.5⌋ rounding (engine round() tie-breaks differ), sequential
     // error fold — every step engine-exact
@@ -3563,6 +3628,14 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // same base-table truth as q_mv_bytype: whichever registered view the
+    // optimizer picks (the cheaper per-type one — asserted in spec), the
+    // answer must hash-match the base recompute
+    "q_mv_choose" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // base-corpus formulations: the engine serves both from the postings
     // index via the Generate-aware rewrite
     "q_index_rewrite" ->
@@ -3573,6 +3646,21 @@ object SparkEntry {
       s"""$postingsCte
          |SELECT doc_id, CAST(tf AS BIGINT) AS n
          |FROM postings WHERE term = 'the' ORDER BY doc_id""".stripMargin,
+    // base ∪ the deterministic appended batch: the engine answers from
+    // the incrementally-refreshed postings generation (q_mv_refresh's
+    // lifecycle, for the inverted-index view)
+    "q_index_refresh" ->
+      """WITH b AS (SELECT * FROM documents UNION ALL
+        |           (SELECT * FROM documents ORDER BY doc_id LIMIT 300)),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(lower(text), ' '),
+        |                     w -> regexp_replace(w, '[^a-z]', '', 'g')),
+        |                     w -> w <> '') AS ts
+        |  FROM b),
+        |flat AS (SELECT doc_id, unnest(ts) AS term FROM toks)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM flat GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
     "q_mv_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type, count(*) AS n,

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -79,9 +79,14 @@ case class BottomKSketchAgg(
     left: Expression, right: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BottomKState] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[BottomKState] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "bottomk_sketch: k must be positive")
+
+  // analysis-time typing: mistyped args implicitly cast or cleanly fail
+  // instead of update()'s asInstanceOf throwing at execution
+  override def inputTypes = Seq(LongType, DoubleType)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false

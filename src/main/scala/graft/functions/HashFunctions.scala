@@ -15,6 +15,23 @@ object HashFunctions {
 
   val Knuth = 2654435761L // Knuth's multiplicative constant (golden ratio)
 
+  /** 62-bit golden-ratio multiplier (⌊2^62/φ⌋ forced odd) for hashes that
+    * need a 62-BIT OUTPUT DOMAIN (e.g. the KMV join-size sketch): the
+    * 32-bit constant mod 2^62 leaves small ids UNWRAPPED (order-preserving,
+    * not uniform — a KMV estimator over it is off by 10^5×, measured),
+    * while this one wraps every id ≥ 2. Odd ⇒ bijection mod 2^62, so key
+    * distinctness is preserved across the whole 62-bit range. Max product
+    * 2^63·K62 ≈ 2.6e37 < 10^38−1, so the decimal(38,0) path stays exact
+    * for ALL 64-bit ids (the oracle mirrors in HUGEINT).
+    */
+  val Knuth62 = 2850178704830799361L
+
+  /** (id · Knuth62) mod 2^62, exact for any 64-bit id, uniform on the
+    * 62-bit domain.
+    */
+  def knuth62Mod(id: Column): Column =
+    ((id.cast("decimal(38,0)") * Knuth62) % 4611686018427387904L).cast("long")
+
   /** (id · Knuth) mod `m`, exact for any 64-bit id.
     *
     * For the power-of-two modulus every sampling/privacy call site uses

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -48,9 +48,15 @@ case class KmvSketchAgg(
     child: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvState] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KmvState] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "kmv_sketch: k must be positive")
+
+  // declare the long input so a mistyped argument (e.g. an INT hash
+  // column) is implicitly cast — or cleanly rejected — AT ANALYSIS,
+  // instead of update()'s asInstanceOf[Long] throwing at execution
+  override def inputTypes = Seq(LongType)
 
   override def dataType: DataType = StructType(Seq(
     StructField("k", LongType, nullable = false),
@@ -126,9 +132,13 @@ case class KmvHashesAgg(
     child: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvState] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KmvState] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "kmv_hashes: k must be positive")
+
+  // analysis-time typing, as in KmvSketchAgg
+  override def inputTypes = Seq(LongType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PairProductsExpr
 import graft.sources.Tables
 
 /** Exact covariance statistics over the embedding corpus — the
@@ -16,51 +17,138 @@ import graft.sources.Tables
   * Components are quantized to micro-units with `floor(x·1e6 + 0.5)` —
   * floor is exact on doubles, so Spark and any other engine (the DuckDB
   * oracle included) produce bit-identical grids. The d(d+1)/2 pair
-  * products are generated ROW-LOCALLY by codegen'd array HOFs — the only
-  * exchange carries the d²-cell partial sums (map-side combined), the
-  * corpus never shuffles. Work is the inherent O(n·d²) of covariance;
-  * the cell sums accumulate in decimal(38,0) so a 1e9-row corpus cannot
-  * overflow them.
+  * products are generated ROW-LOCALLY by the native codegen'd
+  * [[graft.functions.PairProducts]] expression — one dense primitive
+  * `array<long>` per row whose POSITION is the pair identity, so the
+  * hot stream carries one long per pair (no struct, no interpreted
+  * lambda: Spark does not codegen `transform`/`flatten` HOFs, and the
+  * earlier HOF form spent its whole 3.8 s warm budget on interpreted
+  * struct construction). The only exchange carries the d(d+1)/2-cell
+  * partial sums keyed by the single int position (map-side combined);
+  * the corpus never shuffles, and position→(dim_i, dim_j) is recovered
+  * AFTER aggregation by a broadcast join against a d(d+1)/2-row mapping
+  * built from one `sequence` per dimension — exact integer arithmetic,
+  * metadata-sized for any real embedding width. Work is the inherent
+  * O(n·d²) of covariance; the cell sums accumulate in decimal(38,0) so
+  * a 1e9-row corpus cannot overflow them.
   */
 object Covariance {
 
-  /** The upper-triangle covariance grid: exact integer moments per dim
-    * pair plus the derived population covariance (one double division of
-    * exact integers, rounded at 6dp).
+  private val d38 = "decimal(38,0)"
+
+  /** Embedding rows quantized to one micro-unit long array per row. */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    emb.select(expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))")
+      .as("q"))
+
+  /** Pair-product partial cells: the hot stream carries ONE long per
+    * pair — the product, at the dense row-major upper-triangle position
+    * that IS the pair identity — NOT (qi, qj) values or an (idx, qq)
+    * struct. Mergeable across any regrouping (counts and decimal sums),
+    * which is what the streaming twin's per-batch merge relies on.
     */
-  def covarianceGrid(spark: SparkSession, sfDir: String): DataFrame = {
-    val d38 = "decimal(38,0)"
-    val q = Tables.embeddings(spark, sfDir)
-      .select(expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))")
-        .as("q"))
-    // the hot stream carries ONE struct of two longs per pair — the pair
-    // identity packed as i·d+j and the product — NOT the (qi, qj) values:
-    // the per-dim first moments are a d-cell side aggregation joined back
-    // onto the d²-cell grid (both metadata-sized, broadcast), which keeps
-    // the n·d²-row stage to the minimum bytes the algorithm needs
-    val pairSums = q
-      .select(size(col("q")).as("d"), explode(expr(
-        """flatten(transform(sequence(0, size(q) - 1), i ->
-          |  transform(sequence(i, size(q) - 1), j ->
-          |    struct(i * size(q) + j AS idx, q[i] * q[j] AS qq))))""".stripMargin))
-        .as("p"))
-      .groupBy(expr("CAST(p.idx DIV d AS INT)").as("dim_i"),
-        pmod(col("p.idx"), col("d")).cast("int").as("dim_j"))
-      .agg(count(lit(1)).as("n"), sum(col("p.qq").cast(d38)).as("sij"))
-    val dimSums = q
-      .select(posexplode(col("q")).as(Seq("dim", "qv")))
+  private[graft] def pairCells(q: DataFrame): DataFrame =
+    q.select(posexplode(PairProductsExpr.pairProducts(col("q")))
+        .as(Seq("idx", "qq")))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n"), sum(col("qq").cast(d38)).as("sij"))
+
+  /** Per-dim first-moment cells — a d-cell side aggregation joined back
+    * onto the pair grid (metadata-sized, broadcast).
+    */
+  private[graft] def dimCells(q: DataFrame): DataFrame =
+    q.select(posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy(col("dim")).agg(sum(col("qv").cast(d38)).as("s"))
+
+  /** idx → (dim_i, dim_j): k = i·(2d−i+1)/2 + (j−i), inverted by
+    * enumerating the same row-major triangle — d(d+1)/2 rows of exact
+    * integer arithmetic, broadcast onto the aggregated cell table.
+    */
+  private def mappingDf(spark: SparkSession, d: Int): DataFrame =
+    spark.range(0, d.toLong)
+      .select(col("id").cast("int").as("dim_i"),
+        explode(sequence(col("id").cast("int"), lit(d - 1))).as("dim_j"))
+      .select(
+        expr(s"CAST(CAST(dim_i AS BIGINT) * (${2L * d} - dim_i + 1) DIV 2" +
+          " + (dim_j - dim_i) AS INT)").as("idx"),
+        col("dim_i"), col("dim_j"))
+
+  /** Assemble the output grid from (possibly streaming-maintained) moment
+    * cells — shared verbatim by the batch query and the drained-state
+    * serve, so "streamed cells ≡ batch cells" implies identical grids.
+    */
+  private[graft] def gridOf(spark: SparkSession, pairSums: DataFrame,
+                            dimSums: DataFrame, d: Int): DataFrame =
     pairSums
+      .join(broadcast(mappingDf(spark, d)), "idx")
       .join(broadcast(dimSums.select(col("dim").as("dim_i"), col("s").as("si"))), "dim_i")
       .join(broadcast(dimSums.select(col("dim").as("dim_j"), col("s").as("sj"))), "dim_j")
       .select(col("dim_i"), col("dim_j"), col("n"),
         col("si").cast("long").as("s_i"),
         col("sj").cast("long").as("s_j"),
         col("sij").cast("long").as("s_ij"),
-        round((col("n").cast(d38) * col("sij") - col("si") * col("sj"))
+        // `+ 0.0` normalizes IEEE negative zero: a tiny negative raw
+        // covariance rounds to -0.0 in some engines (DuckDB keeps the
+        // sign) and +0.0 in others — the sign bit would hash differently
+        // even though the values compare equal. -0.0 + 0.0 = +0.0 exactly,
+        // and x + 0.0 = x for every other double, so this is a pure
+        // zero-sign canonicalization. Mirrored in the oracle SQL.
+        (round((col("n").cast(d38) * col("sij") - col("si") * col("sj"))
           .cast("double")
-          / ((col("n") * col("n")).cast("double") * lit(1e12)), 6).as("cov"))
+          / ((col("n") * col("n")).cast("double") * lit(1e12)), 6) + lit(0.0)).as("cov"))
+      .orderBy("dim_i", "dim_j")
+
+  /** The upper-triangle covariance grid: exact integer moments per dim
+    * pair plus the derived population covariance (one double division of
+    * exact integers, rounded at 6dp).
+    */
+  def covarianceGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(Tables.embeddings(spark, sfDir))
+    gridOf(spark, pairCells(q), dimCells(q),
+      Similarity.embeddingDim(spark, sfDir))
+  }
+
+  /** q_embed_correlation: the Pearson correlation grid from the SAME
+    * exact moments — r_ij = (n·s_ij − s_i·s_j) / √(v_i·v_j) with
+    * v_k = n·s_kk − s_k² taken from the grid's own DIAGONAL cells. Every
+    * input to the float section is an exact integer (decimal(38,0));
+    * the numerator and the two variances are cast to double (correctly
+    * rounded in both engines), multiplied and square-rooted in ONE fixed
+    * expression shape the oracle mirrors token-for-token, so r is
+    * bit-identical cross-engine. A zero-variance dimension yields NULL
+    * (guarded identically on both sides, instead of an engine-specific
+    * ±Inf/NaN). Plan shape: the diagonal legs re-reference the same
+    * pair-cell aggregation — the static plan duplicates the subtree and
+    * runtime ReuseExchange collapses it to ONE corpus pass (the
+    * q_vocab_overlap_native posture); everything after is cell-table
+    * broadcast joins.
+    */
+  def correlationGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(Tables.embeddings(spark, sfDir))
+    val d = Similarity.embeddingDim(spark, sfDir)
+    val cells = pairCells(q).join(broadcast(mappingDf(spark, d)), "idx")
+    val si = dimCells(q)
+    val withS = cells
+      .join(broadcast(si.select(col("dim").as("dim_i"), col("s").as("si"))), "dim_i")
+      .join(broadcast(si.select(col("dim").as("dim_j"), col("s").as("sj"))), "dim_j")
+    // exact per-dim variance numerators from the DIAGONAL cells
+    val dvar = cells
+      .where(col("dim_i") === col("dim_j"))
+      .join(broadcast(si.select(col("dim").as("dim_i"), col("s").as("sd"))), "dim_i")
+      .select(col("dim_i").as("dim"),
+        (col("n").cast(d38) * col("sij") - col("sd") * col("sd")).as("dvar"))
+    withS
+      .join(broadcast(dvar.select(col("dim").as("dim_i"), col("dvar").as("var_i"))), "dim_i")
+      .join(broadcast(dvar.select(col("dim").as("dim_j"), col("dvar").as("var_j"))), "dim_j")
+      .select(col("dim_i"), col("dim_j"),
+        when(col("var_i") === 0 || col("var_j") === 0, lit(null))
+          .otherwise(
+            round((col("n").cast(d38) * col("sij") - col("si") * col("sj"))
+              .cast("double")
+              / sqrt(col("var_i").cast("double") * col("var_j").cast("double")),
+              6) + lit(0.0))
+          .as("corr"))
       .orderBy("dim_i", "dim_j")
   }
 
@@ -74,9 +162,15 @@ object Covariance {
     * eigenvalue).
     */
   def pcaTopComponent(spark: SparkSession, sfDir: String,
-                      iters: Int = 500): (Array[Double], Double) = {
-    val rows = covarianceGrid(spark, sfDir)
-      .select("dim_i", "dim_j", "cov").collect()
+                      iters: Int = 2000): (Array[Double], Double) = {
+    val (v, lambda, _) = eigenFromGrid(
+      covarianceGrid(spark, sfDir).select("dim_i", "dim_j", "cov").collect(),
+      iters)
+    (v, lambda)
+  }
+
+  private def eigenFromGrid(rows: Array[org.apache.spark.sql.Row],
+                            iters: Int): (Array[Double], Double, Array[Array[Double]]) = {
     val d = rows.map(_.getInt(0)).max + 1
     val a = Array.ofDim[Double](d, d)
     rows.foreach { r =>
@@ -93,6 +187,53 @@ object Covariance {
     }
     val kMax = v.indices.maxBy(i => math.abs(v(i)))
     if (v(kMax) < 0) v = v.map(-_)
-    (v, lambda)
+    (v, lambda, a)
+  }
+
+  /** q_pca_top: the eigenpair pinned by ORACLE-CHECKABLE INVARIANTS. A
+    * power iteration's components cannot be reproduced in portable SQL —
+    * this corpus's spectrum is near-degenerate (measured eigengap ≈ 0), so
+    * ULP-level engine differences persist in the non-dominant mixture and
+    * a 6dp component round-off would flake. What IS portable: the
+    * matrix-level bounds the eigenpair must satisfy. The row carries two
+    * numbers the oracle recomputes exactly from its own grid (trace and
+    * max diagonal, in the grid's 6dp micro-units — the engines agree on
+    * every cell, so these integers agree bit-for-bit) and five booleans
+    * whose expected value is TRUE: the oracle emits the literal truth,
+    * and any broken eigen-solve (wrong norm, non-dominant direction,
+    * λ outside [max diag, trace], diverged residual, sign convention
+    * violated) flips a boolean and fails the driver's hash. Spark-side
+    * work: one distributed grid pass + O(d²·iters) driver flops, the
+    * documented PCA shape. iters=2000 because the near-degenerate
+    * spectrum converges slowly: measured resid/λ on the sf0.1 grid is
+    * 1.6e-3 at 500 iterations (fails the 1e-3 gate) but 9e-15 at 2000;
+    * 64²·2000 ≈ 8M flops stays trivially driver-sized.
+    */
+  def pcaTopQuery(spark: SparkSession, sfDir: String,
+                  iters: Int = 2000): DataFrame = {
+    import spark.implicits._
+    val rows = covarianceGrid(spark, sfDir)
+      .select("dim_i", "dim_j", "cov").collect()
+    val (v, lambda, a) = eigenFromGrid(rows, iters)
+    val d = v.length
+    // micro-units via the repo-wide ⌊x·1e6 + 0.5⌋ rule: cov is already
+    // rounded 6dp, so this is an exact re-integerization on both engines
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val diag = rows.filter(r => r.getInt(0) == r.getInt(1))
+      .map(r => micro(r.getDouble(2)))
+    val traceMicro = diag.sum
+    val maxDiagMicro = diag.max
+    val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+    val resid = math.sqrt(
+      av.zip(v).map { case (x, y) => val e = x - lambda * y; e * e }.sum)
+    val kMax = v.indices.maxBy(i => math.abs(v(i)))
+    Seq((d, traceMicro, maxDiagMicro,
+      math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, // unit eigenvector
+      lambda >= maxDiagMicro / 1e6 - 1e-9, // dominates every axis quotient
+      lambda <= traceMicro / 1e6 + 1e-9, // PSD: λ₁ ≤ trace
+      resid < 1e-3 * lambda, // converged: ‖Av − λv‖ small vs λ
+      v(kMax) > 0)) // sign convention: largest-|component| positive
+      .toDF("d", "trace_micro", "max_diag_micro", "unit_norm_ok",
+        "dominance_ok", "bounded_ok", "resid_ok", "sign_ok")
   }
 }

@@ -31,10 +31,14 @@ object Events {
 
   /** HOURLY ANOMALY FLAGS — time-series outlier detection on the event
     * feed without a single floating-point division: each hour's count n
-    * is tested against its trailing-24h window via the z² > 9 rule
-    * (|z| > 3) cleared of fractions —
+    * is tested against the 24 MOST RECENT NON-EMPTY hour buckets (a ROWS
+    * frame over the hour-cell table — an hour with zero events has no
+    * bucket row, so the 24 trailing rows can span more than 24 calendar
+    * hours across gaps; [[robustHourlyAnomalies]] is the calendar-window
+    * twin that joins explicit hour_id offsets instead) via the z² > 9
+    * rule (|z| > 3) cleared of fractions —
     *   (k·n − S)² > 9·(k·SS − S²)
-    * with S = Σn, SS = Σn² over the k trailing hours — ALL integer
+    * with S = Σn, SS = Σn² over the k trailing buckets — ALL integer
     * arithmetic in DECIMAL(38,0), so the flag is bit-identical on any
     * engine (no sqrt, no mean round-off). Shape: one hour-bucket
     * aggregation of the feed, then a trailing window over the HOUR table

@@ -33,14 +33,26 @@ object IndexRewrite {
   private val registered = scala.collection.concurrent.TrieMap[String, Boolean]()
 
   /** Register (idempotently per JVM per index path) and return the index
-    * path. The base signature is taken at registration right after
-    * ensure() — the build and the snapshot see the same immutable corpus
-    * listing unless someone mutates it in the microseconds between, in
-    * which case the guard errs toward serving (the corpus files carry
-    * mtimes, so any real mutation still flips the signature).
+    * path. The base signature comes from the `_base_sig` sidecar the
+    * BUILD persisted beside the index ([[MaterializedIndex.baseSigAt]]) —
+    * a corpus mutated between build and registration therefore vetoes
+    * (asserted in IndexRewriteSpec), exactly like [[RollupView.ensure]]'s
+    * generation-carried signature.
     */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val path = MaterializedIndex.ensure(spark, sfDir)
+    registered.getOrElseUpdate(path, { register(spark, sfDir, path); true })
+    path
+  }
+
+  /** Refresh the index incrementally ([[MaterializedIndex.refresh]] —
+    * delta files only when the corpus merely grew) and re-register: the
+    * new generation REPLACES the old one in the registry (same
+    * `doc_postings` family), so the staleness veto lifts and queries
+    * serve from the refreshed postings.
+    */
+  def ensureRefreshed(spark: SparkSession, sfDir: String): String = {
+    val path = MaterializedIndex.refresh(spark, sfDir)
     registered.getOrElseUpdate(path, { register(spark, sfDir, path); true })
     path
   }
@@ -65,9 +77,11 @@ object IndexRewrite {
       mvPlan = mvPlan,
       keys = Seq(("doc_id", docKey, (a: Attribute) => a)),
       aggs = Seq((cnt, "tf", (a: Attribute) => Sum(a))),
-      baseSig = AggRewriteRule.fileSig(d.rel).getOrElse(
-        throw new IllegalStateException("documents base has no file listing")),
-      gen = Some((genExpr, "term"))))
+      baseSig = MaterializedIndex.baseSigAt(path).getOrElse(
+        throw new IllegalStateException(
+          s"index at $path has no build-time base signature")),
+      gen = Some((genExpr, "term")),
+      family = "doc_postings"))
     // compose with layout-aware pruning: the rewrite leaves its Filter
     // directly over the full view scan (first_letter included), so the
     // letter rule can conjoin the implied partition predicate and a
@@ -90,6 +104,38 @@ object IndexRewrite {
   def topTermsServe(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)
     Tables.documents(spark, sfDir)
+      .select(explodedTokens(col("text")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(50)
+  }
+
+  private val stagedBase = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q_index_refresh: the index-maintenance lifecycle under one
+    * driver-checked oracle — stage a private copy of the corpus, build +
+    * register the postings index, APPEND a deterministic batch (the 300
+    * lowest doc_ids re-inserted), INCREMENTALLY refresh (tokenizes the
+    * delta file only — asserted in spec), and serve a tokenize-and-count
+    * written against the base from the refreshed generation. The oracle
+    * recomputes over base ∪ the same batch, so the hash match proves
+    * append-detection, delta tokenization, AND the exact (term, doc)
+    * count merge in one row — the postings twin of q_mv_refresh.
+    */
+  def refreshedServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedBase.getOrElseUpdate(sfDir, {
+      val d = graft.util.Scratch.dir(spark,
+        "graft_idx_refresh_base_" + Integer.toHexString(sfDir.hashCode))
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      raw.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      ensure(spark, d)
+      raw.orderBy("doc_id").limit(300).coalesce(1)
+        .write.mode("append").parquet(s"$d/documents.parquet")
+      ensureRefreshed(spark, d)
+      d
+    })
+    Tables.documents(spark, dir)
       .select(explodedTokens(col("text")).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))

@@ -13,11 +13,17 @@ import graft.sources.Tables
   *
   *  1. each side reduces to its k smallest distinct join-key hashes
   *     ([[graft.functions.KmvHashesAgg]] — map-side partial sketches,
-  *     ≤ k longs per task cross the exchange; the Knuth multiplier is
-  *     odd, so h is a BIJECTION on 64-bit keys mod 2^32 and key
-  *     distinctness is preserved);
+  *     ≤ k longs per task cross the exchange; the hash is
+  *     [[graft.functions.HashFunctions.knuth62Mod]] — a 62-bit
+  *     golden-ratio multiplier, odd, so multiplication by it is a
+  *     bijection mod 2^62 and key distinctness is preserved across the
+  *     whole 62-bit id range. A 2^32 domain would merge keys differing
+  *     only above bit 31 — exactly the id ranges a 100 TB corpus
+  *     reaches — biasing est_keys/est_join_rows low; and the 32-bit
+  *     multiplier mod 2^62 leaves small ids unwrapped, breaking the
+  *     estimator's uniformity assumption outright);
   *  2. the union sketch K(A∪B) (array math on the two k-arrays) gives
-  *     the key-universe estimate Û = (|K|−1)·2^32 / max(K);
+  *     the key-universe estimate Û = (|K|−1)·2^62 / max(K);
   *  3. the union-sketch members are a uniform sample of the key
   *     universe, so their per-key row counts — fetched by a
   *     MEMBERS-ONLY probe (each side filtered to ≤ k hash literals, a
@@ -32,7 +38,8 @@ import graft.sources.Tables
   */
 object JoinEstimate {
 
-  private val M32 = 4294967296L
+  // 2^62 sketch domain: see the bijection note in the class doc
+  private val M62 = 4611686018427387904L
 
   /** One-row report: union-key estimate, estimated vs exact join rows,
     * relative error — for orders ⋈ lineitem on the order key.
@@ -40,9 +47,9 @@ object JoinEstimate {
   def joinSizeEstimate(spark: SparkSession, sfDir: String,
                        k: Int = 256): DataFrame = {
     val oh = Tables.orders(spark, sfDir)
-      .select(HashFunctions.knuthMod(col("o_orderkey"), M32).as("h"))
+      .select(HashFunctions.knuth62Mod(col("o_orderkey")).as("h"))
     val lh = Tables.lineitem(spark, sfDir)
-      .select(HashFunctions.knuthMod(col("l_orderkey"), M32).as("h"))
+      .select(HashFunctions.knuth62Mod(col("l_orderkey")).as("h"))
     val sk = oh.agg(KmvHashesAgg.kmvHashes(col("h"), k).as("ka"))
       .crossJoin(lh.agg(KmvHashesAgg.kmvHashes(col("h"), k).as("kb")))
       .selectExpr("ka", "kb",
@@ -65,7 +72,7 @@ object JoinEstimate {
         sum(when(col("in_a") && col("in_b"),
           col("c_a") * col("c_b")).otherwise(0L)).as("sample_rows"))
       .selectExpr("k_union", "sample_rows",
-        s"CAST(floor((k_union - 1) * CAST($M32 AS DOUBLE) / CAST(kth AS DOUBLE) + 0.5) AS BIGINT) AS est_keys")
+        s"CAST(floor((k_union - 1) * CAST($M62 AS DOUBLE) / CAST(kth AS DOUBLE) + 0.5) AS BIGINT) AS est_keys")
       .selectExpr("k_union", "sample_rows", "est_keys",
         "CAST(floor(CAST(sample_rows AS DOUBLE) * CAST(est_keys AS DOUBLE) / k_union + 0.5) AS BIGINT) AS est_join_rows")
     // audit leg: the exact join count the planner would NOT run

@@ -32,9 +32,112 @@ object MaterializedIndex {
     val path = graft.util.Scratch.dir(spark,
       "graft_index_" + Integer.toHexString(sfDir.hashCode))
     built.getOrElseUpdate(path, {
+      // capture the corpus listing THE BUILD READS — before the build, off
+      // the same relation — and persist it beside the index: the rewrite
+      // registration must guard staleness against the build-time state,
+      // not whatever the corpus looks like when registration happens
+      val sig = corpusSig(spark, sfDir)
       Indexer.writeIndex(spark, sfDir, path)
+      writeBaseSig(path, sig)
       path
     })
+  }
+
+  /** The documents base file-listing signature, as
+    * [[graft.plans.AggRewriteRule.fileSig]] computes it at match time.
+    */
+  private def corpusSig(spark: SparkSession, sfDir: String): String =
+    graft.sources.Tables.documents(spark, sfDir).queryExecution.analyzed
+      .collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.AggRewriteRule.fileSig(lr)
+      }.flatten.getOrElse(
+        throw new IllegalStateException("documents base has no file listing"))
+
+  // underscore-prefixed sidecar: parquet readers skip _-files, so it can
+  // live inside the index directory and share the index's lifecycle
+  private def sigFile(indexPath: String) =
+    new File(new File(indexPath), "_base_sig")
+
+  private def writeBaseSig(indexPath: String, sig: String): Unit = {
+    java.nio.file.Files.write(sigFile(indexPath).toPath,
+      sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** The base signature persisted at index build/refresh time — what
+    * [[IndexRewrite.register]] must guard staleness against.
+    */
+  private[graft] def baseSigAt(indexPath: String): Option[String] = {
+    val f = sigFile(indexPath)
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private final case class IdxGen(dataPath: String, sig: String, gen: Int)
+  private val gens = scala.collection.concurrent.TrieMap[String, IdxGen]()
+
+  /** Spec observability: the corpus files the last refresh aggregated. */
+  private[graft] val lastDeltaFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** INCREMENTAL INDEX REFRESH — the postings twin of
+    * [[RollupView.refresh]]: when the corpus has only GROWN since the
+    * stored generation (pure appends — new files, no file removed or
+    * rewritten), tokenize ONLY the delta files and merge their (term,
+    * doc_id, tf) cells into the stored index — counts sum, so the merged
+    * index is value-identical to a full rebuild — then persist the new
+    * listing signature beside the new generation. The reference's
+    * append-mode letter files (`helper_reduce.c:255-256`) were always
+    * incremental; this recovers that without its duplicate-postings bug
+    * (SURVEY.md §7.0): duplicates MERGE (sum) instead of appending twice.
+    * A removed or rewritten corpus file invalidates stored cells, so that
+    * case falls back to a full rebuild — only growth is incremental,
+    * honestly. At 100 TB this is the difference between re-tokenizing the
+    * corpus nightly and tokenizing the day's new documents.
+    */
+  def refresh(spark: SparkSession, sfDir: String): String = {
+    import graft.functions.TextFunctions.{explodedTokens, firstLetter}
+    import org.apache.spark.sql.functions._
+    val base = ensure(spark, sfDir)
+    val cur = gens.getOrElseUpdate(base,
+      IdxGen(base, baseSigAt(base).getOrElse(
+        throw new IllegalStateException(s"index at $base has no signature")), 0))
+    val curSig = corpusSig(spark, sfDir)
+    if (curSig == cur.sig) return cur.dataPath // already current
+    val prevEntries = cur.sig.split('\n').toSet
+    val curEntries = curSig.split('\n').toSeq
+    val removed = prevEntries -- curEntries.toSet
+    val nextPath = s"${base}_g${cur.gen + 1}"
+    if (removed.nonEmpty) { // overwrite/compaction: full rebuild
+      lastDeltaFiles.set(Nil)
+      Indexer.writeIndex(spark, sfDir, nextPath)
+    } else {
+      // entry format "path:len:mtime" — path itself may contain ':'
+      // (file: URIs), so strip the LAST two :-fields
+      val files = curEntries.filterNot(prevEntries).map { e =>
+        e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1))
+      }
+      lastDeltaFiles.set(files)
+      val delta = spark.read.parquet(files: _*)
+        .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("first_letter", firstLetter(col("term")))
+        .select("first_letter", "term", "doc_id", "tf")
+      spark.read.parquet(cur.dataPath)
+        .select("first_letter", "term", "doc_id", "tf")
+        .unionByName(delta)
+        .groupBy("first_letter", "term", "doc_id")
+        .agg(sum("tf").as("tf"))
+        .repartition(Indexer.letterShardKeys: _*)
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").partitionBy("first_letter").parquet(nextPath)
+    }
+    writeBaseSig(nextPath, curSig)
+    gens.put(base, IdxGen(nextPath, curSig, cur.gen + 1))
+    nextPath
   }
 
   /** The postings relation served from the materialized index — the

@@ -13,8 +13,9 @@ import graft.sources.Tables
   * built once into scratch parquet, registered so the optimizer serves
   * matching aggregates from it transparently. The stored partials are
   * chosen for EXACT re-aggregation — count as long, the value sum as
-  * decimal(14,2) (decimal addition is associative, so regrouped sums are
-  * bit-identical; a double sum would not be), min/max as themselves.
+  * decimal(38,2) (decimal addition is associative, so regrouped sums are
+  * bit-identical; a double sum would not be — and 36 integer digits
+  * cannot overflow for any physical cell), min/max as themselves.
   * The q_mv_* queries are written against the BASE events table and
   * their DuckDB oracles run on the base too: a hash match therefore
   * proves the REWRITE exact, not just the view.
@@ -36,16 +37,19 @@ object RollupView {
   private val built = scala.collection.concurrent.TrieMap[String, Gen]()
 
   /** The per-cell representation over any events-shaped frame — shared by
-    * the full build and the delta refresh. The outer cast pins the stored
-    * sum back to decimal(14,2) so re-summing yields the same decimal(24,2)
-    * a direct query gets (per-cell sums comfortably fit 12 integer digits).
+    * the full build and the delta refresh. The stored partial is pinned to
+    * decimal(38,2): re-aggregation of decimals is exact and associative at
+    * any width, and 36 integer digits cannot overflow for any physical
+    * cell (a 14,2 store would silently null — or throw under ANSI — the
+    * moment one cell's sum crossed 12 integer digits, while the staleness
+    * guard kept validating the view).
     */
   private def cellsOf(events: DataFrame): DataFrame =
     events
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(14,2)"))
-          .cast("decimal(14,2)").as("sum_value"),
+          .cast("decimal(38,2)").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
@@ -116,7 +120,7 @@ object RollupView {
           .unionByName(delta)
           .groupBy("hour_ts", "event_type")
           .agg(sum("n").as("n"),
-            sum("sum_value").cast("decimal(14,2)").as("sum_value"),
+            sum("sum_value").cast("decimal(38,2)").as("sum_value"),
             min("min_value").as("min_value"),
             max("max_value").as("max_value"))
         val p = s"$root/g${prev.gen + 1}"
@@ -185,7 +189,63 @@ object RollupView {
         (afs(2), "min_value", (a: Attribute) => Min(a)),
         (afs(3), "max_value", (a: Attribute) => Max(a))),
       baseSig = sigAtBuild.getOrElse(AggRewriteRule.fileSig(d.rel).getOrElse(
-        throw new IllegalStateException("view base has no file listing")))))
+        throw new IllegalStateException("view base has no file listing"))),
+      family = "events_hourly"))
+  }
+
+  // ——— the PER-TYPE sibling view: same base, coarser keys ———
+  //
+  // Registered as a SECOND family over the same events base: a per-type
+  // query qualifies against both (the hourly view rolls up to types too)
+  // and the optimizer must serve it from this one — 4 cells instead of
+  // hours×types. Exercises AggRewriteRule's multi-view selection.
+
+  private val builtByType =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def byTypeViewDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Build (once per JVM per sf dir) and register the per-type view. The
+    * base signature is captured AT BUILD (the RollupView.Gen discipline):
+    * a base mutated between build and registration must veto, not serve.
+    */
+  def ensureByType(spark: SparkSession, sfDir: String): String = {
+    val root = graft.util.Scratch.dir(spark,
+      "graft_mv_bytype_" + Integer.toHexString(sfDir.hashCode))
+    val (path, sig) = builtByType.getOrElseUpdate(root, {
+      val df = byTypeViewDf(spark, sfDir)
+      val s = baseSigOf(spark, df)
+      df.write.mode("overwrite").parquet(s"$root/g0")
+      (s"$root/g0", s)
+    })
+    val analyzed = byTypeViewDf(spark, sfDir).queryExecution.analyzed
+    val agg = analyzed.collectFirst { case ag: Aggregate => ag }.get
+    val d = AggRewriteRule.destructure(agg).getOrElse(
+      throw new IllegalStateException("by-type view did not destructure"))
+    val baseKey = AggRewriteRule.rootKey(d.rel).getOrElse(
+      throw new IllegalStateException("view base is not a file-source relation"))
+    val keyExprs = d.g.map { case al: Alias => al.child; case e => e }
+    val afs = d.a.flatMap(_.collect {
+      case ae: AggregateExpression => ae.aggregateFunction
+    })
+    AggRewriteRule.register(spark, baseKey, AggRewriteRule.MvSpec(
+      mvPlan = spark.read.parquet(path).queryExecution.analyzed,
+      keys = Seq(("event_type", keyExprs.head, (a: Attribute) => a)),
+      aggs = Seq(
+        (afs(0), "n", (a: Attribute) => Sum(a)),
+        (afs(1), "sum_value", (a: Attribute) => Sum(a)),
+        (afs(2), "min_value", (a: Attribute) => Min(a)),
+        (afs(3), "max_value", (a: Attribute) => Max(a))),
+      baseSig = sig,
+      family = "events_bytype"))
+    path
   }
 
   /** q_mv_hourly: an hour × type aggregate with a key filter, WRITTEN
@@ -279,11 +339,35 @@ object RollupView {
       .orderBy("event_type")
   }
 
-  /** q_mv_bytype: a COARSER grouping than the view's keys — the rewrite
-    * must roll the view's (hour, type) cells up to per-type totals.
+  /** q_mv_bytype: a COARSER grouping than the hourly view's keys — the
+    * rewrite must roll the view's (hour, type) cells up to per-type
+    * totals. (Once [[ensureByType]] has ALSO registered the per-type
+    * family in this session, the optimizer serves this same query from
+    * that cheaper view instead — either answer is oracle-identical; the
+    * choice itself is pinned by q_mv_choose and AggRewriteSpec.)
     */
   def byTypeServe(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+  }
+
+  /** q_mv_choose: MULTI-VIEW SELECTION — both families registered over
+    * one base, both qualifying for a per-type aggregate (the hourly cells
+    * roll up; the per-type view matches directly); the optimizer must
+    * serve from the CHEAPEST (fewest stored bytes ≈ cells) qualifying
+    * view. The oracle recomputes from base, so the hash match proves
+    * whichever view was chosen is exact; WHICH one was chosen is asserted
+    * in AggRewriteSpec (per-type, 4 cells vs hours×types).
+    */
+  def chooseServe(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    ensureByType(spark, sfDir)
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -44,18 +44,25 @@ object Similarity {
   }
 
   /** q_knn_classify: k-NN label prediction — the similarity stack applied
-    * to supervision. Every 20th vector is a query; its label is predicted
-    * by majority vote over the k nearest corpus vectors (exact cosine,
-    * the [[TopKByScore]] map-side partial top-k, so the corpus never
-    * shuffles and the only exchange is O(k)/query). The vote itself runs
-    * on the OUTPUT-sized top-k table: neighbor labels arrive by joining
-    * the tiny top-k ids back to the embeddings relation (broadcast —
-    * corpus side unmoved), majority with deterministic (votes DESC,
-    * label ASC) ties, the same convention as the NB argmax.
+    * to supervision. A FIXED query budget (`vec_id < nQueries`, the same
+    * rule as [[cosineTopK]]) is classified; each query's label is
+    * predicted by majority vote over the k nearest corpus vectors (exact
+    * cosine, the [[TopKByScore]] map-side partial top-k, so the corpus
+    * never shuffles and the only exchange is O(k)/query). The fixed
+    * budget is the scale contract: the broadcast side is O(nQueries·d)
+    * regardless of corpus size and scoring is O(n·nQueries) — a
+    * corpus-proportional sample (the earlier `vec_id % 20` rule) made
+    * both grow with n, degenerating to O(n²/20) cosines and an
+    * unbroadcastable query set at 100× scale. The vote itself runs on
+    * the OUTPUT-sized top-k table: neighbor labels arrive by joining the
+    * tiny top-k ids back to the embeddings relation (broadcast — corpus
+    * side unmoved), majority with deterministic (votes DESC, label ASC)
+    * ties, the same convention as the NB argmax.
     */
-  def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10,
+                  nQueries: Int = 50): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val isQuery = pmod(col("vec_id"), lit(20L)) === 0
+    val isQuery = col("vec_id") < nQueries
     val q = emb.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("label").as("actual"))

@@ -76,19 +76,46 @@ object AggRewriteRule extends Rule[LogicalPlan] {
     * no Generate never matches a generated view (the view's rows are
     * per-ELEMENT, not per-row) and vice versa.
     */
+  /** family: the view's logical identity within a base's registry —
+    * re-registering the same family (a refresh's new generation, the
+    * streaming-maintained copy) REPLACES the old spec, while a different
+    * family (hourly vs per-type vs postings over one base) coexists and
+    * competes at match time. Empty family falls back to the mv scan's
+    * root path as the identity (legacy single-generation behavior).
+    */
   final case class MvSpec(
       mvPlan: LogicalPlan,
       keys: Seq[(String, Expression, Attribute => Expression)],
       aggs: Seq[(AggregateFunction2, String, Attribute => AggregateFunction2)],
       baseSig: String,
-      gen: Option[(Expression, String)] = None)
+      gen: Option[(Expression, String)] = None,
+      family: String = "") {
+
+    /** Replacement identity within one base's spec list. */
+    private[plans] def identity: String =
+      if (family.nonEmpty) family
+      else mvPlan.collectFirst { case lr: LogicalRelation => lr }
+        .flatMap(rootKey).getOrElse(toString)
+
+    /** Serving cost proxy: the stored parquet bytes (in-memory FileIndex
+      * metadata — no FS call, no job). Cells are fixed-width-ish rows, so
+      * bytes order ≡ cell-count order, which is what "serve from the
+      * cheapest qualifying view" needs.
+      */
+    private[plans] def storedBytes: Long =
+      mvPlan.collectFirst { case lr: LogicalRelation => lr }
+        .map(_.relation.sizeInBytes).getOrElse(Long.MaxValue)
+  }
 
   // the catalyst class is named AggregateFunction; alias locally to keep
   // the public MvSpec signature readable next to AggregateExpression
   type AggregateFunction2 =
     org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
 
-  private val registry = TrieMap.empty[String, MvSpec]
+  // one base table → MANY registered views (hourly + per-type + postings
+  // can all summarize the same base); a query is matched against each and
+  // served from the cheapest qualifying one
+  private val registry = TrieMap.empty[String, Seq[MvSpec]]
 
   /** Canonical identity of a file-source relation: its sorted root paths. */
   private[graft] def rootKey(lr: LogicalRelation): Option[String] =
@@ -114,17 +141,24 @@ object AggRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** Register (or refresh) a view for a base relation and make sure the
-    * rule itself is installed in the session's optimizer.
+    * rule itself is installed in the session's optimizer. A spec with the
+    * same identity (family, or mv path when family is empty) replaces its
+    * predecessor — a refresh generation supersedes, a different view over
+    * the same base coexists.
     */
   def register(spark: SparkSession, baseKey: String, spec: MvSpec): Unit = {
-    registry.put(baseKey, spec)
+    registry.synchronized {
+      val prev = registry.getOrElse(baseKey, Nil)
+      registry.put(baseKey,
+        prev.filterNot(_.identity == spec.identity) :+ spec)
+    }
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(AggRewriteRule))
       exp.extraOptimizations = exp.extraOptimizations :+ AggRewriteRule
   }
 
   private[graft] def registered(baseKey: String): Boolean =
-    registry.contains(baseKey)
+    registry.get(baseKey).exists(_.nonEmpty)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (registry.isEmpty) plan
@@ -175,13 +209,26 @@ object AggRewriteRule extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val Destructured(rel, g, a, fs, dgen) =
-      destructure(agg).getOrElse(return None)
-    val spec = rootKey(rel).flatMap(registry.get).getOrElse(return None)
+    val d = destructure(agg).getOrElse(return None)
+    val specs = rootKey(d.rel).flatMap(registry.get).getOrElse(return None)
+    if (specs.isEmpty) return None
+    // every registered view over this base gets a chance; serve from the
+    // cheapest qualifying one (fewest stored bytes ≈ fewest cells), with
+    // a deterministic identity tie-break so plans are stable run-to-run
+    val sig = fileSig(d.rel)
+    val candidates = specs.flatMap { spec =>
+      rewriteWith(agg, d, spec, sig).map(p => (spec.storedBytes, spec.identity, p))
+    }
+    candidates.sortBy(c => (c._1, c._2)).headOption.map(_._3)
+  }
+
+  private def rewriteWith(agg: Aggregate, d: Destructured, spec: MvSpec,
+                          sig: Option[String]): Option[LogicalPlan] = {
+    val Destructured(rel, g, a, fs, dgen) = d
 
     // staleness guard: the query's base listing must be the one the view
     // was built from, or the view's contents no longer summarize the base
-    if (!fileSig(rel).contains(spec.baseSig)) return None
+    if (!sig.contains(spec.baseSig)) return None
 
     // 2. fresh view-scan instance (new exprIds per use) + column lookup
     val mv = spec.mvPlan.transformUp {

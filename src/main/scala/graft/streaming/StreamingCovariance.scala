@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Covariance, Similarity}
+import graft.sources.Tables
+
+/** STREAMING COVARIANCE MAINTENANCE — the exact integer-moment grid of
+  * [[graft.operators.Covariance]] kept current as embeddings arrive: each
+  * micro-batch contributes its pair-product cells (idx, n, Σqq) and
+  * per-dim first moments (dim, Σq), the stored cell tables absorb them by
+  * componentwise sum (counts and decimal(38,0) sums — the merge IS the
+  * aggregation, integer-exact, so the continuously-maintained grid equals
+  * a from-scratch batch pass bit-for-bit), and state generations are
+  * copy-on-write parquet, the [[StreamingLinear]] posture.
+  *
+  * The feed stages the embeddings table as two vec_id-split batches
+  * through two query incarnations over ONE checkpoint (resume proven in
+  * spec). The drained state is assembled by the SAME
+  * [[Covariance.gridOf]] the batch query uses and answers the IDENTICAL
+  * oracle as `q_embed_covariance`. At 100 TB this is "embedding drift
+  * statistics are always current" for the price of one pass over each
+  * batch's new vectors — d(d+1)/2 + d cells of state, never a re-scan.
+  */
+object StreamingCovariance {
+
+  private val scratch = new graft.util.ScratchSlot
+
+  /** Spec observability: batches the last drain ran. */
+  private[graft] val lastNumBatches =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def covarianceGridAvailableNow(spark: SparkSession, sfDir: String,
+                                 splitAt: Long = 250L): DataFrame = {
+    import java.nio.file.Files
+    scratch.retire()
+    val root = Files.createTempDirectory("graft_stream_cov_")
+    val watch = root.resolve("watch")
+    val cp = root.resolve("cp")
+    val stateRoot = root.resolve("state")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    emb.filter(col("vec_id") < splitAt).coalesce(1)
+      .write.parquet(watch.resolve("a").toString)
+
+    val ss = StreamingIndexer.drainSession(spark)
+    val schema = ss.read.parquet(watch.resolve("a").toString).schema
+    lastNumBatches.set(0)
+    @volatile var gen = 0
+    val writeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      val q = Covariance.quantized(batch.toDF())
+      val pairDelta = Covariance.pairCells(q)
+      val dimDelta = Covariance.dimCells(q)
+      val (pairMerged, dimMerged) =
+        if (gen == 0) (pairDelta, dimDelta)
+        else (
+          ss.read.parquet(stateRoot.resolve(s"v$gen/pair").toString)
+            .unionByName(pairDelta)
+            .groupBy("idx")
+            .agg(sum("n").as("n"),
+              sum("sij").cast("decimal(38,0)").as("sij")),
+          ss.read.parquet(stateRoot.resolve(s"v$gen/dim").toString)
+            .unionByName(dimDelta)
+            .groupBy("dim")
+            .agg(sum("s").cast("decimal(38,0)").as("s")))
+      pairMerged.coalesce(1).write.mode("overwrite")
+        .parquet(stateRoot.resolve(s"v${gen + 1}/pair").toString)
+      dimMerged.coalesce(1).write.mode("overwrite")
+        .parquet(stateRoot.resolve(s"v${gen + 1}/dim").toString)
+      gen += 1
+      lastNumBatches.incrementAndGet()
+      ()
+    }
+    def drain(): Unit =
+      ss.readStream.schema(schema).parquet(watch.toString + "/*")
+        .writeStream
+        .foreachBatch(writeBatch)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+
+    drain() // incarnation 1: the base history
+    emb.filter(col("vec_id") >= splitAt).coalesce(1)
+      .write.parquet(watch.resolve("b").toString)
+    drain() // incarnation 2 resumes the checkpoint: the delta only
+    scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
+    // the count n must come back as BIGINT after the sum-merge roundtrip
+    val pairState = spark.read
+      .parquet(stateRoot.resolve(s"v$gen/pair").toString)
+      .select(col("idx"), col("n").cast("long").as("n"), col("sij"))
+    val dimState = spark.read
+      .parquet(stateRoot.resolve(s"v$gen/dim").toString)
+    Covariance.gridOf(spark, pairState, dimState,
+      Similarity.embeddingDim(spark, sfDir))
+  }
+}

@@ -37,8 +37,10 @@ object StreamingMv {
   private def cells(batch: Dataset[Row]): DataFrame =
     batch.groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"),
+        // decimal(38,2) store, matching RollupView.cellsOf exactly — the
+        // drained state must stay bit-identical to the batch build
         sum(col("value").cast("decimal(14,2)"))
-          .cast("decimal(14,2)").as("sum_value"),
+          .cast("decimal(38,2)").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
@@ -72,7 +74,7 @@ object StreamingMv {
           .unionByName(delta)
           .groupBy("hour_ts", "event_type")
           .agg(sum("n").as("n"),
-            sum("sum_value").cast("decimal(14,2)").as("sum_value"),
+            sum("sum_value").cast("decimal(38,2)").as("sum_value"),
             min("min_value").as("min_value"),
             max("max_value").as("max_value"))
       merged.coalesce(1).write.mode("overwrite")

@@ -46,13 +46,30 @@ class AggRewriteSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
-  test("byTypeServe rolls the view up to coarser keys, identically") {
-    val df = RollupView.byTypeServe(spark, sf)
-    assert(scanPaths(df).exists(_.contains(mvPath)))
+  test("per-type queries pick the CHEAPEST qualifying view (multi-view selection)") {
+    // with BOTH families registered — the hourly view (whose cells roll
+    // up to per-type totals) and the per-type view (direct match, ~4
+    // cells) — the optimizer must serve from the smaller per-type one
+    val byTypePath = RollupView.ensureByType(spark, sf)
+    val df = RollupView.chooseServe(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains(byTypePath)),
+      s"per-type view not chosen: $paths")
+    assert(!paths.exists(_.contains(mvPath)),
+      s"served from the larger hourly view despite a cheaper match: $paths")
+    assert(!paths.exists(_.contains("events.parquet")))
     val got = df.collect().toSeq
     val expected = withoutRule(RollupView.byTypeServe(spark, sf).collect().toSeq)
     assert(got === expected)
     assert(got.nonEmpty)
+  }
+
+  test("an hour-keyed query still serves from the hourly view with both registered") {
+    RollupView.ensureByType(spark, sf) // both families live
+    val df = RollupView.hourlyServe(spark, sf)
+    val paths = scanPaths(df)
+    // the per-type view has no hour key, so only the hourly view matches
+    assert(paths.exists(_.contains(mvPath)), s"no hourly view scan in $paths")
   }
 
   test("a coarser time grain (day over hours) serves from the hourly view") {
@@ -70,7 +87,11 @@ class AggRewriteSpec extends SparkTestBase {
   test("derived aggregates (sum/count, max−min) and HAVING rewrite") {
     val df = RollupView.avgServe(spark, sf)
     val paths = scanPaths(df)
-    assert(paths.exists(_.contains(mvPath)), s"no view scan in $paths")
+    // groups by event_type only, so EITHER registered view may serve it
+    // (the per-type family wins when another suite registered it first);
+    // what matters is that a view — not the base — answers
+    assert(paths.exists(p => p.contains(mvPath) || p.contains("graft_mv_bytype")),
+      s"no view scan in $paths")
     assert(!paths.exists(_.contains("events.parquet")),
       s"base scan survived the rewrite: $paths")
     val got = df.collect().toSeq

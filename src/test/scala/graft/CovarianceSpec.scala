@@ -35,6 +35,54 @@ class CovarianceSpec extends SparkTestBase {
     }
   }
 
+  test("correlation grid matches a driver-side recomputation") {
+    val d = vecs.head.length
+    val n = vecs.length.toLong
+    val got = Covariance.correlationGrid(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size === d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val si = vecs.map(_(i)).sum; val sj = vecs.map(_(j)).sum
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      val sii = vecs.map(v => v(i) * v(i)).sum
+      val sjj = vecs.map(v => v(j) * v(j)).sum
+      // the engine's exact arithmetic shape: integers → double, one sqrt
+      val num = (BigInt(n) * sij - BigInt(si) * sj).toDouble
+      val vi = (BigInt(n) * sii - BigInt(si) * si).toDouble
+      val vj = (BigInt(n) * sjj - BigInt(sj) * sj).toDouble
+      val exp = if (vi == 0 || vj == 0) None
+        else Some(BigDecimal(num / math.sqrt(vi * vj))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      assert(got((i, j)) === exp, s"cell ($i,$j)")
+    }
+    // a dimension correlates perfectly with itself
+    for (i <- 0 until d) assert(got((i, i)) === Some(1.0), s"diag $i")
+  }
+
+  test("no negative zero reaches the cov column") {
+    // a tiny negative raw covariance can round to -0.0; the grid
+    // canonicalizes the zero sign (cov + 0.0) so cross-engine hashes of
+    // the sign bit can never diverge. 1.0/x < 0 distinguishes -0.0
+    // (→ -Inf) from +0.0 (→ +Inf) where == cannot.
+    val covs = Covariance.covarianceGrid(spark, sf)
+      .select("cov").collect().map(_.getDouble(0))
+    assert(!covs.exists(c => c == 0.0 && 1.0 / c < 0),
+      "grid emitted an IEEE -0.0 cov cell")
+  }
+
+  test("pcaTopQuery emits all-true invariants and grid-exact micro stats") {
+    val r = Covariance.pcaTopQuery(spark, sf).collect().head
+    val covs = Covariance.covarianceGrid(spark, sf)
+      .select("dim_i", "dim_j", "cov").collect()
+    val diag = covs.filter(x => x.getInt(0) === x.getInt(1))
+      .map(x => math.floor(x.getDouble(2) * 1e6 + 0.5).toLong)
+    assert(r.getInt(0) === covs.map(_.getInt(1)).max + 1)
+    assert(r.getLong(1) === diag.sum)
+    assert(r.getLong(2) === diag.max)
+    (3 to 7).foreach(i => assert(r.getBoolean(i), s"invariant column $i false"))
+  }
+
   test("power iteration returns the dominant eigenpair") {
     val (v, lambda) = Covariance.pcaTopComponent(spark, sf)
     val d = v.length

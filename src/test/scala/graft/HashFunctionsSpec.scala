@@ -24,6 +24,27 @@ class HashFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("knuth62Mod == exact BigInt reference across the full id range") {
+    // max product 2^63·K62 ≈ 2.6e37 must stay inside decimal(38,0) —
+    // Long.MaxValue is the case that would overflow a narrower scheme
+    val ids = Seq(0L, 1L, 2L, 7L, 99999L, 4294967296L, 4294967297L,
+      1000000000000L, Long.MaxValue, Long.MaxValue - 1)
+    val got = ids.toDF("id")
+      .select(col("id"), HashFunctions.knuth62Mod(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m62 = BigInt(4611686018427387904L)
+    ids.foreach { id =>
+      val exp = ((BigInt(id) * HashFunctions.Knuth62) % m62).toLong
+      assert(got(id) === exp, s"id=$id: got ${got(id)}, want $exp")
+    }
+    // the property the KMV estimator needs: small CONSECUTIVE ids must
+    // wrap (scramble), not stay order-preserving — the 32-bit constant
+    // mod 2^62 fails exactly this
+    val smallHashes = (1L to 100L).map(i => ((BigInt(i) * HashFunctions.Knuth62) % m62).toLong)
+    assert(smallHashes.sliding(2).exists(p => p(1) < p(0)),
+      "knuth62Mod is order-preserving on small ids — estimator uniformity broken")
+  }
+
   test("knuthMod general modulus (non power of two) stays exact") {
     val m = 4294967291L // largest prime < 2^32 (the Incremental KMV modulus)
     val ids = Seq(0L, 12345L, 4294967296L, Long.MaxValue)

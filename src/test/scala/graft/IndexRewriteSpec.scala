@@ -86,4 +86,50 @@ class IndexRewriteSpec extends SparkTestBase {
     assert(scanPaths(df).exists(_.contains("documents.parquet")),
       "a foreign tokenizer must not be served from the index")
   }
+
+  private def topTerms(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(50)
+
+  test("a corpus mutated between BUILD and registration vetoes (build-time sig)") {
+    // stage a private corpus, build the index WITHOUT registering, then
+    // append before registration: the registration must carry the
+    // BUILD-TIME sidecar signature, so the rewrite vetoes and the query
+    // falls back to (and answers from) the mutated base
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_stale_")
+    val dir = root.toString
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    raw.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val idx = graft.operators.MaterializedIndex.ensure(spark, dir) // build only
+    raw.orderBy("doc_id").limit(100).coalesce(1)
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    IndexRewrite.ensure(spark, dir) // register AFTER the mutation
+    val df = topTerms(spark, dir)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains(s"$dir/documents.parquet")),
+      s"stale index served a mutated corpus: $paths")
+    assert(!paths.exists(_.contains(idx)), s"index scan survived: $paths")
+    val expected = withoutRule(topTerms(spark, dir).collect().toSeq)
+    assert(df.collect().toSeq === expected)
+    graft.util.Scratch.deleteRecursively(root)
+  }
+
+  test("incremental index refresh tokenizes the delta only and serves from g1") {
+    val df = IndexRewrite.refreshedServe(spark, sf)
+    // the refresh must have aggregated exactly the ONE appended file
+    assert(graft.operators.MaterializedIndex.lastDeltaFiles.get().size === 1,
+      s"delta read ${graft.operators.MaterializedIndex.lastDeltaFiles.get()}")
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("_g1")), s"no refreshed index scan in $paths")
+    assert(!paths.exists(_.contains("documents.parquet")),
+      s"corpus scan survived the rewrite: $paths")
+    // refreshed postings ≡ a from-scratch tokenize of the mutated corpus
+    val got = df.collect().toSeq
+    val expected = withoutRule(
+      IndexRewrite.refreshedServe(spark, sf).collect().toSeq)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

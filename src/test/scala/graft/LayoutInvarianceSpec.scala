@@ -38,7 +38,12 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // over graph counts and rule lifts, NB integer scoring, and the MV
     // rewrite path (view partials must merge layout-independently)
     "q_embed_covariance", "q_copurchase_triangles", "q_basket_rules",
-    "q_nb_predict", "q_mv_avg")
+    "q_nb_predict", "q_mv_avg",
+    // round-13: fixed-budget kNN vote ties, the PCA invariant row (its
+    // grid collect reruns per layout), multi-view selection, and the
+    // refreshed postings serve (merged cells must be layout-proof)
+    "q_knn_classify", "q_pca_top", "q_mv_choose", "q_index_refresh",
+    "q_embed_correlation")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -265,10 +265,27 @@ class PlanBudgetSpec extends SparkTestBase {
     // (v,w) closing join's two sides + per-part agg; wedges row-local,
     // top-50 via TakeOrdered
     "q_copurchase_triangles" -> 4,
-    // pair products are row-local HOFs; the only DATA-sized exchange is
-    // the d²-cell partial-sum agg — the d-cell first-moment agg and the
-    // output range sort are metadata-sized
+    // pair products are the row-local native pair_products expression;
+    // the only DATA-sized exchange is the cell partial-sum agg — the
+    // d-cell first-moment agg and the output range sort are
+    // metadata-sized, the idx→(i,j) mapping and moments broadcast
     "q_embed_covariance" -> 3,
+    // the grid collect ran at build time; the returned one-row invariant
+    // relation is a local table — nothing exchanges
+    "q_pca_top" -> 0,
+    // the diagonal legs re-reference the pair-cell/dim-cell aggs
+    // (ReuseExchange collapses them to one corpus pass): pair agg + dim
+    // agg + output range sort
+    "q_embed_correlation" -> 3,
+    // drained state parquet read + gridOf broadcast joins + output order
+    // (the moment maintenance ran micro-batch-side)
+    "q_streaming_covariance" -> 1,
+    // multi-view selection serve: view agg + output order (same plan
+    // shape as q_mv_bytype, just a smaller view underneath)
+    "q_mv_choose" -> 2,
+    // serve from the refreshed postings generation: the rewritten term
+    // agg only (top-50 via TakeOrdered); staging/refresh are build-side
+    "q_index_refresh" -> 1,
     // served from the streaming-maintained view state: view agg + order —
     // base events never scanned (the drain itself is micro-batch-side)
     "q_streaming_mv" -> 2,

@@ -50,8 +50,9 @@ class SimilaritySpec extends SparkTestBase {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val corpus = vecs.filter(_._1 % 20 != 0)
-    val expected = vecs.filter(_._1 % 20 == 0).map { case (qid, q, actual) =>
+    // fixed 50-query budget mirrors knnClassify's default nQueries=50
+    val corpus = vecs.filter(_._1 >= 50)
+    val expected = vecs.filter(_._1 < 50).map { case (qid, q, actual) =>
       val top = corpus.map { case (id, v, label) =>
         (id, label, BigDecimal(cos(q, v))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
