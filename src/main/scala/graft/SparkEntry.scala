@@ -373,6 +373,8 @@ object SparkEntry {
     // declared, oracle-checked IVF query
     "q_ivf_serve"      -> ((s, d) => Similarity.ivfServeTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
+    // per-class mean embedding (prototypes) from exact integer moments
+    "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_embed_neardup"  -> ((s, d) => Similarity.embedNearDupPairs(s, d, 100, 0.3)),
     // SemDeDup: per-cell min-id-keeper semantic dedup on fixed centroids
     "q_semdedup"       -> ((s, d) => Similarity.semDedup(s, d, 0.3)),
@@ -2696,6 +2698,23 @@ object SparkEntry {
          |FROM embeddings e CROSS JOIN q WHERE e.vec_id > q.vec_a
          |  AND round(${cosSql("q.emb_a", "e.embedding")}, 6) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // per-class prototype: same ⌊x·1e6+0.5⌋ micro-unit sums, one double
+    // division per (label, dim) cell, list assembled in dim order
+    "q_label_centroids" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label, CAST(i - 1 AS INTEGER) AS dim, qs[i] AS v
+        |  FROM q, LATERAL (SELECT unnest(generate_series(1, len(qs))) AS i)),
+        |m AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |       list(round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0.0
+        |            ORDER BY dim) AS centroid
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_stats" ->
       s"""WITH n AS (
          |  SELECT label,

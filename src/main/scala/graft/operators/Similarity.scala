@@ -468,6 +468,36 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q_label_centroids: per-class mean embedding — the class PROTOTYPES
+    * that seed nearest-centroid classification, SemDeDup cells, and drift
+    * baselines. Exactness follows the covariance recipe: quantize each
+    * component to micro-units (⌊x·1e6+0.5⌋, engine-exact), sum per
+    * (label, dim) in decimal(38,0) — mergeable, so the exchange carries
+    * label×dim cells after map-side combine, never vectors — and derive
+    * each mean with ONE double division rounded 6dp (+0.0 canonicalizes
+    * the zero sign). The final per-label array assembles from the
+    * label×d cell table (metadata-sized at any corpus scale).
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
+        .as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+    cells
+      .select(col("label"), col("dim"), col("n"),
+        (round(col("s").cast("double") / (col("n").cast("double") * lit(1e6)), 6)
+          + lit(0.0)).as("c"))
+      .groupBy(col("label"))
+      // n is the label's vector count (identical on every dim cell)
+      .agg(max(col("n")).as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+          .as("centroid"))
+      .orderBy("label")
+  }
+
   /** Per-label embedding statistics: count + mean L2 norm. */
   def embedStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)

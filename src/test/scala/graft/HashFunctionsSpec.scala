@@ -25,10 +25,13 @@ class HashFunctionsSpec extends SparkTestBase {
   }
 
   test("knuth62Mod == exact BigInt reference across the full id range") {
-    // max product 2^63·K62 ≈ 2.6e37 must stay inside decimal(38,0) —
-    // Long.MaxValue is the case that would overflow a narrower scheme
+    // the split fast path's worst case is all-ones halves (the cross
+    // term peaks just inside Long.MaxValue); negatives take the decimal
+    // fallback; Long.MaxValue would overflow any narrower scheme
     val ids = Seq(0L, 1L, 2L, 7L, 99999L, 4294967296L, 4294967297L,
-      1000000000000L, Long.MaxValue, Long.MaxValue - 1)
+      2147483647L, 2147483648L, 4611686018427387903L, 4611686018427387904L,
+      1000000000000L, Long.MaxValue, Long.MaxValue - 1,
+      -1L, -4294967296L, Long.MinValue + 1)
     val got = ids.toDF("id")
       .select(col("id"), HashFunctions.knuth62Mod(col("id")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

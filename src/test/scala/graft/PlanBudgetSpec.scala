@@ -280,6 +280,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // drained state parquet read + gridOf broadcast joins + output order
     // (the moment maintenance ran micro-batch-side)
     "q_streaming_covariance" -> 1,
+    // (label,dim) cell agg + per-label assembly agg + output order — the
+    // exchange carries label×dim cells after map-side combine
+    "q_label_centroids" -> 3,
     // multi-view selection serve: view agg + output order (same plan
     // shape as q_mv_bytype, just a smaller view underneath)
     "q_mv_choose" -> 2,
