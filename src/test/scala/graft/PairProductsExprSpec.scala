@@ -78,6 +78,24 @@ class PairProductsExprSpec extends SparkTestBase {
     }
   }
 
+  test("the covariance pair stage runs inside WholeStageCodegen") {
+    // the whole point of the native expression: the n·d(d+1)/2-row hot
+    // stage must be a codegen'd loop, not interpreted eval — GenerateExec
+    // supports codegen for explode-family generators, so the projection
+    // holding pair_products has to land inside a WholeStageCodegen span
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Covariance.covarianceGrid(spark, sf)
+        .queryExecution.executedPlan
+      val inCodegen = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.exists(_.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.exists(_.generator.exists(_.isInstanceOf[graft.functions.PairProducts])))
+      assert(inCodegen, s"pair_products not inside WholeStageCodegen:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rejects a non-bigint array at analysis time") {
     val e = intercept[Exception] {
       Seq(Seq(1, 2)).toDF("q").select(pairProducts(col("q"))).collect()
