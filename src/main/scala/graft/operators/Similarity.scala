@@ -664,10 +664,12 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         signWords(col("embedding"), dim).as("q_bits"))
-    val hamming = aggregate(
-      zip_with(col("bits"), col("q_bits"),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen'd xor+popcount loop — value-identical to the HOF
+    // fold (integer arithmetic; pinned in HammingDistanceExprSpec) but
+    // with no lambda dispatch or intermediate array per (query, corpus)
+    // pair, which is the whole ranking cost of this tier
+    val hamming = graft.functions.HammingDistanceExpr
+      .hammingNative(col("bits"), col("q_bits"))
     val topn = udaf(new TopKByScore(rerank))
     val cand = corpus.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))

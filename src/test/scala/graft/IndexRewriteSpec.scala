@@ -116,6 +116,30 @@ class IndexRewriteSpec extends SparkTestBase {
     graft.util.Scratch.deleteRecursively(root)
   }
 
+  test("an overwritten corpus file falls back to a full index rebuild") {
+    // OVERWRITE (not append): stored (term, doc) cells may describe
+    // vanished rows, so the refresh must NOT treat the new listing as a
+    // delta — full rebuild into the next generation, which then serves
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_rebuild_")
+    val dir = root.toString
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    raw.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    IndexRewrite.ensure(spark, dir)
+    raw.orderBy("doc_id").limit(200).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    IndexRewrite.ensureRefreshed(spark, dir)
+    assert(graft.operators.MaterializedIndex.lastDeltaFiles.get().isEmpty,
+      "an overwrite must not be treated as a delta")
+    val df = topTerms(spark, dir)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("_g1")),
+      s"not served from the rebuilt generation: $paths")
+    assert(!paths.exists(_.contains("documents.parquet")))
+    val expected = withoutRule(topTerms(spark, dir).collect().toSeq)
+    assert(df.collect().toSeq === expected)
+    graft.util.Scratch.deleteRecursively(root)
+  }
+
   test("incremental index refresh tokenizes the delta only and serves from g1") {
     val df = IndexRewrite.refreshedServe(spark, sf)
     // the refresh must have aggregated exactly the ONE appended file
