@@ -34,7 +34,14 @@ def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
-        return round(v, 9)
+        # BIT-exact, like the driver's value hash: round(v, 9) hid two
+        # real divergence classes — the r12 q_embed_covariance failure
+        # was a -0.0 vs +0.0 sign bit (round() preserves it but Python's
+        # == treats them equal), and sub-1e-9 ULP drift passes a rounded
+        # compare while failing the driver. Hex of the raw IEEE bits
+        # distinguishes both.
+        import struct
+        return struct.pack("<d", v).hex()
     if hasattr(v, "isoformat"):          # datetime/date (incl. pandas Timestamp)
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
