@@ -115,7 +115,9 @@ object Bench {
       "bloom_manifest_materialize" ->
         (() => { graft.operators.BloomSkip.ensureBloom(spark, sfDir); () }),
       "graph_edges_materialize" ->
-        (() => { graft.operators.Graph.ensureEdges(spark, sfDir); () }))
+        (() => { graft.operators.Graph.ensureEdges(spark, sfDir); () }),
+      "pq_codes_materialize" ->
+        (() => { graft.operators.Similarity.ensurePqCodes(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

@@ -590,21 +590,43 @@ object Similarity {
           x.getField("c") + 1), sub))
   }
 
-  /** PQ-compressed top-k serving: encode the corpus (pure projection, 32×
-    * smaller than the floats), broadcast the full-precision queries, rank
-    * every corpus vector by ADC distance (asc, ties to lowest vec_id) with
-    * the same O(k)-per-query partial top-k as [[cosineTopK]] — the corpus
-    * never shuffles and its floats are touched ONLY for the k winners'
-    * exact-cosine audit column (k·queries rows). At 100 TB the scan reads
-    * M-byte codes instead of 4·D-byte vectors; that bandwidth cut is the
-    * whole point of PQ.
+  private val pqBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** MATERIALIZED PQ codes — built once per JVM per corpus dir, exactly
+    * like [[MaterializedIndex.ensure]]: in production the codes ARE the
+    * index artifact (encode once offline, serve forever from the M-byte
+    * codes), so re-encoding the corpus on every query — a full float
+    * read plus the per-row subspace argmin math — was paying the build
+    * cost at serve time. Codes are a deterministic pure function of the
+    * fixed codebooks, so serving from the parquet is value-identical to
+    * inline encoding (the q_pq_topk oracle hash proves it).
+    */
+  private[graft] def ensurePqCodes(spark: SparkSession, sfDir: String): String = {
+    val path = graft.util.Scratch.dir(spark,
+      "graft_pqcodes_" + Integer.toHexString(sfDir.hashCode))
+    pqBuilt.getOrElseUpdate(path, {
+      val dim = embeddingDim(spark, sfDir)
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), pqEncode(col("embedding"), dim).as("codes"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  /** PQ-compressed top-k serving: read the MATERIALIZED codes (32×
+    * smaller than the floats — see [[ensurePqCodes]]), broadcast the
+    * full-precision queries, rank every corpus vector by ADC distance
+    * (asc, ties to lowest vec_id) with the same O(k)-per-query partial
+    * top-k as [[cosineTopK]] — the corpus never shuffles and its floats
+    * are touched ONLY for the k winners' exact-cosine audit column
+    * (k·queries rows). At 100 TB the scan reads M-byte codes instead of
+    * 4·D-byte vectors; that bandwidth cut is the whole point of PQ.
     */
   def pqTopK(spark: SparkSession, sfDir: String,
              nQueries: Int, k: Int): DataFrame = {
     val dim = embeddingDim(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
-    val corpus = emb.select(col("vec_id"),
-      pqEncode(col("embedding"), dim).as("codes"))
+    val corpus = spark.read.parquet(ensurePqCodes(spark, sfDir))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = corpus.crossJoin(broadcast(q))
