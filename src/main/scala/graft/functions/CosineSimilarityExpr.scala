@@ -8,9 +8,44 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for cosine similarity over two
-  * `array<float>` columns — the codegen'd fast path for brute-force
-  * similarity search.
+/** Shared typing for the native vector kernels: each side independently
+  * accepts `array<float>` (corpus embeddings) or `array<double>` (plane /
+  * centroid literals); anything else is rejected AT ANALYSIS instead of
+  * silently reading garbage through the wrong accessor. Floats are cast
+  * to double per element — exact (24-bit mantissas) — so mixing widths
+  * never changes a result bit.
+  */
+private[functions] trait VectorKernel { self: BinaryExpression =>
+
+  protected def isOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  protected def typeCheck(name: String): TypeCheckResult =
+    if (isOk(left.dataType) && isOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  protected def isFloat(dt: DataType): Boolean =
+    dt == ArrayType(FloatType, containsNull = false) ||
+      dt == ArrayType(FloatType, containsNull = true)
+
+  /** Element read as double, branch resolved once per side at eval. */
+  protected def readAt(x: ArrayData, float: Boolean, i: Int): Double =
+    if (float) x.getFloat(i).toDouble else x.getDouble(i)
+
+  /** Codegen accessor string — the branch resolves at CODEGEN time from
+    * the static child type, so the generated loop is branch-free.
+    */
+  protected def genRead(v: String, dt: DataType, i: String): String =
+    if (isFloat(dt)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+}
+
+/** Native Catalyst expression for cosine similarity over two vector
+  * columns — the codegen'd fast path for brute-force similarity search.
   *
   * Semantics are IDENTICAL to [[VectorFunctions.cosine]] (cast each float
   * to double, exact products, sequential left-to-right sums, NULL when a
@@ -21,39 +56,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * loop inside WholeStageCodegen with zero allocation — the (b) path of the
   * custom-operator preference order (compose > Expression > Strategy >
   * mapPartitions).
-  *
-  * Inputs are strictly `array<float>`: checkInputDataTypes rejects e.g. an
-  * `array<double>` at analysis time instead of silently reading garbage
-  * through `getFloat`.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VectorKernel {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
   // nullable even for non-null children: zero-norm input yields NULL
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult = typeCheck(prettyName)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloat(left.dataType)
+    val yf = isFloat(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = readAt(x, xf, i)
+      val yi = readAt(y, yf, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -79,8 +103,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
+         |  double $xi = ${genRead(x, left.dataType, i)};
+         |  double $yi = ${genRead(y, right.dataType, i)};
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
@@ -97,9 +121,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product with the same typing, arithmetic order, and
+  * codegen shape as [[CosineSimilarity]] — bit-identical to
+  * [[VectorFunctions.dot]] (exact per-element double products, sequential
+  * sum). Replaces the interpreted zip_with∘aggregate in per-row inner
+  * loops (LSH plane projections score NumTables×BitsPerTable dots per
+  * corpus row).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VectorKernel {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = typeCheck(prettyName)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xf = isFloat(left.dataType)
+    val yf = isFloat(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += readAt(x, xf, i) * readAt(y, yf, i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${genRead(x, left.dataType, i)} * ${genRead(y, right.dataType, i)};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSimilarityExpr {
   /** Column API for the native expression (Spark 4 classic backend). */
   def cosineNative(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the native dot product. */
+  def dotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -163,11 +163,16 @@ object Similarity {
   /** Bucket id within table `t` = sign bits of the vector against that
     * table's hyperplanes (pure map-side; one shared literal plane array).
     * Bits accumulate as acc·2+bit — a deterministic bucket numbering.
+    * The projections are the native codegen'd dot (sign of an identical
+    * sequential double sum — bit-equal to the HOF form) because this
+    * runs NumTables×BitsPerTable times per corpus row: the interpreted
+    * zip_with∘aggregate was the bucketing stage's whole cost.
     */
   private[operators] def bucketOf(v: Column, t: Int, dim: Int): Column =
     (0 until BitsPerTable).map { b =>
       val plane = element_at(planesLit(dim), t * BitsPerTable + b + 1)
-      when(dot(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(graft.functions.CosineSimilarityExpr.dotNative(v, plane) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** One row per (vector, table) with its bucket id. */
@@ -356,7 +361,10 @@ object Similarity {
     * query embeddings, as every upstream embedder produces.)
     */
   private def serveCellScores(v: Column, dim: Int): Column =
-    transform(serveCentsLit(dim), c => coalesce(cosine(v, c), lit(-2.0)))
+    // native cosine per cell (float corpus side × double centroid side —
+    // bit-equal to the HOF form): the transform lambda now does one fast
+    // eval per cell instead of three nested interpreted HOFs
+    transform(serveCentsLit(dim), c => coalesce(cosineNative(v, c), lit(-2.0)))
 
   /** Argmax over the score array, ties to the lowest cell id
     * (strictly-greater replaces — mirrored by `ORDER BY s DESC, cent_id`

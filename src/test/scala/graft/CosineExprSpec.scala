@@ -25,6 +25,33 @@ class CosineExprSpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("native DotProduct is bit-identical to the HOF dot, on float and double sides") {
+    import graft.functions.CosineSimilarityExpr.dotNative
+    val diff = pairs
+      .select(dotNative(col("q_emb"), col("embedding")).as("native"),
+        VectorFunctions.dot(col("q_emb"), col("embedding")).as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0L)
+    // double × float mixed widths — the LSH plane projection's shape
+    val mixed = Seq((Seq(0.5, -1.25, 2.0), Seq(2.0f, 4.0f, -1.0f)))
+      .toDF("w", "v")
+      .select(dotNative(col("w"), col("v")).as("d"),
+        dotNative(col("v"), col("w")).as("d2"))
+      .collect().head
+    assert(mixed.getDouble(0) === 0.5 * 2.0 + -1.25 * 4.0 + 2.0 * -1.0)
+    assert(mixed.getDouble(0) === mixed.getDouble(1))
+  }
+
+  test("native cosine accepts a double-array side (centroid literals)") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 2.0))
+    val got = Seq(Seq(3.0f, 4.0f)).toDF("v")
+      .select(transform(typedlit(cents),
+        c => cosineNative(col("v"), c)).as("s"))
+      .as[Seq[Double]].head()
+    assert(got === Seq(3.0 / 5.0, 4.0 / 5.0))
+  }
+
   test("native expression handles nulls and interpreted (non-codegen) eval") {
     val withNull = Seq(
       (Some(Seq(1.0f, 0.0f)), Some(Seq(1.0f, 0.0f))),

@@ -73,11 +73,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(bk === Seq(3.0, 7.0))
   }
 
-  test("cosine_sim rejects non-float arrays at analysis time") {
+  test("cosine_sim rejects non-float/double arrays at analysis time") {
     GraftExtensions.register(spark)
+    // array(1.0) is array<decimal> — neither accepted element width
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0), array(1.0))").collect()
     }
-    assert(e.getMessage.toLowerCase.contains("array<float>"))
+    assert(e.getMessage.toLowerCase.contains("array<float|double>"))
+    // a double-array side is now accepted (centroid-literal shape)
+    val ok = spark.sql(
+      """SELECT cosine_sim(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)) AS c""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(ok === 0.6)
   }
 }
