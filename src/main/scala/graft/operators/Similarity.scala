@@ -587,7 +587,13 @@ object Similarity {
     * subspace order (sequential — the oracle mirrors with
     * `list_sum(list(pd ORDER BY m))`).
     */
-  private def pqAdcDist(q: Column, codes: Column, dim: Int): Column = {
+  /** HOF reference form of the ADC distance — retained as the pinned twin
+    * of the native [[graft.functions.PqAdcDistance]] kernel the serve
+    * path actually runs (PqAdcExprSpec asserts bitwise equality; the
+    * two-level accumulation — inner per-subspace sum, then subspace-order
+    * outer sum — is the rounding contract both share with the oracle).
+    */
+  private[graft] def pqAdcDistHof(q: Column, codes: Column, dim: Int): Column = {
     val sub = dim / PqM
     aggregate(
       zip_with(codes, sequence(lit(0), lit(PqM - 1)),
@@ -597,6 +603,9 @@ object Similarity {
         element_at(element_at(pqLit(dim), x.getField("m") + 1),
           x.getField("c") + 1), sub))
   }
+
+  /** The codebooks literal, exposed for the native ADC kernel's spec. */
+  private[graft] def pqBooksLit(dim: Int): Column = pqLit(dim)
 
   private val pqBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -640,7 +649,10 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (-round(pqAdcDist(col("q_emb"), col("codes"), dim), 6)).as("s"))
+        // native codegen'd ADC kernel — bit-equal to the HOF twin
+        // (PqAdcExprSpec); this runs once per (query, corpus) pair
+        (-round(graft.functions.PqAdcExpr.pqAdcNative(
+          col("q_emb"), col("codes"), pqLit(dim)), 6)).as("s"))
     val topk = udaf(new TopKByScore(k))
     val winners = scored
       .groupBy(col("query_id"))
