@@ -141,15 +141,36 @@ class IndexRewriteSpec extends SparkTestBase {
   }
 
   test("incremental index refresh tokenizes the delta only and serves from g1") {
-    val df = IndexRewrite.refreshedServe(spark, sf)
+    // self-contained staging (NOT refreshedServe's memoized one): the
+    // lastDeltaFiles observability ref is global and other tests — the
+    // rebuild fallback above, any suite that already ran q_index_refresh
+    // — overwrite it, so it must be read right after OUR OWN refresh
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_incr_")
+    val dir = root.toString
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    raw.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    IndexRewrite.ensure(spark, dir)
+    raw.orderBy("doc_id").limit(300).coalesce(1)
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    IndexRewrite.ensureRefreshed(spark, dir)
     // the refresh must have aggregated exactly the ONE appended file
     assert(graft.operators.MaterializedIndex.lastDeltaFiles.get().size === 1,
       s"delta read ${graft.operators.MaterializedIndex.lastDeltaFiles.get()}")
+    val df = topTerms(spark, dir)
     val paths = scanPaths(df)
     assert(paths.exists(_.contains("_g1")), s"no refreshed index scan in $paths")
     assert(!paths.exists(_.contains("documents.parquet")),
       s"corpus scan survived the rewrite: $paths")
     // refreshed postings ≡ a from-scratch tokenize of the mutated corpus
+    val got = df.collect().toSeq
+    val expected = withoutRule(topTerms(spark, dir).collect().toSeq)
+    assert(got === expected)
+    assert(got.nonEmpty)
+    graft.util.Scratch.deleteRecursively(root)
+  }
+
+  test("the q_index_refresh lifecycle query serves the refreshed state") {
+    val df = IndexRewrite.refreshedServe(spark, sf)
     val got = df.collect().toSeq
     val expected = withoutRule(
       IndexRewrite.refreshedServe(spark, sf).collect().toSeq)
