@@ -214,6 +214,13 @@ object Covariance {
     import spark.implicits._
     val rows = covarianceGrid(spark, sfDir)
       .select("dim_i", "dim_j", "cov").collect()
+    // empty corpus → empty grid → no eigenpair to report: degrade to an
+    // EMPTY result with the declared schema (the repo-wide empty-input
+    // contract), never a driver-side crash in eigenFromGrid
+    if (rows.isEmpty)
+      return Seq.empty[(Int, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .toDF("d", "trace_micro", "max_diag_micro", "unit_norm_ok",
+          "dominance_ok", "bounded_ok", "resid_ok", "sign_ok")
     val (v, lambda, a) = eigenFromGrid(rows, iters)
     val d = v.length
     // micro-units via the repo-wide ⌊x·1e6 + 0.5⌋ rule: cov is already

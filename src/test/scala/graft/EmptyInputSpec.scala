@@ -62,7 +62,14 @@ class EmptyInputSpec extends SparkTestBase {
     "q_linear_model",     // closed-form solve of zero-row moments
     "q_linear_grouped",   // per-group moments over zero groups
     "q_linear_outliers",  // scoring under an empty (null-beta) model
-    "q_measured_join")    // measured decision on an empty dimension
+    "q_measured_join",    // measured decision on an empty dimension
+    // round-13 additions: moment grids, prototypes, eigen report and the
+    // fixed-budget kNN must all degrade to empty, not crash
+    "q_embed_covariance",
+    "q_embed_correlation",
+    "q_label_centroids",
+    "q_knn_classify",
+    "q_pca_top")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {
