@@ -387,6 +387,8 @@ object SparkEntry {
     // Pearson correlation from the same exact moments (diagonal self-join
     // rides the reused pair-cell exchange — one corpus pass)
     "q_embed_correlation" -> ((s, d) => Covariance.correlationGrid(s, d)),
+    // per-dim two-sample drift z between corpus slices, exact moments
+    "q_embed_drift"    -> ((s, d) => Covariance.embedDrift(s, d)),
     // streaming-maintained moment cells, drained state == batch grid
     "q_streaming_covariance" ->
       ((s, d) => graft.streaming.StreamingCovariance.covarianceGridAvailableNow(s, d)),
@@ -2781,6 +2783,43 @@ object SparkEntry {
         |JOIN dv a ON g.dim_i = a.dim
         |JOIN dv b ON g.dim_j = b.dim
         |ORDER BY g.dim_i, g.dim_j""".stripMargin,
+    // per-dim two-sample drift: conditional HUGEINT moments per slice in
+    // ONE pass, the z expression mirrored token-for-token (cur term
+    // first in the sqrt sum), |z|>3 on the UNROUNDED z — both engines
+    // compute identical doubles from identical exact integers
+    "q_embed_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id < 250 AS is_ref,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT is_ref, CAST(i - 1 AS INTEGER) AS dim, qs[i] AS v
+        |  FROM q, LATERAL (SELECT unnest(generate_series(1, len(qs))) AS i)),
+        |m AS (SELECT dim,
+        |        CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS n_ref,
+        |        sum(CASE WHEN is_ref THEN CAST(v AS HUGEINT) END) AS s_ref,
+        |        sum(CASE WHEN is_ref THEN CAST(v AS HUGEINT) * v END) AS s2_ref,
+        |        CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS n_cur,
+        |        sum(CASE WHEN NOT is_ref THEN CAST(v AS HUGEINT) END) AS s_cur,
+        |        sum(CASE WHEN NOT is_ref THEN CAST(v AS HUGEINT) * v END) AS s2_cur
+        |      FROM e GROUP BY dim),
+        |z0 AS (SELECT dim, n_ref, n_cur,
+        |         (CAST(s_cur AS DOUBLE) / (CAST(n_cur AS DOUBLE) * 1e6)
+        |          - CAST(s_ref AS DOUBLE) / (CAST(n_ref AS DOUBLE) * 1e6))
+        |         / sqrt(
+        |             CAST(n_cur * s2_cur - s_cur * s_cur AS DOUBLE)
+        |               / (CAST(n_cur AS DOUBLE) * CAST(n_cur AS DOUBLE) * 1e12) / n_cur
+        |           + CAST(n_ref * s2_ref - s_ref * s_ref AS DOUBLE)
+        |               / (CAST(n_ref AS DOUBLE) * CAST(n_ref AS DOUBLE) * 1e12) / n_ref)
+        |           AS zr
+        |       FROM m)
+        |SELECT dim, n_ref, n_cur,
+        |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+        |            ELSE round(zr, 6) + 0.0 END AS z,
+        |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+        |            ELSE abs(zr) > 3 END AS is_drift
+        |FROM z0 ORDER BY dim""".stripMargin,
     // eigenpair invariants: trace / max-diagonal in the grid's 6dp
     // micro-units (engine-agreed integers) + TRUE for each invariant a
     // broken eigen-solve would flip — see Covariance.pcaTopQuery

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PairProductsExpr
@@ -150,6 +150,52 @@ object Covariance {
               6) + lit(0.0))
           .as("corr"))
       .orderBy("dim_i", "dim_j")
+  }
+
+  /** q_embed_drift: per-dimension distribution drift between two corpus
+    * slices (reference = `vec_id < splitAt`, current = the rest — in
+    * production yesterday's crawl vs today's): a two-sample z statistic
+    * per dimension from EXACT integer moments. One pass, one dim-keyed
+    * exchange: conditional sums produce both sides' (n, Σq, Σq²) in the
+    * same aggregation, means and variances derive from the exact
+    * decimals, and one fixed double expression — mirrored token-for-token
+    * in the oracle — yields z = Δmean / √(σ²_ref/n_ref + σ²_cur/n_cur),
+    * rounded 6dp with the zero sign canonicalized, plus the |z| > 3
+    * flag. The embedding-space companion of the scalar-column PSI
+    * monitor ([[Events]]' distribution drift): the question is "did the
+    * embedder or the corpus shift under me", and at 100 TB the answer
+    * costs one map-side-combined scan of d cells per slice.
+    */
+  def embedDrift(spark: SparkSession, sfDir: String,
+                 splitAt: Long = 250L): DataFrame = {
+    val cells = Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") < splitAt).as("is_ref"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
+          .as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(
+        count(when(col("is_ref"), 1)).as("n_ref"),
+        sum(when(col("is_ref"), col("v")).cast(d38)).as("s_ref"),
+        sum(when(col("is_ref"), col("v") * col("v")).cast(d38)).as("s2_ref"),
+        count(when(!col("is_ref"), 1)).as("n_cur"),
+        sum(when(!col("is_ref"), col("v")).cast(d38)).as("s_cur"),
+        sum(when(!col("is_ref"), col("v") * col("v")).cast(d38)).as("s2_cur"))
+    def meanD(s: Column, n: Column): Column =
+      s.cast("double") / (n.cast("double") * lit(1e6))
+    def varD(n: Column, s: Column, s2: Column): Column =
+      (n.cast(d38) * s2 - s * s).cast("double") /
+        (n.cast("double") * n.cast("double") * lit(1e12))
+    val z = (meanD(col("s_cur"), col("n_cur")) - meanD(col("s_ref"), col("n_ref"))) /
+      sqrt(varD(col("n_cur"), col("s_cur"), col("s2_cur")) / col("n_cur") +
+        varD(col("n_ref"), col("s_ref"), col("s2_ref")) / col("n_ref"))
+    cells
+      .select(col("dim"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null))
+          .otherwise(round(z, 6) + lit(0.0)).as("z"),
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null))
+          .otherwise(abs(z) > 3).as("is_drift"))
+      .orderBy("dim")
   }
 
   /** Top principal component by power iteration. The covariance grid is

@@ -60,6 +60,41 @@ class CovarianceSpec extends SparkTestBase {
     for (i <- 0 until d) assert(got((i, i)) === Some(1.0), s"diag $i")
   }
 
+  test("embedDrift matches a driver-side two-sample z recomputation") {
+    val withIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)))
+    val d = withIds.head._2.length
+    val got = Covariance.embedDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+    assert(got.size === d)
+    for (dim <- 0 until d) {
+      val ref = withIds.filter(_._1 < 250).map(_._2(dim))
+      val cur = withIds.filter(_._1 >= 250).map(_._2(dim))
+      def stats(v: Array[Long]) = {
+        val n = v.length.toLong
+        val s = v.sum
+        val s2 = v.map(x => BigInt(x) * x).sum
+        val mean = s.toDouble / (n.toDouble * 1e6)
+        val vr = (BigInt(n) * s2 - BigInt(s) * s).toDouble /
+          (n.toDouble * n.toDouble * 1e12)
+        (n, mean, vr)
+      }
+      val (nr, mr, vr) = stats(ref)
+      val (nc, mc, vc) = stats(cur)
+      val zr = (mc - mr) / math.sqrt(vc / nc + vr / nr)
+      val expZ = BigDecimal(zr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+      val (gn_ref, gn_cur, gz, gd) = got(dim)
+      assert(gn_ref === nr && gn_cur === nc, s"dim $dim counts")
+      assert(gz === Some(expZ), s"dim $dim z")
+      assert(gd === Some(math.abs(zr) > 3), s"dim $dim flag")
+    }
+  }
+
   test("no negative zero reaches the cov column") {
     // a tiny negative raw covariance can round to -0.0; the grid
     // canonicalizes the zero sign (cov + 0.0) so cross-engine hashes of

@@ -69,7 +69,8 @@ class EmptyInputSpec extends SparkTestBase {
     "q_embed_correlation",
     "q_label_centroids",
     "q_knn_classify",
-    "q_pca_top")
+    "q_pca_top",
+    "q_embed_drift")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

@@ -43,7 +43,7 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // grid collect reruns per layout), multi-view selection, and the
     // refreshed postings serve (merged cells must be layout-proof)
     "q_knn_classify", "q_pca_top", "q_mv_choose", "q_index_refresh",
-    "q_embed_correlation", "q_label_centroids")
+    "q_embed_correlation", "q_label_centroids", "q_embed_drift")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -283,6 +283,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // (label,dim) cell agg + per-label assembly agg + output order — the
     // exchange carries label×dim cells after map-side combine
     "q_label_centroids" -> 3,
+    // ONE dim-keyed exchange (both slices' conditional moments ride it)
+    // + output order over d rows
+    "q_embed_drift" -> 2,
     // multi-view selection serve: view agg + output order (same plan
     // shape as q_mv_bytype, just a smaller view underneath)
     "q_mv_choose" -> 2,
