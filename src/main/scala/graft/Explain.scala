@@ -35,7 +35,12 @@ object Explain {
         "q_nb_train", "q_nb_predict", "q_event_transitions",
         "q_mv_hourly", "q_mv_bytype", "q_self_scrub",
         "q_copurchase_triangles", "q_embed_covariance",
-        "q_basket_rules", "q_mv_daily")
+        "q_basket_rules", "q_mv_daily",
+        // round-13: native-kernel similarity tier, moment derivatives,
+        // multi-view selection, refreshed postings serve
+        "q_embed_correlation", "q_embed_drift", "q_label_centroids",
+        "q_knn_classify", "q_pq_topk", "q_binary_topk", "q_ivf_serve",
+        "q_mv_choose", "q_index_refresh", "q_join_size_est")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
