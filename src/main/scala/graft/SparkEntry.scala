@@ -2832,7 +2832,11 @@ object SparkEntry {
         |       CAST(max(c) AS BIGINT) AS max_diag_micro,
         |       TRUE AS unit_norm_ok, TRUE AS dominance_ok,
         |       TRUE AS bounded_ok, TRUE AS resid_ok, TRUE AS sign_ok
-        |FROM dg""".stripMargin,
+        |FROM dg
+        |-- zero-row corpus: the engine degrades to an EMPTY report (no
+        |-- eigenpair exists), so the ungrouped aggregate must not emit
+        |-- its all-NULL row either
+        |HAVING count(*) > 0""".stripMargin,
     // int8 quantization: float→double casts, greatest-fold max|x|, explicit
     // ⌊x+0.5⌋ rounding (engine round() tie-breaks differ), sequential
     // error fold — every step engine-exact

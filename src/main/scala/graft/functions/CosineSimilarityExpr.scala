@@ -133,15 +133,22 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // nullable beyond null children: LENGTH-MISMATCHED inputs yield NULL,
+  // exactly like the HOF form (zip_with null-pads the short side, the
+  // null product poisons the sequential sum) — a common-prefix dot would
+  // silently assign a malformed row a REAL sign/bucket the oracle's
+  // per-row arithmetic never computes
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = typeCheck(prettyName)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val xf = isFloat(left.dataType)
     val yf = isFloat(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -157,12 +164,16 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${genRead(x, left.dataType, i)} * ${genRead(y, right.dataType, i)};
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${genRead(x, left.dataType, i)} * ${genRead(y, right.dataType, i)};
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -40,6 +40,11 @@ case class HammingDistance(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // nullable beyond null children: a NULL ELEMENT yields NULL — the HOF
+  // fold's bit_count(null) poisons its sum the same way, and an
+  // unguarded getLong on a null slot reads stale UnsafeArrayData bits
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -47,6 +52,7 @@ case class HammingDistance(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
       i += 1
     }
@@ -59,13 +65,20 @@ case class HammingDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |long $acc = 0L;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  $acc += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
          |}
-         |${ev.value} = $acc;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -26,8 +26,14 @@ object HashFunctions {
     */
   val Knuth62 = 2850178704830799361L
 
-  /** (id · Knuth62) mod 2^62, exact for any 64-bit id, uniform on the
-    * 62-bit domain.
+  /** (id · Knuth62) mod 2^62 — exact for any 64-bit id, and uniform on
+    * [0, 2^62) for NONNEGATIVE ids. Negative ids keep the decimal `%`'s
+    * sign-of-dividend semantics (exact, spec-pinned), which means their
+    * hashes are NEGATIVE: arithmetic parity holds, but a KMV minimum
+    * sketch over negative keys would be dominated by them and its
+    * Û = (k−1)·2^62/max(K) estimate biased — route such keys through a
+    * nonnegative pre-map first (the join-size estimator's TPC-H keys are
+    * nonnegative by schema).
     *
     * Fast path (nonnegative ids): the 62×62-bit product is SPLIT so no
     * intermediate exceeds Long range under Spark 4's ANSI overflow

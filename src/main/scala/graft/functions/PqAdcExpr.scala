@@ -50,17 +50,31 @@ case class PqAdcDistance(first: Expression, second: Expression,
         s"${second.dataType.simpleString}, ${third.dataType.simpleString}")
   }
 
+  // nullable beyond null children: malformed inputs (null code slot,
+  // code id outside the codebook, query shorter than the subspaces
+  // cover) yield NULL — exactly what the HOF twin produced through
+  // null-padded zip_with / out-of-range element_at, and the only safe
+  // answer: an unguarded read would return silent garbage under
+  // UnsafeArrayData (runtime bounds asserts are disabled)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(q: Any, codes: Any, books: Any): Any = {
     val qa = q.asInstanceOf[ArrayData]
     val ca = codes.asInstanceOf[ArrayData]
     val ba = books.asInstanceOf[ArrayData]
-    val m = ca.numElements()
+    val m = math.min(ca.numElements(), ba.numElements())
+    val qn = qa.numElements()
     var acc = 0.0
     var s = 0
     var qOff = 0
     while (s < m) {
-      val code = ba.getArray(s).getArray(ca.getInt(s))
+      if (ca.isNullAt(s)) return null
+      val c = ca.getInt(s)
+      val book = ba.getArray(s)
+      if (c < 0 || c >= book.numElements()) return null
+      val code = book.getArray(c)
       val sub = code.numElements()
+      if (qOff + sub > qn) return null
       var inner = 0.0
       var i = 0
       while (i < sub) {
@@ -78,22 +92,32 @@ case class PqAdcDistance(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (q, codes, books) => {
       val m = ctx.freshName("m")
+      val qn = ctx.freshName("qn")
       val acc = ctx.freshName("acc")
       val s = ctx.freshName("s")
       val qOff = ctx.freshName("qOff")
+      val c = ctx.freshName("c")
+      val book = ctx.freshName("book")
       val code = ctx.freshName("code")
       val sub = ctx.freshName("sub")
       val inner = ctx.freshName("inner")
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $m = $codes.numElements();
+         |int $m = java.lang.Math.min($codes.numElements(), $books.numElements());
+         |int $qn = $q.numElements();
          |double $acc = 0.0;
          |int $qOff = 0;
-         |for (int $s = 0; $s < $m; $s++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $code =
-         |    $books.getArray($s).getArray($codes.getInt($s));
+         |boolean $bad = false;
+         |for (int $s = 0; $s < $m && !$bad; $s++) {
+         |  if ($codes.isNullAt($s)) { $bad = true; break; }
+         |  int $c = $codes.getInt($s);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $book = $books.getArray($s);
+         |  if ($c < 0 || $c >= $book.numElements()) { $bad = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $code = $book.getArray($c);
          |  int $sub = $code.numElements();
+         |  if ($qOff + $sub > $qn) { $bad = true; break; }
          |  double $inner = 0.0;
          |  for (int $i = 0; $i < $sub; $i++) {
          |    double $d = (double) $q.getFloat($qOff + $i) - $code.getDouble($i);
@@ -102,7 +126,11 @@ case class PqAdcDistance(first: Expression, second: Expression,
          |  $acc += $inner;
          |  $qOff += $sub;
          |}
-         |${ev.value} = $acc;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -24,13 +24,15 @@ import graft.sources.Tables
   * lambda: Spark does not codegen `transform`/`flatten` HOFs, and the
   * earlier HOF form spent its whole 3.8 s warm budget on interpreted
   * struct construction). The only exchange carries the d(d+1)/2-cell
-  * partial sums keyed by the single int position (map-side combined);
-  * the corpus never shuffles, and position→(dim_i, dim_j) is recovered
-  * AFTER aggregation by a broadcast join against a d(d+1)/2-row mapping
-  * built from one `sequence` per dimension — exact integer arithmetic,
-  * metadata-sized for any real embedding width. Work is the inherent
-  * O(n·d²) of covariance; the cell sums accumulate in decimal(38,0) so
-  * a 1e9-row corpus cannot overflow them.
+  * partial sums keyed by (row width, position) — map-side combined; the
+  * corpus never shuffles — and (d, idx)→(dim_i, dim_j) is recovered
+  * AFTER aggregation by an exact closed-form inversion computed per
+  * cell, then cells re-merge on (dim_i, dim_j): per-row widths make a
+  * mixed-width corpus attribute every product to the right cell (the
+  * decode and re-merge are cell-table-sized for any real embedding
+  * width). Work is the inherent O(n·d²) of covariance; the cell sums
+  * accumulate in decimal(38,0) so a 1e9-row corpus cannot overflow
+  * them.
   */
 object Covariance {
 
@@ -42,16 +44,22 @@ object Covariance {
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))")
       .as("q"))
 
-  /** Pair-product partial cells: the hot stream carries ONE long per
-    * pair — the product, at the dense row-major upper-triangle position
-    * that IS the pair identity — NOT (qi, qj) values or an (idx, qq)
-    * struct. Mergeable across any regrouping (counts and decimal sums),
-    * which is what the streaming twin's per-batch merge relies on.
+  /** Pair-product partial cells keyed by (row width d, dense position):
+    * the hot stream carries ONE long per pair — the product, at the
+    * row-major upper-triangle position that IS the pair identity within
+    * ITS OWN row's width — NOT (qi, qj) values or an (idx, qq) struct.
+    * Carrying d in the key keeps mixed-width rows CORRECT (a 32-wide
+    * row's position 4 means a different (i, j) than a 64-wide row's;
+    * decoding happens per (d, idx) in [[gridOf]] and cells re-merge on
+    * (i, j) afterwards — all cell-table-sized). Mergeable across any
+    * regrouping (counts and decimal sums), which is what the streaming
+    * twin's per-batch merge relies on.
     */
   private[graft] def pairCells(q: DataFrame): DataFrame =
-    q.select(posexplode(PairProductsExpr.pairProducts(col("q")))
-        .as(Seq("idx", "qq")))
-      .groupBy(col("idx"))
+    q.select(size(col("q")).as("d"),
+        posexplode(PairProductsExpr.pairProducts(col("q")))
+          .as(Seq("idx", "qq")))
+      .groupBy(col("d"), col("idx"))
       .agg(count(lit(1)).as("n"), sum(col("qq").cast(d38)).as("sij"))
 
   /** Per-dim first-moment cells — a d-cell side aggregation joined back
@@ -61,27 +69,46 @@ object Covariance {
     q.select(posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy(col("dim")).agg(sum(col("qv").cast(d38)).as("s"))
 
-  /** idx → (dim_i, dim_j): k = i·(2d−i+1)/2 + (j−i), inverted by
-    * enumerating the same row-major triangle — d(d+1)/2 rows of exact
-    * integer arithmetic, broadcast onto the aggregated cell table.
+  /** (d, idx) → (dim_i, dim_j): k = i·(2d−i+1)/2 + (j−i) inverts in
+    * closed form as i = ⌊(2d+1 − √((2d+1)² − 8k)) / 2⌋, j = i + k −
+    * offset(i). The double √ is EXACT here: at a row boundary the
+    * radicand is the perfect square (2d+1−2i)² (algebraic identity), a
+    * correctly-rounded sqrt of a perfect square ≤ 2^53 is exact, and
+    * between boundaries monotonicity pins the floor — so the decode is
+    * deterministic integer-correct for any d ≤ 2^25. Computed per CELL
+    * (cell-table-sized), which is what makes per-row widths affordable:
+    * no global mapping table, no assumption that every row shares one d.
     */
-  private def mappingDf(spark: SparkSession, d: Int): DataFrame =
-    spark.range(0, d.toLong)
-      .select(col("id").cast("int").as("dim_i"),
-        explode(sequence(col("id").cast("int"), lit(d - 1))).as("dim_j"))
-      .select(
-        expr(s"CAST(CAST(dim_i AS BIGINT) * (${2L * d} - dim_i + 1) DIV 2" +
-          " + (dim_j - dim_i) AS INT)").as("idx"),
-        col("dim_i"), col("dim_j"))
+  private def decodePairs(cells: DataFrame): DataFrame = {
+    val twoD1 = (lit(2L) * col("d") + 1).cast("double")
+    val i = floor((twoD1 - sqrt(twoD1 * twoD1 - lit(8.0) * col("idx")))
+      / 2).cast("int")
+    cells
+      .withColumn("dim_i", i)
+      // integer DIV (the dividend i·(2d−i+1) is provably even: i and
+      // 2d+1−i have opposite parity), never Column `/` double division
+      .withColumn("dim_j", expr(
+        "CAST(idx - CAST(dim_i AS BIGINT) * (2 * d - dim_i + 1) DIV 2" +
+          " + dim_i AS INT)"))
+  }
+
+  /** Decoded cells re-merged on (dim_i, dim_j): a mixed-width corpus
+    * attributes every pair product to the right cell exactly like the
+    * per-row-width HOF form did (both aggregations after the corpus pass
+    * are cell-table-sized).
+    */
+  private def mergedCells(pairSums: DataFrame): DataFrame =
+    decodePairs(pairSums)
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(sum(col("n")).as("n"), sum(col("sij")).cast(d38).as("sij"))
 
   /** Assemble the output grid from (possibly streaming-maintained) moment
     * cells — shared verbatim by the batch query and the drained-state
     * serve, so "streamed cells ≡ batch cells" implies identical grids.
     */
   private[graft] def gridOf(spark: SparkSession, pairSums: DataFrame,
-                            dimSums: DataFrame, d: Int): DataFrame =
-    pairSums
-      .join(broadcast(mappingDf(spark, d)), "idx")
+                            dimSums: DataFrame): DataFrame =
+    mergedCells(pairSums)
       .join(broadcast(dimSums.select(col("dim").as("dim_i"), col("s").as("si"))), "dim_i")
       .join(broadcast(dimSums.select(col("dim").as("dim_j"), col("s").as("sj"))), "dim_j")
       .select(col("dim_i"), col("dim_j"), col("n"),
@@ -105,8 +132,7 @@ object Covariance {
     */
   def covarianceGrid(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(Tables.embeddings(spark, sfDir))
-    gridOf(spark, pairCells(q), dimCells(q),
-      Similarity.embeddingDim(spark, sfDir))
+    gridOf(spark, pairCells(q), dimCells(q))
   }
 
   /** q_embed_correlation: the Pearson correlation grid from the SAME
@@ -126,8 +152,7 @@ object Covariance {
     */
   def correlationGrid(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(Tables.embeddings(spark, sfDir))
-    val d = Similarity.embeddingDim(spark, sfDir)
-    val cells = pairCells(q).join(broadcast(mappingDf(spark, d)), "idx")
+    val cells = mergedCells(pairCells(q))
     val si = dimCells(q)
     val withS = cells
       .join(broadcast(si.select(col("dim").as("dim_i"), col("s").as("si"))), "dim_i")

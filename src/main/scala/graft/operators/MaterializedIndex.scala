@@ -106,34 +106,27 @@ object MaterializedIndex {
         throw new IllegalStateException(s"index at $base has no signature")), 0))
     val curSig = corpusSig(spark, sfDir)
     if (curSig == cur.sig) return cur.dataPath // already current
-    val prevEntries = cur.sig.split('\n').toSet
-    val curEntries = curSig.split('\n').toSeq
-    val removed = prevEntries -- curEntries.toSet
     val nextPath = s"${base}_g${cur.gen + 1}"
-    if (removed.nonEmpty) { // overwrite/compaction: full rebuild
-      lastDeltaFiles.set(Nil)
-      Indexer.writeIndex(spark, sfDir, nextPath)
-    } else {
-      // entry format "path:len:mtime" — path itself may contain ':'
-      // (file: URIs), so strip the LAST two :-fields
-      val files = curEntries.filterNot(prevEntries).map { e =>
-        e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1))
-      }
-      lastDeltaFiles.set(files)
-      val delta = spark.read.parquet(files: _*)
-        .select(col("doc_id"), explodedTokens(col("text")).as("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("first_letter", firstLetter(col("term")))
-        .select("first_letter", "term", "doc_id", "tf")
-      spark.read.parquet(cur.dataPath)
-        .select("first_letter", "term", "doc_id", "tf")
-        .unionByName(delta)
-        .groupBy("first_letter", "term", "doc_id")
-        .agg(sum("tf").as("tf"))
-        .repartition(Indexer.letterShardKeys: _*)
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite").partitionBy("first_letter").parquet(nextPath)
+    graft.util.ListingDiff.deltaFiles(cur.sig, curSig) match {
+      case None => // overwrite/compaction: full rebuild
+        lastDeltaFiles.set(Nil)
+        Indexer.writeIndex(spark, sfDir, nextPath)
+      case Some(files) =>
+        lastDeltaFiles.set(files)
+        val delta = spark.read.parquet(files: _*)
+          .select(col("doc_id"), explodedTokens(col("text")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("first_letter", firstLetter(col("term")))
+          .select("first_letter", "term", "doc_id", "tf")
+        spark.read.parquet(cur.dataPath)
+          .select("first_letter", "term", "doc_id", "tf")
+          .unionByName(delta)
+          .groupBy("first_letter", "term", "doc_id")
+          .agg(sum("tf").as("tf"))
+          .repartition(Indexer.letterShardKeys: _*)
+          .sortWithinPartitions("term", "doc_id")
+          .write.mode("overwrite").partitionBy("first_letter").parquet(nextPath)
     }
     writeBaseSig(nextPath, curSig)
     gens.put(base, IdxGen(nextPath, curSig, cur.gen + 1))

@@ -98,21 +98,13 @@ object RollupView {
     val df = viewDf(spark, sfDir)
     val curSig = baseSigOf(spark, df)
     if (curSig == prev.sig) return prev.dataPath // already current
-    val prevEntries = prev.sig.split('\n').toSet
-    val curEntries = curSig.split('\n').toSeq
-    val removed = prevEntries -- curEntries.toSet
-    val next =
-      if (removed.nonEmpty) { // overwrite/compaction: full rebuild
+    val next = graft.util.ListingDiff.deltaFiles(prev.sig, curSig) match {
+      case None => // overwrite/compaction: full rebuild
         lastDeltaFiles.set(Nil)
         val p = s"$root/g${prev.gen + 1}"
         df.write.mode("overwrite").parquet(p)
         Gen(p, curSig, prev.gen + 1)
-      } else {
-        // entry format "path:len:mtime" — path itself may contain ':'
-        // (file: URIs), so strip the LAST two :-fields
-        val files = curEntries.filterNot(prevEntries).map { e =>
-          e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1))
-        }
+      case Some(files) =>
         lastDeltaFiles.set(files)
         val delta = cellsOf(Tables.normalizeTs(
           spark.read.parquet(files: _*)))

@@ -607,27 +607,41 @@ object Similarity {
   /** The codebooks literal, exposed for the native ADC kernel's spec. */
   private[graft] def pqBooksLit(dim: Int): Column = pqLit(dim)
 
+  // path → the corpus file-listing signature the codes were encoded from
   private val pqBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** MATERIALIZED PQ codes — built once per JVM per corpus dir, exactly
-    * like [[MaterializedIndex.ensure]]: in production the codes ARE the
-    * index artifact (encode once offline, serve forever from the M-byte
+  /** MATERIALIZED PQ codes — built per corpus STATE, exactly like
+    * [[MaterializedIndex.ensure]]: in production the codes ARE the index
+    * artifact (encode once offline, serve forever from the M-byte
     * codes), so re-encoding the corpus on every query — a full float
     * read plus the per-row subspace argmin math — was paying the build
-    * cost at serve time. Codes are a deterministic pure function of the
-    * fixed codebooks, so serving from the parquet is value-identical to
-    * inline encoding (the q_pq_topk oracle hash proves it).
+    * cost at serve time. A memoized-forever artifact would silently
+    * serve STALE codes after the corpus mutates, so each ensure compares
+    * the corpus file-listing signature against the one the codes were
+    * built from (the `_base_sig` discipline of the postings index; the
+    * listing is in-memory FileIndex metadata) and re-encodes on any
+    * mismatch. Codes are a deterministic pure function of the fixed
+    * codebooks, so serving from the parquet is value-identical to inline
+    * encoding (the q_pq_topk oracle hash proves it).
     */
   private[graft] def ensurePqCodes(spark: SparkSession, sfDir: String): String = {
     val path = graft.util.Scratch.dir(spark,
       "graft_pqcodes_" + Integer.toHexString(sfDir.hashCode))
-    pqBuilt.getOrElseUpdate(path, {
+    val emb = Tables.embeddings(spark, sfDir)
+    val curSig = emb.queryExecution.analyzed
+      .collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.AggRewriteRule.fileSig(lr)
+      }.flatten.getOrElse(
+        throw new IllegalStateException("embeddings base has no file listing"))
+    if (!pqBuilt.get(path).contains(curSig)) {
       val dim = embeddingDim(spark, sfDir)
-      Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), pqEncode(col("embedding"), dim).as("codes"))
+      emb.select(col("vec_id"), pqEncode(col("embedding"), dim).as("codes"))
         .write.mode("overwrite").parquet(path)
-      path
-    })
+      pqBuilt.put(path, curSig)
+      ()
+    }
+    path
   }
 
   /** PQ-compressed top-k serving: read the MATERIALIZED codes (32×

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Covariance, Similarity}
+import graft.operators.Covariance
 import graft.sources.Tables
 
 /** STREAMING COVARIANCE MAINTENANCE — the exact integer-moment grid of
@@ -57,7 +57,9 @@ object StreamingCovariance {
         else (
           ss.read.parquet(stateRoot.resolve(s"v$gen/pair").toString)
             .unionByName(pairDelta)
-            .groupBy("idx")
+            // state cells are keyed (row width, position) like the batch
+            // pairCells, so mixed-width corpora merge correctly
+            .groupBy("d", "idx")
             .agg(sum("n").as("n"),
               sum("sij").cast("decimal(38,0)").as("sij")),
           ss.read.parquet(stateRoot.resolve(s"v$gen/dim").toString)
@@ -89,10 +91,9 @@ object StreamingCovariance {
     // the count n must come back as BIGINT after the sum-merge roundtrip
     val pairState = spark.read
       .parquet(stateRoot.resolve(s"v$gen/pair").toString)
-      .select(col("idx"), col("n").cast("long").as("n"), col("sij"))
+      .select(col("d"), col("idx"), col("n").cast("long").as("n"), col("sij"))
     val dimState = spark.read
       .parquet(stateRoot.resolve(s"v$gen/dim").toString)
-    Covariance.gridOf(spark, pairState, dimState,
-      Similarity.embeddingDim(spark, sfDir))
+    Covariance.gridOf(spark, pairState, dimState)
   }
 }

@@ -64,6 +64,27 @@ class AggRewriteSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("a per-type query ROLLS UP the hourly view when it is the only one registered") {
+    // key-elimination coverage that multi-view selection must not mask:
+    // on a base where ONLY the hourly family exists, per-type totals must
+    // come from rolling the (hour, type) cells up — a private staged base
+    // guarantees no per-type family is registered for it in this JVM
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_rollup_")
+    val dir = root.toString
+    spark.read.parquet(s"$sf/events.parquet").coalesce(1)
+      .write.parquet(s"$dir/events.parquet")
+    val hourlyPath = RollupView.ensure(spark, dir)
+    val df = RollupView.byTypeServe(spark, dir)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains(hourlyPath)),
+      s"hourly view not rolled up: $paths")
+    assert(!paths.exists(_.contains("events.parquet")))
+    val expected = withoutRule(RollupView.byTypeServe(spark, dir).collect().toSeq)
+    assert(df.collect().toSeq === expected)
+    assert(expected.nonEmpty)
+    graft.util.Scratch.deleteRecursively(root)
+  }
+
   test("an hour-keyed query still serves from the hourly view with both registered") {
     RollupView.ensureByType(spark, sf) // both families live
     val df = RollupView.hourlyServe(spark, sf)

@@ -41,6 +41,15 @@ class CosineExprSpec extends SparkTestBase {
       .collect().head
     assert(mixed.getDouble(0) === 0.5 * 2.0 + -1.25 * 4.0 + 2.0 * -1.0)
     assert(mixed.getDouble(0) === mixed.getDouble(1))
+    // length mismatch → NULL, like the HOF form's zip_with null-padding:
+    // a common-prefix dot would hand a malformed row a REAL sign/bucket
+    val mismatch = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(dotNative(col("a"), col("b")).as("d"),
+        VectorFunctions.dot(col("a"), col("b")).as("hof"))
+      .collect().head
+    assert(mismatch.isNullAt(0))
+    assert(mismatch.isNullAt(1), "HOF twin should also be null (parity)")
   }
 
   test("native cosine accepts a double-array side (centroid literals)") {

@@ -60,6 +60,49 @@ class CovarianceSpec extends SparkTestBase {
     for (i <- 0 until d) assert(got((i, i)) === Some(1.0), s"diag $i")
   }
 
+  test("a MIXED-WIDTH corpus attributes every pair to the right cell") {
+    // a 32-dim row's dense position 4 means pair (1,2); a 64-dim row's
+    // means (0,4) — the (d, idx) cell key + per-width decode must merge
+    // them correctly, exactly like a per-row HOF expansion would
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed_dim_").toString
+    try {
+      val rnd = new scala.util.Random(5)
+      val rows = (0L until 40L).map { i =>
+        val d = if (i % 3 == 0) 3 else 5
+        (i, Seq.fill(d)(rnd.nextFloat() * 2 - 1), "x")
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val got = Covariance.covarianceGrid(spark, dir).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      // driver-side per-row expansion (the old HOF semantics)
+      val qs = rows.map(_._2.toArray.map(x =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong))
+      val exp = scala.collection.mutable.Map
+        .empty[(Int, Int), (Long, Long, Long, Long)]
+      qs.foreach { v =>
+        for (i <- v.indices; j <- i until v.length) {
+          val (n, si, sj, sij) = exp.getOrElse((i, j), (0L, 0L, 0L, 0L))
+          exp((i, j)) = (n + 1, si, sj, sij + v(i) * v(j))
+        }
+      }
+      // first moments are per-dim over rows that HAVE the dim
+      val dimS = qs.flatMap(_.zipWithIndex).groupBy(_._2)
+        .view.mapValues(_.map(_._1).sum).toMap
+      val expFull = exp.map { case ((i, j), (n, _, _, sij)) =>
+        (i, j) -> ((n, dimS(i), dimS(j), sij))
+      }
+      assert(got.keySet === expFull.keySet)
+      expFull.foreach { case (k, v) =>
+        assert(got(k) === v, s"cell $k")
+      }
+    } finally graft.util.Scratch.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("embedDrift matches a driver-side two-sample z recomputation") {
     val withIds = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()

@@ -51,6 +51,13 @@ class HammingDistanceExprSpec extends SparkTestBase {
       .select(hammingNative(col("a"), col("b")).as("h"))
       .collect().head
     assert(got.isNullAt(0))
+    // a null ELEMENT also yields NULL — the HOF fold's bit_count(null)
+    // poisons its sum the same way; an unguarded read would be garbage
+    val elemNull = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L))))
+      .toDF("a", "b")
+      .select(hammingNative(col("a"), col("b")).as("h"))
+      .collect().head
+    assert(elemNull.isNullAt(0))
     val e = intercept[Exception] {
       Seq((Seq(1), Seq(2))).toDF("a", "b")
         .select(hammingNative(col("a"), col("b"))).collect()

@@ -266,20 +266,20 @@ class PlanBudgetSpec extends SparkTestBase {
     // top-50 via TakeOrdered
     "q_copurchase_triangles" -> 4,
     // pair products are the row-local native pair_products expression;
-    // the only DATA-sized exchange is the cell partial-sum agg — the
-    // d-cell first-moment agg and the output range sort are
-    // metadata-sized, the idx→(i,j) mapping and moments broadcast
-    "q_embed_covariance" -> 3,
+    // the only DATA-sized exchange is the (d, idx) cell partial-sum agg —
+    // the per-width decode's (dim_i, dim_j) re-merge, the d-cell
+    // first-moment agg and the output range sort are all cell-table-sized
+    "q_embed_covariance" -> 4,
     // the grid collect ran at build time; the returned one-row invariant
     // relation is a local table — nothing exchanges
     "q_pca_top" -> 0,
-    // the diagonal legs re-reference the pair-cell/dim-cell aggs
-    // (ReuseExchange collapses them to one corpus pass): pair agg + dim
-    // agg + output range sort
-    "q_embed_correlation" -> 3,
-    // drained state parquet read + gridOf broadcast joins + output order
-    // (the moment maintenance ran micro-batch-side)
-    "q_streaming_covariance" -> 1,
+    // the diagonal legs re-reference the pair-cell/merged-cell/dim-cell
+    // aggs (ReuseExchange collapses them to one corpus pass): pair agg +
+    // (i,j) re-merge agg + dim agg + output range sort
+    "q_embed_correlation" -> 4,
+    // drained state parquet read + the cell-table (i,j) re-merge agg +
+    // output order (the moment maintenance ran micro-batch-side)
+    "q_streaming_covariance" -> 2,
     // (label,dim) cell agg + per-label assembly agg + output order — the
     // exchange carries label×dim cells after map-side combine
     "q_label_centroids" -> 3,

@@ -50,6 +50,25 @@ class PqAdcExprSpec extends SparkTestBase {
     }
   }
 
+  test("malformed inputs yield NULL, never garbage") {
+    val books = typedlit(Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))))
+    // query shorter than the subspaces cover
+    val short = Seq((Seq(1.0f), Seq(0)))
+      .toDF("q", "codes").select(pqAdcNative(col("q"), col("codes"), books))
+      .collect().head
+    assert(short.isNullAt(0))
+    // code id outside the codebook
+    val oob = Seq((Seq(1.0f, 2.0f), Seq(7)))
+      .toDF("q", "codes").select(pqAdcNative(col("q"), col("codes"), books))
+      .collect().head
+    assert(oob.isNullAt(0))
+    // null code slot
+    val nullCode = Seq((Seq(1.0f, 2.0f), Seq(None: Option[Int])))
+      .toDF("q", "codes").select(pqAdcNative(col("q"), col("codes"), books))
+      .collect().head
+    assert(nullCode.isNullAt(0))
+  }
+
   test("mistyped inputs fail at analysis") {
     val e = intercept[Exception] {
       Seq((Seq(1.0f), Seq(0L))).toDF("q", "codes")
