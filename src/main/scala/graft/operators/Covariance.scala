@@ -144,28 +144,33 @@ object Covariance {
     * expression shape the oracle mirrors token-for-token, so r is
     * bit-identical cross-engine. A zero-variance dimension yields NULL
     * (guarded identically on both sides, instead of an engine-specific
-    * ±Inf/NaN). Plan shape: the diagonal legs re-reference the same
-    * pair-cell aggregation — the static plan duplicates the subtree and
-    * runtime ReuseExchange collapses it to ONE corpus pass (the
-    * q_vocab_overlap_native posture); everything after is cell-table
-    * broadcast joins.
+    * ±Inf/NaN). Plan shape: the per-dim variance numerators come from
+    * the grid's own diagonal cells via two WINDOWS over the cell table
+    * (partition by dim_i, then dim_j — every partition contains its
+    * diagonal cell), NOT diagonal self-joins: a join leg re-derives the
+    * whole corpus subtree, and per-leg filter pushdown makes the
+    * duplicates canonically unequal so not even runtime exchange reuse
+    * collapses them (measured: the join form re-scanned the corpus per
+    * leg). With the windows the corpus is read exactly twice (pair
+    * products + first moments, the covariance grid's own floor) and
+    * every post-corpus exchange is cell-table-sized.
     */
   def correlationGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = quantized(Tables.embeddings(spark, sfDir))
     val cells = mergedCells(pairCells(q))
     val si = dimCells(q)
     val withS = cells
       .join(broadcast(si.select(col("dim").as("dim_i"), col("s").as("si"))), "dim_i")
       .join(broadcast(si.select(col("dim").as("dim_j"), col("s").as("sj"))), "dim_j")
-    // exact per-dim variance numerators from the DIAGONAL cells
-    val dvar = cells
-      .where(col("dim_i") === col("dim_j"))
-      .join(broadcast(si.select(col("dim").as("dim_i"), col("s").as("sd"))), "dim_i")
-      .select(col("dim_i").as("dim"),
-        (col("n").cast(d38) * col("sij") - col("sd") * col("sd")).as("dvar"))
+    // the diagonal cell's exact variance numerator, surfaced to every
+    // cell of its row/column by a cell-table window (si == sj on the
+    // diagonal, so one expression serves both)
+    val dvarDiag = when(col("dim_i") === col("dim_j"),
+      col("n").cast(d38) * col("sij") - col("si") * col("si"))
     withS
-      .join(broadcast(dvar.select(col("dim").as("dim_i"), col("dvar").as("var_i"))), "dim_i")
-      .join(broadcast(dvar.select(col("dim").as("dim_j"), col("dvar").as("var_j"))), "dim_j")
+      .withColumn("var_i", max(dvarDiag).over(Window.partitionBy("dim_i")))
+      .withColumn("var_j", max(dvarDiag).over(Window.partitionBy("dim_j")))
       .select(col("dim_i"), col("dim_j"),
         when(col("var_i") === 0 || col("var_j") === 0, lit(null))
           .otherwise(

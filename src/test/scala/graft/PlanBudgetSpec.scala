@@ -273,10 +273,14 @@ class PlanBudgetSpec extends SparkTestBase {
     // the grid collect ran at build time; the returned one-row invariant
     // relation is a local table — nothing exchanges
     "q_pca_top" -> 0,
-    // the diagonal legs re-reference the pair-cell/merged-cell/dim-cell
-    // aggs (ReuseExchange collapses them to one corpus pass): pair agg +
-    // (i,j) re-merge agg + dim agg + output range sort
-    "q_embed_correlation" -> 4,
+    // the corpus is read exactly TWICE (pair products + first moments —
+    // the covariance grid's own floor); everything else is cell-table-
+    // sized: (d,idx) pair agg + (i,j) re-merge agg + dim agg + the two
+    // diagonal-variance windows (partition by dim_i / dim_j) + output
+    // range sort. Diagonal self-JOINS would be 4 exchanges but re-scan
+    // the corpus per leg (pushdown breaks subtree identity — measured),
+    // which is the wrong trade at 100 TB
+    "q_embed_correlation" -> 6,
     // drained state parquet read + the cell-table (i,j) re-merge agg +
     // output order (the moment maintenance ran micro-batch-side)
     "q_streaming_covariance" -> 2,
