@@ -372,6 +372,9 @@ object SparkEntry {
     // static oracle SQL; the serve path with shipped centroids is the
     // declared, oracle-checked IVF query
     "q_ivf_serve"      -> ((s, d) => Similarity.ivfServeTopK(s, d, 10, 10)),
+    // the composed production shape: IVF probes bound candidates, ADC
+    // over materialized codes ranks them, exact cosine reranks the top 30
+    "q_ivfpq_topk"     -> ((s, d) => Similarity.ivfPqTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     // per-class mean embedding (prototypes) from exact integer moments
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -394,6 +397,9 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingCovariance.covarianceGridAvailableNow(s, d)),
     // k-NN label vote over the exact-cosine top-k (map-side partial top-k)
     "q_knn_classify"   -> ((s, d) => Similarity.knnClassify(s, d)),
+    // nearest-prototype argmax per vector (broadcast L×d cells), output =
+    // confusion matrix — the consumer the label centroids exist for
+    "q_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_unshipped" -> ((s, d) => Relational.q3TopUnshipped(s, d)),
@@ -2493,6 +2499,87 @@ object SparkEntry {
          |      FROM scored)
          |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    // q_ivfpq_topk: the composed IVF-PQ pipeline — the q_ivf_serve CTEs
+    // (fixed centroids → assign/probes) bound the candidates, the
+    // q_pq_topk CTEs (fixed codebooks → codes → ADC) rank them (asc, ties
+    // lowest vec_id, 6dp-rounded before the rerank-30 cut), exact cosine
+    // reranks the winners — every stage deterministic double arithmetic
+    "q_ivfpq_topk" ->
+      s"""WITH cents(cent_id, c) AS (VALUES
+         |  $ivfCentroidValues),
+         |cb(m, c, w) AS (VALUES
+         |  $pqCodebookValues),
+         |sim AS (
+         |  SELECT vec_id, cent_id,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
+         |  FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           ${cosSql("e.embedding", "c.c")} AS s
+         |    FROM embeddings e CROSS JOIN cents c)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim WHERE vec_id < 10) WHERE rn <= 3),
+         |cand0 AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM assign a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |dists AS (
+         |  SELECT e.vec_id, cb.m, cb.c,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i])
+         |              * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i]))) AS d
+         |  FROM embeddings e CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |sub AS (
+         |  SELECT k.vec_id, k.m, cb.w
+         |  FROM codes k JOIN cb ON cb.m = k.m AND cb.c = k.c),
+         |pairsums AS (
+         |  SELECT c0.query_id, s.vec_id, s.m,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i])
+         |              * (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i]))) AS pd
+         |  FROM cand0 c0
+         |  JOIN sub s        ON s.vec_id = c0.vec_id
+         |  JOIN embeddings q ON q.vec_id = c0.query_id),
+         |adc AS (
+         |  SELECT query_id, vec_id,
+         |         round(list_sum(list(pd ORDER BY m)), 6) AS adc_dist
+         |  FROM pairsums GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY adc_dist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 30),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |           round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |    FROM cand c
+         |    JOIN embeddings e  ON e.vec_id  = c.vec_id
+         |    JOIN embeddings qe ON qe.vec_id = c.query_id)),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
     // q_pq_topk: codebooks are embedded literals, sub-distances are exact
     // products + sequential sums, the ADC fold runs in subspace order on
     // both engines (list(pd ORDER BY m)), and the argmin/top-k tie rules
@@ -2701,7 +2788,8 @@ object SparkEntry {
          |  AND round(${cosSql("q.emb_a", "e.embedding")}, 6) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
     // per-class prototype: same ⌊x·1e6+0.5⌋ micro-unit sums, one double
-    // division per (label, dim) cell, list assembled in dim order
+    // division per (label, dim) cell; scalar cell rows — never an array
+    // column, which no result-frame sort can order
     "q_label_centroids" ->
       """WITH q AS (
         |  SELECT label, list_transform(embedding,
@@ -2713,10 +2801,44 @@ object SparkEntry {
         |m AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
         |             CAST(count(*) AS BIGINT) AS n
         |      FROM e GROUP BY 1, 2)
-        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-        |       list(round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0.0
-        |            ORDER BY dim) AS centroid
-        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+        |SELECT label, dim, n AS n_vecs,
+        |       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0.0 AS c
+        |FROM m ORDER BY label, dim""".stripMargin,
+    // nearest-centroid classification: prototypes are the SAME closed-form
+    // exact aggregate as q_label_centroids (so the oracle recomputes them),
+    // per-vector argmax over 6dp-rounded prototype cosines with the NB tie
+    // convention (score DESC, label ASC), −2.0 zero-norm floor mirrored
+    "q_centroid_classify" ->
+      s"""WITH q AS (
+         |  SELECT label, list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qs
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT label, CAST(i - 1 AS INTEGER) AS dim, qs[i] AS v
+         |  FROM q, LATERAL (SELECT unnest(generate_series(1, len(qs))) AS i)),
+         |m AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM e GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label AS clabel,
+         |         list(round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0.0
+         |              ORDER BY dim) AS cvec
+         |  FROM m GROUP BY label),
+         |sc AS (
+         |  SELECT vec_id, actual, clabel,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS score
+         |  FROM (
+         |    SELECT v.vec_id, v.label AS actual, c.clabel,
+         |           round(${cosSql("v.embedding", "c.cvec")}, 6) AS s
+         |    FROM embeddings v CROSS JOIN cent c)),
+         |pred AS (
+         |  SELECT actual, clabel AS predicted FROM (
+         |    SELECT actual, clabel,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY score DESC, clabel) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embed_stats" ->
       s"""WITH n AS (
          |  SELECT label,
@@ -2812,13 +2934,14 @@ object SparkEntry {
         |               / (CAST(n_cur AS DOUBLE) * CAST(n_cur AS DOUBLE) * 1e12) / n_cur
         |           + CAST(n_ref * s2_ref - s_ref * s_ref AS DOUBLE)
         |               / (CAST(n_ref AS DOUBLE) * CAST(n_ref AS DOUBLE) * 1e12) / n_ref)
-        |           AS zr
+        |           AS zr,
+        |         (n_ref = 0 OR n_cur = 0
+        |          OR n_ref * s2_ref - s_ref * s_ref = 0
+        |          OR n_cur * s2_cur - s_cur * s_cur = 0) AS degen
         |       FROM m)
         |SELECT dim, n_ref, n_cur,
-        |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
-        |            ELSE round(zr, 6) + 0.0 END AS z,
-        |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
-        |            ELSE abs(zr) > 3 END AS is_drift
+        |       CASE WHEN degen THEN NULL ELSE round(zr, 6) + 0.0 END AS z,
+        |       CASE WHEN degen THEN NULL ELSE abs(zr) > 3 END AS is_drift
         |FROM z0 ORDER BY dim""".stripMargin,
     // eigenpair invariants: trace / max-diagonal in the grid's 6dp
     // micro-units (engine-agreed integers) + TRUE for each invariant a

@@ -62,7 +62,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
-  // nullable even for non-null children: zero-norm input yields NULL
+  // nullable even for non-null children: zero-norm input yields NULL, and
+  // so does a NULL ELEMENT — the HOF twin's null product poisons its
+  // aggregate sum, and an unguarded getFloat/getDouble on a null slot
+  // reads stale UnsafeArrayData bits (silent garbage, not an error)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = typeCheck(prettyName)
@@ -76,6 +79,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = readAt(x, xf, i)
       val yi = readAt(y, yf, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -99,16 +103,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  double $xi = ${genRead(x, left.dataType, i)};
          |  double $yi = ${genRead(y, right.dataType, i)};
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) {
+         |if ($bad || $denom == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / $denom;
@@ -137,7 +144,9 @@ case class DotProduct(left: Expression, right: Expression)
   // exactly like the HOF form (zip_with null-pads the short side, the
   // null product poisons the sequential sum) — a common-prefix dot would
   // silently assign a malformed row a REAL sign/bucket the oracle's
-  // per-row arithmetic never computes
+  // per-row arithmetic never computes. A NULL ELEMENT yields NULL for
+  // the same reason: the HOF's null product poisons its sum, and an
+  // unguarded getFloat/getDouble on a null slot reads stale bits.
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = typeCheck(prettyName)
@@ -152,6 +161,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += readAt(x, xf, i) * readAt(y, yf, i)
       i += 1
     }
@@ -163,16 +173,23 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $x.numElements();
          |  double $dot = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |    $dot += ${genRead(x, left.dataType, i)} * ${genRead(y, right.dataType, i)};
          |  }
-         |  ${ev.value} = $dot;
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

@@ -42,7 +42,16 @@ case class PairProducts(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val d = x.numElements()
-    val t = d * (d + 1) / 2
+    // d(d+1)/2 in LONG: at d ≈ 65536 the Int product wraps negative and
+    // a wrong (not just failed) allocation follows. JVM arrays cap the
+    // triangle at Int.MaxValue anyway, so past that we fail FAST and
+    // loud rather than let the wrap corrupt the covariance silently.
+    val tL = d.toLong * (d + 1L) / 2L
+    if (tL > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"$prettyName: triangle size d(d+1)/2 = $tL for d = $d exceeds " +
+          "the JVM array limit; split the vector into subspaces")
+    val t = tL.toInt
     var hasNull = false
     var i = 0
     while (i < d && !hasNull) { hasNull = x.isNullAt(i); i += 1 }
@@ -88,9 +97,16 @@ case class PairProducts(child: Expression) extends UnaryExpression {
       val ni = ctx.freshName("ni")
       val outP = ctx.freshName("outP")
       val outB = ctx.freshName("outB")
+      val tL = ctx.freshName("tL")
       s"""
          |int $d = $x.numElements();
-         |int $t = $d * ($d + 1) / 2;
+         |long $tL = (long) $d * ($d + 1L) / 2L;
+         |if ($tL > Integer.MAX_VALUE) {
+         |  throw new IllegalArgumentException(
+         |    "pair_products: triangle size d(d+1)/2 = " + $tL + " for d = "
+         |      + $d + " exceeds the JVM array limit; split the vector");
+         |}
+         |int $t = (int) $tL;
          |boolean $hasNull = false;
          |for (int $i = 0; $i < $d && !$hasNull; $i++) {
          |  $hasNull = $x.isNullAt($i);

@@ -68,16 +68,20 @@ case class PqAdcDistance(first: Expression, second: Expression,
     var s = 0
     var qOff = 0
     while (s < m) {
-      if (ca.isNullAt(s)) return null
+      // same per-slot null discipline as the query/codebook element reads
+      // below: every ArrayData access is isNullAt-guarded, because an
+      // unguarded accessor on a null slot reads stale bits, not an error
+      if (ca.isNullAt(s) || ba.isNullAt(s)) return null
       val c = ca.getInt(s)
       val book = ba.getArray(s)
-      if (c < 0 || c >= book.numElements()) return null
+      if (c < 0 || c >= book.numElements() || book.isNullAt(c)) return null
       val code = book.getArray(c)
       val sub = code.numElements()
       if (qOff + sub > qn) return null
       var inner = 0.0
       var i = 0
       while (i < sub) {
+        if (qa.isNullAt(qOff + i) || code.isNullAt(i)) return null
         val d = qa.getFloat(qOff + i).toDouble - code.getDouble(i)
         inner += d * d
         i += 1
@@ -111,15 +115,16 @@ case class PqAdcDistance(first: Expression, second: Expression,
          |int $qOff = 0;
          |boolean $bad = false;
          |for (int $s = 0; $s < $m && !$bad; $s++) {
-         |  if ($codes.isNullAt($s)) { $bad = true; break; }
+         |  if ($codes.isNullAt($s) || $books.isNullAt($s)) { $bad = true; break; }
          |  int $c = $codes.getInt($s);
          |  org.apache.spark.sql.catalyst.util.ArrayData $book = $books.getArray($s);
-         |  if ($c < 0 || $c >= $book.numElements()) { $bad = true; break; }
+         |  if ($c < 0 || $c >= $book.numElements() || $book.isNullAt($c)) { $bad = true; break; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $code = $book.getArray($c);
          |  int $sub = $code.numElements();
          |  if ($qOff + $sub > $qn) { $bad = true; break; }
          |  double $inner = 0.0;
          |  for (int $i = 0; $i < $sub; $i++) {
+         |    if ($q.isNullAt($qOff + $i) || $code.isNullAt($i)) { $bad = true; break; }
          |    double $d = (double) $q.getFloat($qOff + $i) - $code.getDouble($i);
          |    $inner += $d * $d;
          |  }

@@ -219,11 +219,22 @@ object Covariance {
     val z = (meanD(col("s_cur"), col("n_cur")) - meanD(col("s_ref"), col("n_ref"))) /
       sqrt(varD(col("n_cur"), col("s_cur"), col("s2_cur")) / col("n_cur") +
         varD(col("n_ref"), col("s_ref"), col("s2_ref")) / col("n_ref"))
+    // Degenerate-dim guard, mirroring correlationGrid: a slice whose
+    // variance NUMERATOR (exact decimal nΣq² − (Σq)², so the test is
+    // engine-exact) is zero makes z ±Inf/NaN, and NaN ordering diverges
+    // across engines (DuckDB sorts NaN above every number; Spark
+    // comparisons yield false) — the statistic is undefined there, so
+    // both engines emit NULL z / NULL is_drift.
+    def varNum(n: Column, s: Column, s2: Column): Column =
+      n.cast(d38) * s2 - s * s
+    val degenerate = col("n_ref") === 0 || col("n_cur") === 0 ||
+      varNum(col("n_ref"), col("s_ref"), col("s2_ref")) === 0 ||
+      varNum(col("n_cur"), col("s_cur"), col("s2_cur")) === 0
     cells
       .select(col("dim"), col("n_ref"), col("n_cur"),
-        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null))
+        when(degenerate, lit(null))
           .otherwise(round(z, 6) + lit(0.0)).as("z"),
-        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null))
+        when(degenerate, lit(null))
           .otherwise(abs(z) > 3).as("is_drift"))
       .orderBy("dim")
   }
@@ -312,8 +323,15 @@ object Covariance {
     val kMax = v.indices.maxBy(i => math.abs(v(i)))
     Seq((d, traceMicro, maxDiagMicro,
       math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, // unit eigenvector
+      // λ₁ ≥ max diag holds EXACTLY for any symmetric matrix (λ₁ ≥
+      // eᵢᵀAeᵢ), rounded or not — only solver slack needed here
       lambda >= maxDiagMicro / 1e6 - 1e-9, // dominates every axis quotient
-      lambda <= traceMicro / 1e6 + 1e-9, // PSD: λ₁ ≤ trace
+      // λ₁ ≤ trace needs PSD, but the GRID is the exact covariance
+      // rounded 6dp — a perturbation of up to 5e-7 per cell, which can
+      // push eigenvalues negative by ~d·5e-7 (Weyl) and λ₁ above trace
+      // by the same margin. Tolerance must cover the worst rounding
+      // perturbation, not just solver noise: d·1e-6.
+      lambda <= traceMicro / 1e6 + d * 1e-6, // PSD up to 6dp grid rounding
       resid < 1e-3 * lambda, // converged: ‖Av − λv‖ small vs λ
       v(kMax) > 0)) // sign convention: largest-|component| positive
       .toDF("d", "trace_micro", "max_diag_micro", "unit_norm_ok",

@@ -387,22 +387,30 @@ object Similarity {
     * Scan fraction ≈ nprobe/ServeCells; the only exchange is the
     * O(k)-per-query partial top-k, exactly like [[annTopK]].
     */
-  def ivfServeTopK(spark: SparkSession, sfDir: String,
-                   nQueries: Int, k: Int, nprobe: Int = 3): DataFrame = {
-    val dim = embeddingDim(spark, sfDir)
-    val emb = Tables.embeddings(spark, sfDir)
-    val withScores = emb.select(col("vec_id"), col("embedding"),
-      serveCellScores(col("embedding"), dim).as("cs"))
-    val assigned = withScores.select(col("vec_id"), col("embedding"),
-      argmaxCell(col("cs")).as("cent_id"))
-    // per-query probe list: sort (−score, id) ascending = score desc with
-    // lowest-id tie-break, take nprobe — all inside one projection
-    val probes = withScores.filter(col("vec_id") < nQueries)
+  /** Per-query probe list against the fixed serve centroids: each query
+    * row explodes to its `nprobe` best cells — sort (−score, id)
+    * ascending = score desc with lowest-id tie-break, all inside one
+    * projection over the (tiny) query slice. Shared by [[ivfServeTopK]]
+    * and [[ivfPqTopK]]; always broadcast by the caller.
+    */
+  private def serveProbes(emb: DataFrame, dim: Int,
+                          nQueries: Int, nprobe: Int): DataFrame =
+    emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        serveCellScores(col("embedding"), dim).as("cs"))
+      .select(col("q_id"), col("q_emb"),
         explode(slice(transform(
           array_sort(zip_with(col("cs"), sequence(lit(0), lit(ServeCells - 1)),
             (s, i) => struct((-s).as("ns"), i.as("i")))),
           x => x.getField("i")), 1, nprobe)).as("cent_id"))
+
+  def ivfServeTopK(spark: SparkSession, sfDir: String,
+                   nQueries: Int, k: Int, nprobe: Int = 3): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      argmaxCell(serveCellScores(col("embedding"), dim)).as("cent_id"))
+    val probes = serveProbes(emb, dim, nQueries, nprobe)
     val scored = assigned.join(broadcast(probes), "cent_id")
       .where(col("vec_id") =!= col("q_id"))
       // same zero-norm floor as the assignment phase: the guard above
@@ -484,27 +492,27 @@ object Similarity {
     * label×dim cells after map-side combine, never vectors — and derive
     * each mean with ONE double division rounded 6dp (+0.0 canonicalizes
     * the zero sign). The final per-label array assembles from the
-    * label×d cell table (metadata-sized at any corpus scale).
+    * The result is the label×d CELL TABLE itself — scalar rows
+    * `(label, dim, n_vecs, c)` ordered by (label, dim), metadata-sized at
+    * any corpus scale. Downstream consumers that want a per-label vector
+    * (nearest-centroid classify, SemDeDup seeding) assemble it from the
+    * cells; the declared query keeps the scalar shape so every engine —
+    * and every result-frame tool — can sort and hash it.
     */
-  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = Tables.embeddings(spark, sfDir)
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
       .select(col("label"), posexplode(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
         .as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("v").cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n"))
-    cells
-      .select(col("label"), col("dim"), col("n"),
+      .select(col("label"), col("dim"),
+        // n is the label's vector count (identical on every dim cell)
+        col("n").as("n_vecs"),
         (round(col("s").cast("double") / (col("n").cast("double") * lit(1e6)), 6)
           + lit(0.0)).as("c"))
-      .groupBy(col("label"))
-      // n is the label's vector count (identical on every dim cell)
-      .agg(max(col("n")).as("n_vecs"),
-        expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-          .as("centroid"))
-      .orderBy("label")
-  }
+      .orderBy("label", "dim")
 
   /** Per-label embedding statistics: count + mean L2 norm. */
   def embedStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -636,7 +644,14 @@ object Similarity {
         throw new IllegalStateException("embeddings base has no file listing"))
     if (!pqBuilt.get(path).contains(curSig)) {
       val dim = embeddingDim(spark, sfDir)
-      emb.select(col("vec_id"), pqEncode(col("embedding"), dim).as("codes"))
+      // the artifact carries the IVF cell id alongside the codes — one
+      // corpus pass builds the ENTIRE IVF-PQ index (cell + M-byte codes
+      // per vector), which is exactly the on-disk layout a production
+      // billion-vector tier ships: [[pqTopK]] prunes cent_id away,
+      // [[ivfPqTopK]] joins its probes against it
+      emb.select(col("vec_id"),
+          argmaxCell(serveCellScores(col("embedding"), dim)).as("cent_id"),
+          pqEncode(col("embedding"), dim).as("codes"))
         .write.mode("overwrite").parquet(path)
       pqBuilt.put(path, curSig)
       ()
@@ -684,6 +699,96 @@ object Similarity {
           .as("cosine"),
         col("rnk"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** q_ivfpq_topk: the full production billion-vector serving shape —
+    * IVF cells bound the candidate set, ADC over the materialized PQ
+    * codes ranks the candidates without touching a single corpus float,
+    * and an exact-cosine pass re-ranks only the `rerank` ADC winners.
+    * Composition of the two oracle-exact halves ([[ivfServeTopK]]'s
+    * fixed-centroid probe/assign and [[pqTopK]]'s native ADC), so the
+    * whole pipeline stays deterministic double arithmetic the oracle
+    * replays from embedded literals.
+    *
+    * Scale posture: the index artifact ([[ensurePqCodes]] — (vec_id,
+    * cent_id, M-byte codes), built in one corpus pass) is the ONLY
+    * corpus-sized input, it is scanned once and never shuffles; probes
+    * broadcast, so only vectors in probed cells are ADC-scored
+    * (≈ nprobe/ServeCells of the corpus), the per-query exchange is the
+    * O(rerank) partial top-k, and the floats are read for exactly
+    * rerank·nQueries candidate rows. At 100 TB that is the difference
+    * between scanning 100 TB of floats and ~3 TB of codes.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, nQueries: Int, k: Int,
+                nprobe: Int = 3, rerank: Int = 30): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = spark.read.parquet(ensurePqCodes(spark, sfDir))
+    val probes = serveProbes(emb, dim, nQueries, nprobe)
+    // each corpus vector lives in exactly ONE cell, so the probe join
+    // yields each (query, vec) pair at most once — no dedup needed
+    val scored = index.join(broadcast(probes), "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id"),
+        // same 6dp-rounded native ADC ranking key as [[pqTopK]]
+        (-round(graft.functions.PqAdcExpr.pqAdcNative(
+          col("q_emb"), col("codes"), pqLit(dim)), 6)).as("s"))
+    val topn = udaf(new TopKByScore(rerank))
+    val cand = scored
+      .groupBy(col("query_id"))
+      .agg(topn(col("s"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("embedding").as("v_emb")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qq"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        coalesce(round(cosineNative(col("qq"), col("v_emb")), 6), lit(-2.0))
+          .as("cosine"))
+    topKPerQuery(rescored, k)
+  }
+
+  /** q_centroid_classify: nearest-centroid classification — the consumer
+    * the [[labelCentroids]] prototypes exist for. The L×d cell table is
+    * metadata-sized at any corpus scale, so it collects once and rides
+    * into the classify scan as ONE typed literal: per vector an argmax
+    * fold over the L prototype cosines (6dp-rounded, −2.0 zero-norm
+    * floor; ties score DESC then label ASC — the NB argmax convention),
+    * zero shuffle for the corpus. Output = the confusion matrix
+    * (actual, predicted, n), directly comparable with [[knnClassify]]
+    * and NaiveBayes' q_nb_confusion. Unlike k-means centroids, the
+    * prototypes are a CLOSED-FORM exact aggregate, so the oracle
+    * recomputes the entire pipeline — centroids, scores, argmax,
+    * confusion counts — from the same table.
+    */
+  def centroidClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents: Seq[(Int, Seq[Double])] =
+      labelCentroids(spark, sfDir)
+        .select(col("label").cast("int"), col("dim"), col("c"))
+        .as[(Int, Int, Double)].collect().toSeq
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3)) }
+    if (cents.isEmpty)
+      return Seq.empty[(Int, Int, Long)].toDF("actual", "predicted", "n")
+    // score every prototype once in its own projection (no HOF CSE),
+    // then strictly-greater fold over label-ascending cells = ties keep
+    // the LOWEST label, mirroring ORDER BY score DESC, label ASC
+    val scoredCells = transform(typedlit(cents), c => struct(
+      coalesce(round(cosineNative(col("embedding"), c.getField("_2")), 6),
+        lit(-2.0)).as("score"),
+      c.getField("_1").as("lbl")))
+    val predicted = aggregate(scoredCells,
+      struct(lit(-3.0).as("score"), lit(-1).as("lbl")),
+      (acc, x) => when(x.getField("score") > acc.getField("score"), x)
+        .otherwise(acc),
+      acc => acc.getField("lbl"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").as("actual"), predicted.as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
   }
 
   // ——— Binary (sign-bit) quantization + Hamming prefilter ———

@@ -77,6 +77,33 @@ class CosineExprSpec extends SparkTestBase {
     assert(expr.eval(null).asInstanceOf[Double] === 1.0)
   }
 
+  test("a null ELEMENT yields NULL, matching the HOF twin (cosine and dot)") {
+    import graft.functions.CosineSimilarityExpr.dotNative
+    // an unguarded getFloat on a null slot reads stale UnsafeArrayData
+    // bits — silent garbage, not an error — so the guard must null-poison
+    // exactly like zip_with's null product does in the HOF form
+    val rows = Seq(
+      (Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(
+        cosineNative(col("a"), col("b")).as("cos_n"),
+        VectorFunctions.cosine(col("a"), col("b")).as("cos_h"),
+        dotNative(col("a"), col("b")).as("dot_n"),
+        VectorFunctions.dot(col("a"), col("b")).as("dot_h"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(2))
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(3), "HOF parity on null element")
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(2) === 5.0)
+    // interpreted eval path hits the same guard
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val withNull = Literal.create(Array[java.lang.Float](1.0f, null),
+      ArrayType(FloatType, containsNull = true))
+    assert(graft.functions.CosineSimilarity(withNull, withNull).eval(null) == null)
+    assert(graft.functions.DotProduct(withNull, withNull).eval(null) == null)
+  }
+
   test("two instances in one codegen scope compile (freshName'd locals)") {
     // force Janino compilation of a single projection holding TWO
     // CosineSimilarity instances: with fixed local names this throws

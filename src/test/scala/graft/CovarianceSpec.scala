@@ -138,6 +138,32 @@ class CovarianceSpec extends SparkTestBase {
     }
   }
 
+  test("embedDrift NULLs z/is_drift on zero-variance dims (cross-engine NaN trap)") {
+    // dim 1 constant in BOTH slices, dim 2 constant in the ref slice
+    // only: both are degenerate under the either-slice rule (DuckDB
+    // sorts NaN above every number, Spark's NaN compare is false — an
+    // Inf/NaN z would flag is_drift differently per engine). dim 0
+    // varies in both slices and must keep a real z.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+    try {
+      val rnd = new scala.util.Random(7)
+      val rows = (0L until 40L).map { i =>
+        (i, Seq(rnd.nextGaussian().toFloat, 0.25f,
+          if (i < 20) 0.5f else rnd.nextGaussian().toFloat), 0)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = graft.operators.Covariance.embedDrift(spark, dir, splitAt = 20L)
+        .collect().map(r => r.getInt(0) ->
+          ((r.isNullAt(3), r.isNullAt(4)))).toMap
+      assert(got(0) === ((false, false)), "varying dim must keep its z")
+      assert(got(1) === ((true, true)), "both-slice-constant dim must NULL")
+      assert(got(2) === ((true, true)), "one-slice-constant dim must NULL")
+    } finally graft.util.Scratch.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("no negative zero reaches the cov column") {
     // a tiny negative raw covariance can round to -0.0; the grid
     // canonicalizes the zero sign (cov + 0.0) so cross-engine hashes of

@@ -70,7 +70,11 @@ class EmptyInputSpec extends SparkTestBase {
     "q_label_centroids",
     "q_knn_classify",
     "q_pca_top",
-    "q_embed_drift")
+    "q_embed_drift",
+    // round-14: the composed IVF-PQ serve (empty index artifact) and the
+    // prototype classifier (zero prototypes → empty confusion matrix)
+    "q_ivfpq_topk",
+    "q_centroid_classify")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

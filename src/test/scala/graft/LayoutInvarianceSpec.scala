@@ -43,7 +43,10 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // grid collect reruns per layout), multi-view selection, and the
     // refreshed postings serve (merged cells must be layout-proof)
     "q_knn_classify", "q_pca_top", "q_mv_choose", "q_index_refresh",
-    "q_embed_correlation", "q_label_centroids", "q_embed_drift")
+    "q_embed_correlation", "q_label_centroids", "q_embed_drift",
+    // round-14: ADC/cosine tie-break and prototype argmax must not depend
+    // on partitioning; the centroid collect reruns per layout
+    "q_ivfpq_topk", "q_centroid_classify")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -44,6 +44,20 @@ class PairProductsExprSpec extends SparkTestBase {
     assert(got(1L).get === hofReference(Seq(Some(2L), None, Some(3L))))
   }
 
+  test("d(d+1)/2 past Int.MaxValue fails FAST, not with a wrapped allocation") {
+    // at d = 65536 the Int product d*(d+1) wraps; the Long-typed triangle
+    // size must instead reject the row loudly (a JVM array cannot hold
+    // the triangle anyway — the failure mode to prevent is silent
+    // corruption via a negative/short allocation)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val big = Literal.create(Array.fill(65536)(1L), ArrayType(LongType, false))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.PairProducts(big).eval(null)
+    }
+    assert(e.getMessage.contains("triangle size"))
+  }
+
   test("interpreted eval == codegen (both fast and boxed paths)") {
     // force interpreted eval through a filter context that disables
     // codegen: compare collect() of the same projection with codegen

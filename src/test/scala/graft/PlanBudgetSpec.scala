@@ -284,9 +284,18 @@ class PlanBudgetSpec extends SparkTestBase {
     // drained state parquet read + the cell-table (i,j) re-merge agg +
     // output order (the moment maintenance ran micro-batch-side)
     "q_streaming_covariance" -> 2,
-    // (label,dim) cell agg + per-label assembly agg + output order — the
-    // exchange carries label×dim cells after map-side combine
-    "q_label_centroids" -> 3,
+    // (label,dim) cell agg + output order — the exchange carries
+    // label×dim cells after map-side combine; the r13 per-label array
+    // assembly agg is gone with the scalar-row reshape
+    "q_label_centroids" -> 2,
+    // classify scan is shuffle-free (prototypes ride as one literal):
+    // confusion agg + output order; the L×d cell build runs at query
+    // construction (its own 2-exchange metadata-sized job)
+    "q_centroid_classify" -> 2,
+    // the composed IVF-PQ serve: codes+cells scan never shuffles (probes
+    // broadcast), ADC partial top-rerank agg + final top-k rides the same
+    // query_id partitioning (rerank joins broadcast) + output order
+    "q_ivfpq_topk" -> 2,
     // ONE dim-keyed exchange (both slices' conditional moments ride it)
     // + output order over d rows
     "q_embed_drift" -> 2,

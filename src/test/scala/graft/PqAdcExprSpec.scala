@@ -67,6 +67,22 @@ class PqAdcExprSpec extends SparkTestBase {
       .toDF("q", "codes").select(pqAdcNative(col("q"), col("codes"), books))
       .collect().head
     assert(nullCode.isNullAt(0))
+    // null QUERY element — an unguarded getFloat would read stale bits
+    val nullQ = Seq((Seq[java.lang.Float](1.0f, null), Seq(0)))
+      .toDF("q", "codes").select(pqAdcNative(col("q"), col("codes"), books))
+      .collect().head
+    assert(nullQ.isNullAt(0))
+    // null CODEBOOK entry / element
+    val nullBook = typedlit(Seq(Option.empty[Seq[Seq[Double]]]))
+    val nb = Seq((Seq(1.0f, 2.0f), Seq(0)))
+      .toDF("q", "codes").select(pqAdcNative(col("q"), col("codes"), nullBook))
+      .collect().head
+    assert(nb.isNullAt(0))
+    val nullElemBook = typedlit(Seq(Seq(Seq(Option.empty[Double], Some(1.0)))))
+    val neb = Seq((Seq(1.0f, 2.0f), Seq(0)))
+      .toDF("q", "codes").select(pqAdcNative(col("q"), col("codes"), nullElemBook))
+      .collect().head
+    assert(neb.isNullAt(0))
   }
 
   test("mistyped inputs fail at analysis") {

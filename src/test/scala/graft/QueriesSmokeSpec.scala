@@ -4,6 +4,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Every declared query must execute at sf0.001 with rows, a stable
   * schema, AND a cartesian-free final plan — the fast regression net for
@@ -39,6 +40,18 @@ class QueriesSmokeSpec extends SparkTestBase {
       val df = fn(spark, sf)
       val n = df.collect().length.toLong // executes → finalizes AQE plan
       assert(df.columns.nonEmpty)
+      // Driver-sortability lint (the r13 q_label_centroids lesson): the
+      // driver's pandas sort_values cannot order array/map/struct cells,
+      // so a nested output column is an automatic driver failure no
+      // matter how exact the math — declared queries must emit scalars.
+      val nested = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}:${f.dataType.sql}"
+      }
+      assert(nested.isEmpty,
+        s"$name emits nested columns ${nested.mkString(", ")} — the " +
+          "driver's result sort cannot order them; emit scalar rows")
       // empty results are legal only for similarity-threshold queries,
       // which may have no qualifying pairs at the smallest scale
       if (!Set("q_neardup_jaccard", "q_minhash_lsh", "q_cust_no_orders")

@@ -229,6 +229,131 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("ivfPqTopK == driver-side IVF probe + ADC rank + exact rerank, bit-for-bit") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val dim = vecs.head._2.length
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mixed-width cosine (float corpus × double centroid), -2.0 floor
+    def cosFD(a: Seq[Float], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else dot / den
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = Similarity.ivfCentroidRows
+    // cell scores per vector; argmax assignment (ties lowest id) and
+    // per-query top-3 probes (score desc, id asc) — the serve contract
+    def scores(v: Seq[Float]): Seq[(Int, Double)] =
+      cents.map { case (cid, c) => (cid, cosFD(v, c)) }
+    val assign = vecs.map { case (id, v) =>
+      id -> scores(v).maxBy { case (cid, s) => (s, -cid) }._1
+    }.toMap
+    val probes = vecs.filter(_._1 < 10).map { case (qid, q) =>
+      qid -> scores(q).sortBy { case (cid, s) => (-s, cid) }.take(3)
+        .map(_._1).toSet
+    }.toMap
+    // PQ encode from the public codebook rows (same recompute as the
+    // pqTopK spec)
+    val cb = Similarity.pqCodebookRows
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray).toArray).toArray
+    val m = cb.length; val sub = dim / m
+    def subDist(v: Seq[Float], mi: Int, code: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < sub) {
+        val d = v(mi * sub + i).toDouble - code(i); s += d * d; i += 1
+      }
+      s
+    }
+    def encode(v: Seq[Float]): Array[Int] =
+      Array.tabulate(m) { mi =>
+        var best = Double.MaxValue; var bi = -1; var c = 0
+        while (c < cb(mi).length) {
+          val d = subDist(v, mi, cb(mi)(c)); if (d < best) { best = d; bi = c }
+          c += 1
+        }
+        bi
+      }
+    val codes = vecs.map { case (id, v) => id -> encode(v) }.toMap
+    val byId = vecs.toMap
+    val want = (for {
+      (qid, q) <- vecs.toSeq if qid < 10
+      cand = vecs.filter { case (id, _) =>
+          id != qid && probes(qid).contains(assign(id)) }
+        .map { case (id, _) =>
+          var adc = 0.0; var mi = 0
+          while (mi < m) { adc += subDist(q, mi, cb(mi)(codes(id)(mi))); mi += 1 }
+          (id, r6(adc))
+        }
+        .sortBy { case (id, d) => (d, id) }.take(30)
+      winners = cand.map { case (id, _) => (id, r6(cos(q, byId(id)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      ((id, c), rk) <- winners.zipWithIndex
+    } yield (qid, id, c, rk + 1)).toSet
+    val got = Similarity.ivfPqTopK(spark, sf, 10, 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    // the composition must actually PRUNE: each query's candidate pool is
+    // a strict subset of the corpus (3 of 8 cells probed)
+    val pool = vecs.count { case (id, _) => probes(0L).contains(assign(id)) }
+    assert(pool < vecs.length, "probing did not bound the candidate set")
+  }
+
+  test("centroidClassify == driver-side prototype argmax confusion matrix") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // prototypes via the exact micro-unit moment recipe
+    val cells = rows.flatMap { case (_, v, l) =>
+      v.zipWithIndex.map { case (x, d) =>
+        ((l, d), math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      }
+    }.groupBy(_._1).map { case ((l, d), vs) =>
+      ((l, d), r6(vs.map(_._2).sum.toDouble / (vs.length.toDouble * 1e6)) + 0.0)
+    }
+    val labels = cells.keys.map(_._1).toSeq.distinct.sorted
+    val cents = labels.map { l =>
+      l -> cells.filter(_._1._1 == l).toSeq.sortBy(_._1._2).map(_._2)
+    }
+    def cosFD(a: Seq[Float], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else r6(dot / den)
+    }
+    val want = rows.map { case (_, v, actual) =>
+      // score DESC, label ASC — the NB argmax convention
+      val pred = cents.map { case (l, c) => (l, cosFD(v, c)) }
+        .maxBy { case (l, s) => (s, -l) }._1
+      (actual, pred)
+    }.groupBy(identity).map { case ((a, p), xs) => (a, p, xs.length.toLong) }
+      .toSet
+    val got = Similarity.centroidClassify(spark, sf)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("embedStats covers every label once") {
     val got = Similarity.embedStats(spark, sf)
       .as[(Int, Long, Double)].collect()

@@ -29,6 +29,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 BANNED_TYPES = ("HUGEINT", "DECIMAL")
 
+# The driver sorts result frames with pandas sort_values, which raises
+# "unhashable type: numpy.ndarray" on any list/struct/map cell (the r13
+# q_label_centroids failure: local tuple-sort passed what the driver
+# could not even load). The local gate must be at least as strict:
+# nested output columns are driver-unsafe on EITHER side of the compare.
+NESTED_MARKERS = ("[]", "LIST", "STRUCT", "MAP")
+
+
+def nested_cols(rel):
+    return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if any(m in str(t).upper() for m in NESTED_MARKERS)]
+
 
 def norm_cell(v):
     if v is None:
@@ -96,10 +108,22 @@ def main():
                 print(f"FAIL {name}: oracle output has driver-unsafe types "
                       f"{bad_t} — CAST to BIGINT/DOUBLE in the oracle SQL")
                 n_fail += 1; continue
+            bad_n = nested_cols(rel)
+            if bad_n:
+                print(f"FAIL {name}: oracle output has nested types {bad_n} "
+                      f"— the driver's pandas sort cannot order them; "
+                      f"emit scalar rows instead")
+                n_fail += 1; continue
             ocols, orows = fetch_df(rel)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
         s = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        bad_sn = nested_cols(s)
+        if bad_sn:
+            print(f"FAIL {name}: spark output has nested types {bad_sn} "
+                  f"— the driver's pandas sort cannot order them; "
+                  f"emit scalar rows instead")
+            n_fail += 1; continue
         scols, srows = fetch_df(s)
         oc, orr = canon(ocols, orows)
         sc, srr = canon(scols, srows)
