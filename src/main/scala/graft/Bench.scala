@@ -117,7 +117,13 @@ object Bench {
       "graph_edges_materialize" ->
         (() => { graft.operators.Graph.ensureEdges(spark, sfDir); () }),
       "pq_codes_materialize" ->
-        (() => { graft.operators.Similarity.ensurePqCodes(spark, sfDir); () }))
+        (() => { graft.operators.Similarity.ensurePqCodes(spark, sfDir); () }),
+      // staged streaming feeds (memoized per corpus): charged here so the
+      // drain queries measure pure drain cost, not corpus staging
+      "session_feed_materialize" ->
+        (() => { graft.streaming.StreamingSessionize.stageWithSentinel(spark, sfDir); () }),
+      "ssouter_feed_materialize" ->
+        (() => { graft.streaming.StreamingJoin.stageOuterFeed(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

@@ -40,7 +40,11 @@ object Explain {
         // multi-view selection, refreshed postings serve
         "q_embed_correlation", "q_embed_drift", "q_label_centroids",
         "q_knn_classify", "q_pq_topk", "q_binary_topk", "q_ivf_serve",
-        "q_mv_choose", "q_index_refresh", "q_join_size_est")
+        "q_mv_choose", "q_index_refresh", "q_join_size_est",
+        // round-14: composed IVF-PQ serving, nearest-centroid classify,
+        // contrastive mining, DSIR importance weights
+        "q_ivfpq_topk", "q_centroid_classify", "q_hard_negatives",
+        "q_dsir_weights")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -302,6 +302,9 @@ object SparkEntry {
     // mixture resampling plan: ppm keep-rates toward target source weights
     "q_mixture_resample" -> ((s, d) =>
       Sampling.mixtureResample(s, d, Map("src0" -> 5, "src1" -> 3), 1)),
+    // DSIR importance weights: per-doc Σ micro-nat(llq_target − llq_source)
+    // under two Laplace unigram LMs — exact BIGINT, broadcast grid scoring
+    "q_dsir_weights" -> ((s, d) => Sampling.dsirWeights(s, d)),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(s, d, Map("en" -> 25), 60)),
     "q_sample_stats"   -> ((s, d) =>
@@ -400,6 +403,9 @@ object SparkEntry {
     // nearest-prototype argmax per vector (broadcast L×d cells), output =
     // confusion matrix — the consumer the label centroids exist for
     "q_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
+    // contrastive pair mining: best positive + hardest negative per query
+    // via conditional struct-max (partially aggregable — no window funnel)
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // — relational (TPC-H-style) —
     "q1_pricing"       -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_unshipped" -> ((s, d) => Relational.q3TopUnshipped(s, d)),
@@ -1734,6 +1740,38 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN rated r ON d.source = r.source
         |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin,
+    // DSIR weights: one combined count table for BOTH unigram LMs, each
+    // per-term log-likelihood quantized to integer micro-nats by the NB
+    // ln fragment, per-doc weight an exact BIGINT sum; zero-token docs
+    // surface with w = 0 via the left join
+    "q_dsir_weights" ->
+      s"""WITH $toksCte,
+         |cnt AS (
+         |  SELECT term,
+         |         CAST(count(*) AS BIGINT) AS n_s,
+         |         CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_t
+         |  FROM (SELECT lang, unnest(ts) AS term FROM toks) GROUP BY 1),
+         |tots AS (
+         |  SELECT CAST(sum(n_s) AS BIGINT) AS tot_s,
+         |         CAST(sum(n_t) AS BIGINT) AS tot_t,
+         |         CAST(count(*) AS BIGINT) AS v
+         |  FROM cnt),
+         |grid AS (
+         |  SELECT term,
+         |         CAST(round(ln(CAST(n_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE)) * 1000000) AS BIGINT)
+         |       - CAST(round(ln(CAST(n_s + 1 AS DOUBLE) / CAST(tot_s + v AS DOUBLE)) * 1000000) AS BIGINT)
+         |           AS dllq
+         |  FROM cnt CROSS JOIN tots),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |         CAST(sum(dllq) AS BIGINT) AS w_llq
+         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) t
+         |  JOIN grid USING (term) GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source,
+         |       CAST(coalesce(pd.n_toks, 0) AS BIGINT) AS n_toks,
+         |       CAST(coalesce(pd.w_llq, 0) AS BIGINT) AS w_llq
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // bigram LM: both engines divide the identical bigram/marginal longs
     // in double, so P(w2|w1) is bit-exact without rounding
     // PMI over positional marginals; integer min-count gate + (w1, w2)
@@ -2870,6 +2908,38 @@ object SparkEntry {
          |               ORDER BY votes DESC, label) AS rn FROM v)
          |SELECT query_id, predicted, votes, actual
          |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // contrastive mining: per query the nearest same-label and nearest
+    // different-label vector (ties to lowest vec_id — the struct-max
+    // convention), margin from the two 6dp-rounded cosines (never a
+    // rounding tie), +0.0 canonicalizing an exact-zero margin's sign
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 50),
+         |sc AS (
+         |  SELECT query_id, q_label, vec_id, label,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT q.query_id, q.q_label, e.vec_id, e.label,
+         |           round(${cosSql("q.q_emb", "e.embedding")}, 6) AS cosine
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)),
+         |pos AS (
+         |  SELECT query_id, vec_id AS pos_id, cosine AS pos_cos FROM (
+         |    SELECT query_id, vec_id, cosine,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM sc WHERE label = q_label) WHERE rn = 1),
+         |neg AS (
+         |  SELECT query_id, vec_id AS neg_id, cosine AS neg_cos FROM (
+         |    SELECT query_id, vec_id, cosine,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM sc WHERE label <> q_label) WHERE rn = 1)
+         |SELECT q.query_id, q.q_label AS label,
+         |       pos_id, pos_cos, neg_id, neg_cos,
+         |       round(pos_cos - neg_cos, 6) + 0.0 AS margin
+         |FROM q LEFT JOIN pos USING (query_id) LEFT JOIN neg USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
     // exact covariance moments: the same ⌊x·1e6+0.5⌋ micro-unit
     // quantization, naive lateral pair expansion (fine for the oracle;
     // the engine generates pairs row-locally with the native

@@ -152,7 +152,15 @@ object Indexer {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ix_")
       .toFile.getAbsolutePath
     upsertScratch.defer(() => graft.util.Scratch.deleteRecursively(dir))
-    writeIndex(spark, sfDir, dir)
+    // private mutable copy of the shared build artifact, cloned by
+    // HARDLINK instead of re-running the full index write per execution:
+    // the upsert overwrites letter partitions in place (unlinking the
+    // clone's links — the shared files are untouched), and what this
+    // query proves is the UPSERT, not the build (q_index_build owns that).
+    // `_base_sig` stays behind: it describes the shared artifact's corpus
+    // state, which the mutated clone no longer reflects.
+    graft.util.Scratch.hardlinkTree(
+      MaterializedIndex.ensure(spark, sfDir), dir, _.endsWith("_base_sig"))
     val updated = Tables.documents(spark, sfDir)
       .filter(col("doc_id") === 0)
       .withColumn("text", concat(col("text"), lit(" graftmarker")))

@@ -12,8 +12,8 @@ import graft.sources.Tables
   * The Spark-side shape is the real thing — binary columns, metadata
   * struct, `mapPartitions` batch processing with a case-class Encoder (the
   * Scala analogue of `mapInPandas` batches). All THREE modalities have a
-  * real pure-JVM codec path, dispatched by content sniff: PNG payloads go
-  * through `javax.imageio` into a luminance histogram, RIFF/WAVE payloads
+  * real pure-JVM codec path, dispatched by content sniff: PNG and JPEG
+  * payloads go through `javax.imageio` into a luminance histogram, RIFF/WAVE payloads
   * through `javax.sound.sampled` PCM into an amplitude histogram, and
   * animated-GIF payloads through the multi-frame `javax.imageio` reader
   * into PNG-encoded sampled keyframes. Payloads no JVM codec covers (the
@@ -83,17 +83,27 @@ object Multimodal {
       java.util.Arrays.equals(
         java.util.Arrays.copyOf(payload, PngMagic.length), PngMagic)
 
-  /** REAL image feature extraction — javax.imageio is a pure-JVM PNG
-    * codec, so this half of the modality needs no native libs: decode
-    * the payload and fold a FeatureDim-bin LUMINANCE HISTOGRAM
-    * (integer-weighted BT.601 luma, exact integer counts, one final
-    * division — same determinism discipline as [[decodeStub]]).
-    * Audio/video payloads keep the documented stub (their codecs are
-    * not in this container).
+  // JPEG SOI marker (FF D8 FF — the third byte starts the first segment
+  // marker, present in every JFIF/EXIF/raw-JPEG variant)
+  private[graft] def isJpeg(payload: Array[Byte]): Boolean =
+    payload.length >= 3 &&
+      (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8 &&
+      (payload(2) & 0xFF) == 0xFF
+
+  /** REAL image feature extraction — javax.imageio ships pure-JVM PNG
+    * AND JPEG codecs (one format-sniffing `read` call serves both), so
+    * this half of the modality needs no native libs: decode the payload
+    * and fold a FeatureDim-bin LUMINANCE HISTOGRAM (integer-weighted
+    * BT.601 luma, exact integer counts, one final division — same
+    * determinism discipline as [[decodeStub]]). JPEG determinism note:
+    * the JDK's inverse-DCT is fixed, so decoding the SAME bytes is
+    * reproducible; producing those bytes (lossy encode) is not part of
+    * any oracle-checked path. Audio/video payloads keep their own
+    * codecs/stub.
     */
-  private[graft] def decodePngFeatures(payload: Array[Byte]): Array[Float] = {
+  private[graft] def decodeImageFeatures(payload: Array[Byte]): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, "PNG-signature payload failed to decode")
+    require(img != null, "image-signature payload failed to decode")
     val hist = new Array[Long](FeatureDim)
     var y = 0
     while (y < img.getHeight) {
@@ -132,7 +142,7 @@ object Multimodal {
     * in pure JVM, so this modality needs no native libs either: decode
     * the payload and fold a FeatureDim-bin AMPLITUDE HISTOGRAM over the
     * 16-bit samples (exact integer bin math, one final division — the
-    * same determinism discipline as [[decodePngFeatures]]).
+    * same determinism discipline as [[decodeImageFeatures]]).
     */
   private[graft] def decodeWavFeatures(payload: Array[Byte]): Array[Float] = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -163,7 +173,7 @@ object Multimodal {
   /** Partition-wise batch feature extraction: one decoder instance per
     * partition (the expensive-init amortization pattern of mapInPandas),
     * streaming through rows without materializing the partition. PNG
-    * payloads take the real [[decodePngFeatures]] codec, WAV payloads the
+    * payloads take the real [[decodeImageFeatures]] codec (PNG or JPEG), WAV payloads the
     * real [[decodeWavFeatures]] codec; everything else the deterministic
     * stub.
     */
@@ -191,7 +201,8 @@ object Multimodal {
         // stay queryable for triage.
         val decoded: Either[Throwable, Array[Float]] =
           try Right {
-            if (a.kind == "image" && isPng(a.payload)) decodePngFeatures(a.payload)
+            if (a.kind == "image" && (isPng(a.payload) || isJpeg(a.payload)))
+              decodeImageFeatures(a.payload)
             else if (a.kind == "audio" && isWav(a.payload)) decodeWavFeatures(a.payload)
             else decodeStub(a.payload)
           } catch { case scala.util.control.NonFatal(e) => Left(e) }
@@ -245,16 +256,19 @@ object Multimodal {
     out
   }
 
-  /** REAL image resize — decode via javax.imageio, NEAREST-NEIGHBOR
-    * resample with explicit integer source-index math (no Graphics2D
-    * filtering, whose kernels are JVM-implementation detail — this
-    * sampling is bit-deterministic everywhere), PNG re-encode. Source
-    * pixel for target (x, y) is (x·W/tw, y·H/th) in floor arithmetic —
-    * the same index rule as [[resizeStub]]'s byte sampling.
+  /** REAL image resize — decode via javax.imageio (PNG or JPEG, one
+    * sniffing `read`), NEAREST-NEIGHBOR resample with explicit integer
+    * source-index math (no Graphics2D filtering, whose kernels are
+    * JVM-implementation detail — this sampling is bit-deterministic
+    * everywhere), PNG re-encode. Thumbnails re-encode as PNG even from
+    * JPEG sources: PNG is lossless and byte-deterministic, where a JPEG
+    * encode bakes in encoder-implementation noise. Source pixel for
+    * target (x, y) is (x·W/tw, y·H/th) in floor arithmetic — the same
+    * index rule as [[resizeStub]]'s byte sampling.
     */
-  private[graft] def resizePng(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+  private[graft] def resizeImage(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, "PNG-signature payload failed to decode")
+    require(img != null, "image-signature payload failed to decode")
     val out = new java.awt.image.BufferedImage(tw, th,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -296,8 +310,8 @@ object Multimodal {
     in.mapPartitions { it =>
       it.map { a =>
         val thumb =
-          if (isPng(a.payload))
-            try resizePng(a.payload, targetW, targetH)
+          if (isPng(a.payload) || isJpeg(a.payload))
+            try resizeImage(a.payload, targetW, targetH)
             catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
           else resizeStub(a.payload, targetW, targetH)
         Thumb(a.asset_id, a.width, a.height, targetW, targetH, thumb)
@@ -330,7 +344,7 @@ object Multimodal {
     * format the JDK decodes natively, so this modality needs no native
     * libs either: open one ImageIO reader per payload, count frames, and
     * decode every `every`-th stored frame, re-encoding each as PNG so the
-    * sampled frames compose directly with [[decodePngFeatures]] (video →
+    * sampled frames compose directly with [[decodeImageFeatures]] (video →
     * keyframes → image features, the standard multimodal fan-out).
     *
     * Decodes STORED frames; a production build layering frame-composition

@@ -238,4 +238,79 @@ object Sampling {
         max(when(col("rk") === 1L, col("doc_id"))).as("first_doc"))
       .orderBy("epoch")
   }
+
+  // ——— DSIR importance weights ———
+
+  private val dsirBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Materialize the combined unigram counts of BOTH language models in
+    * ONE corpus pass — (term, n_s over every doc, n_t over target-domain
+    * docs) — so the vocab-sized grid and its one-row totals never re-scan
+    * the corpus (the [[NaiveBayes.ensureTrainCounts]] discipline: a
+    * multi-consumer relation recomputes its subtree per consumer in a
+    * static plan).
+    */
+  private def ensureDsirCounts(spark: SparkSession, sfDir: String,
+                               targetLang: String): String = {
+    val path = graft.util.Scratch.dir(spark,
+      s"graft_dsir_${targetLang}_" + Integer.toHexString(sfDir.hashCode))
+    dsirBuilt.getOrElseUpdate(path, {
+      Tables.documents(spark, sfDir)
+        .select(col("lang"),
+          graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_s"),
+          count(when(col("lang") === targetLang, 1)).as("n_t"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  /** Laplace-smoothed quantized log-likelihood in integer micro-nats —
+    * the [[NaiveBayes.llqExpr]] fragment over arbitrary column names.
+    */
+  private def llq(n: String, tot: String): String =
+    s"CAST(round(ln(CAST($n + 1 AS DOUBLE) / CAST($tot + v AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  /** q_dsir_weights: Data Selection via Importance Resampling (Xie et
+    * al. 2023, arXiv:2302.03169) — per-document importance weight
+    * w(doc) = Σ_tokens [log p_target(tok) − log p_source(tok)] under two
+    * Laplace-smoothed unigram LMs sharing the source vocabulary (target =
+    * the `targetLang` slice standing in for the curated target domain;
+    * source = the whole corpus). Documents that look like the target
+    * domain score high and survive the downstream resample
+    * ([[mixtureResample]]'s keep rule consumes exactly this ordering).
+    *
+    * Exactness follows the NB recipe: each per-term log-likelihood is
+    * quantized to integer micro-nats by the shared ln fragment, so the
+    * per-doc weight is an exact BIGINT sum — no order-dependent double
+    * accumulation, engine-identical. Scale: one corpus pass builds the
+    * materialized count table, the grid is vocab-sized with broadcast
+    * one-row totals, and scoring is token-stream ⋈ broadcast grid with
+    * map-side combine — the only data-sized exchange carries (doc)
+    * partials. Zero-token documents surface with w = 0, not silently
+    * dropped.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  targetLang: String = "en"): DataFrame = {
+    val cnt = spark.read.parquet(ensureDsirCounts(spark, sfDir, targetLang))
+    val tots = cnt.agg(sum("n_s").cast("long").as("tot_s"),
+      sum("n_t").cast("long").as("tot_t"), count(lit(1)).as("v"))
+    val grid = cnt.crossJoin(broadcast(tots))
+      .select(col("term"),
+        (expr(llq("n_t", "tot_t")) - expr(llq("n_s", "tot_s"))).as("dllq"))
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
+      .join(broadcast(grid), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("dllq").as("w_llq"))
+    Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("w_llq"), lit(0L)).as("w_llq"))
+      .orderBy("doc_id")
+  }
 }

@@ -791,6 +791,50 @@ object Similarity {
       .orderBy("actual", "predicted")
   }
 
+  /** q_hard_negatives: contrastive pair mining — for each query vector
+    * (the fixed `vec_id < nQueries` budget, the [[knnClassify]] scale
+    * contract), the best POSITIVE (nearest same-label vector) and the
+    * HARD NEGATIVE (nearest different-label vector: the impostor a
+    * contrastive loss most needs), plus their margin. This is the mining
+    * step of every embedding-training pipeline (triplet/InfoNCE batches
+    * are built from exactly these pairs).
+    *
+    * Scale posture: one corpus scan against the broadcast queries; the
+    * two argmaxes are conditional MAX aggregates over a (cosine, −vec_id)
+    * struct — struct ordering gives cosine DESC with lowest-id ties, and
+    * max is partially aggregable, so the only exchange carries one
+    * pre-combined struct pair per query (no per-query window funnel, no
+    * top-k state). NULL positive/negative (a label with one member, or a
+    * single-label corpus) stays NULL through the margin.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        coalesce(round(cosineNative(col("q_emb"), col("embedding")), 6),
+          lit(-2.0)).as("cosine"))
+    def best(cond: Column): Column =
+      max(when(cond, struct(col("cosine"), (-col("vec_id")).as("nid"))))
+    scored
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(best(col("label") === col("q_label")).as("pos"),
+        best(col("label") =!= col("q_label")).as("neg"))
+      .select(col("query_id"), col("q_label").as("label"),
+        (-col("pos.nid")).as("pos_id"), col("pos.cosine").as("pos_cos"),
+        (-col("neg.nid")).as("neg_id"), col("neg.cosine").as("neg_cos"),
+        // both operands are 6dp-rounded doubles, so the difference never
+        // lands on a rounding tie; +0.0 canonicalizes an exact-zero
+        // margin's sign (the driver hash sees the bit)
+        (round(col("pos.cosine") - col("neg.cosine"), 6) + lit(0.0))
+          .as("margin"))
+      .orderBy("query_id")
+  }
+
   // ——— Binary (sign-bit) quantization + Hamming prefilter ———
 
   /** Sign-bit words of a float vector: bit b of word w is set when

@@ -74,6 +74,29 @@ object Snapshots {
     writeManifest(root, 1, letters.map(_ -> "v1").toMap)
   }
 
+  // per-corpus letter list of the shared v1 build (≤ 26 entries)
+  private val v1Letters = scala.collection.concurrent.TrieMap[String, Manifest]()
+
+  /** Snapshot v1 WITHOUT re-running the index build: version directories
+    * are immutable by this design's own contract, so every snapshot root
+    * can SYMLINK its `v1/` at the one shared [[MaterializedIndex.ensure]]
+    * artifact (bit-identical to [[commitV1]]'s product — same
+    * `Indexer.writeIndex`) instead of paying a full corpus tokenize+write
+    * per query execution. Upserts only ever create sibling `v2/` dirs and
+    * new manifests; retiring the root deletes the LINK, never the shared
+    * files. [[commitV1]] stays for specs that exercise the real build and
+    * for [[expireSnapshots]] tests that must own their version dirs.
+    */
+  private def linkSharedV1(spark: SparkSession, sfDir: String, root: String): Unit = {
+    val data = MaterializedIndex.ensure(spark, sfDir)
+    Files.createSymbolicLink(Paths.get(root, "v1"), Paths.get(data))
+    val letters = v1Letters.getOrElseUpdate(sfDir,
+      spark.read.parquet(data)
+        .select(col("first_letter").cast("string")).distinct()
+        .collect().map(_.getString(0)).map(_ -> "v1").toMap)
+    writeManifest(root, 1, letters)
+  }
+
   /** Snapshot v2: copy-on-write upsert of [[commitV1]]'s snapshot. */
   private[graft] def commitUpsertV2(spark: SparkSession, sfDir: String, root: String,
                                     updatedDocs: DataFrame): Unit =
@@ -176,7 +199,7 @@ object Snapshots {
     deleteScratch.retire()
     val root = Files.createTempDirectory("graft_gdpr_").toFile.getAbsolutePath
     deleteScratch.defer(() => graft.util.Scratch.deleteRecursively(root))
-    commitV1(spark, sfDir, root)
+    linkSharedV1(spark, sfDir, root)
     val tombstones = Tables.documents(spark, sfDir)
       .filter(col("doc_id").isin(0, 1))
       .withColumn("text", lit(""))
@@ -202,7 +225,7 @@ object Snapshots {
     changesScratch.retire()
     val root = Files.createTempDirectory("graft_snapcdf_").toFile.getAbsolutePath
     changesScratch.defer(() => graft.util.Scratch.deleteRecursively(root))
-    commitV1(spark, sfDir, root)
+    linkSharedV1(spark, sfDir, root)
     val addendum = Tables.documents(spark, sfDir).filter(col("doc_id") === 1)
       .select(col("text").as("added_text"))
     val updated = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
@@ -230,7 +253,7 @@ object Snapshots {
     scratch.retire()
     val root = Files.createTempDirectory("graft_snapshots_").toFile.getAbsolutePath
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
-    commitV1(spark, sfDir, root)
+    linkSharedV1(spark, sfDir, root)
     val updated = Tables.documents(spark, sfDir)
       .filter(col("doc_id") === 0)
       .withColumn("text", concat(col("text"), lit(" graftmarker")))

@@ -77,16 +77,32 @@ object StreamingIndexer {
     * Scratch (staged copy + memory table) from the PREVIOUS invocation is
     * disposed first — see [[graft.util.ScratchSlot]].
     */
+  // staged single-file copies, memoized per (corpus dir, file): the copy
+  // is read-only for every drain (checkpoints and memory tables are
+  // per-invocation), so one copy serves every consumer and bench pass.
+  // Exit-deleted via Scratch.dir.
+  private val stagedCopies =
+    scala.collection.concurrent.TrieMap[(String, String), java.nio.file.Path]()
+  private def stagedCopy(spark: SparkSession, sfDir: String,
+                         file: String): java.nio.file.Path =
+    stagedCopies.getOrElseUpdate((sfDir, file), {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val watch = Paths.get(graft.util.Scratch.dir(spark,
+        s"graft_feed_${file.takeWhile(_ != '.')}_" +
+          Integer.toHexString(sfDir.hashCode)))
+      Files.createDirectories(watch)
+      Files.copy(Paths.get(sfDir, file),
+        watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
+      watch
+    })
+
   private[streaming] def drainToTable(
       spark: SparkSession, sfDir: String, file: String,
       prefix: String, slot: graft.util.ScratchSlot,
       mode: String = "complete") // append for joins — complete only fits aggregations
       (mkStream: (SparkSession, String) => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     slot.retire()
-    val watch = Files.createTempDirectory(s"graft_${prefix}_")
-    Files.copy(Paths.get(sfDir, file),
-      watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
+    val watch = stagedCopy(spark, sfDir, file)
     val table = s"graft_${prefix}_${runSeq.incrementAndGet()}"
     val ss = drainSession(spark)
     mkStream(ss, watch.toString).writeStream
@@ -96,9 +112,9 @@ object StreamingIndexer {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    slot.defer(
-      () => { ss.catalog.dropTempView(table); () },
-      () => graft.util.Scratch.deleteRecursively(watch))
+    // the staged copy is memoized (shared, exit-deleted) — only the
+    // memory table is per-invocation scratch
+    slot.defer(() => { ss.catalog.dropTempView(table); () })
     ss.table(table)
   }
 

@@ -77,33 +77,48 @@ object StreamingJoin {
     * reconstructed by a batch tail), and the batch interval-join oracle
     * checks the result bit-for-bit.
     */
-  def purchaseViewsOuterAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    outerScratch.retire()
-    val watch = java.nio.file.Files.createTempDirectory("graft_stream_ssouter_")
-    // stage the REAL events (the driver's raw parquet, read raw below) and
-    // a sentinel file carrying one far-future row PER ROLE; the sentinel's
-    // ts is encoded to MATCH the driver file's sniffed physical type so one
-    // declared stream schema reads both files
-    val staged = watch.resolve("a_events")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(sfDir, "events.parquet"),
-      staged, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val tsType = spark.read.parquet(staged.toString).schema("ts").dataType
-    val maxMs = Tables.events(spark, sfDir)
-      .agg(max(unix_millis(col("ts"))).as("m")).head().getLong(0)
-    val sentinelMs = maxMs + (4L * 3600 * 1000) // 2h watermark + 1h bound + 1h margin
-    Seq((-1L, "view"), (-2L, "purchase"))
-      .toDF("event_id", "event_type")
-      .select(col("event_id"), Tables.tsLiteral(sentinelMs, tsType).as("ts"),
-        col("event_id").as("user_id"), col("event_type"),
-        lit(0.0).as("value"), lit("").as("props"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(watch.resolve("z_sentinel").toString)
-    val now = System.currentTimeMillis()
-    Option(watch.resolve("z_sentinel").toFile.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .foreach(f => { f.setLastModified(now + 60_000); () })
+  // staged feed memoized per corpus dir (read-only for every drain; each
+  // drain has its own memory table) — exit-deleted via Scratch.dir, so
+  // per-invocation retire() only drops the memory table
+  private val outerStageMemo =
+    scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
 
+  private[graft] def stageOuterFeed(spark: SparkSession,
+                                    sfDir: String): java.nio.file.Path =
+    outerStageMemo.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val watch = java.nio.file.Paths.get(graft.util.Scratch.dir(spark,
+        "graft_ssouter_feed_" + Integer.toHexString(sfDir.hashCode)))
+      java.nio.file.Files.createDirectories(watch)
+      // stage the REAL events (the driver's raw parquet, read raw below)
+      // and a sentinel file carrying one far-future row PER ROLE; the
+      // sentinel's ts is encoded to MATCH the driver file's sniffed
+      // physical type so one declared stream schema reads both files
+      val staged = watch.resolve("a_events")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(sfDir, "events.parquet"),
+        staged, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val tsType = spark.read.parquet(staged.toString).schema("ts").dataType
+      val maxMs = Tables.events(spark, sfDir)
+        .agg(max(unix_millis(col("ts"))).as("m")).head().getLong(0)
+      val sentinelMs = maxMs + (4L * 3600 * 1000) // 2h watermark + 1h bound + 1h margin
+      Seq((-1L, "view"), (-2L, "purchase"))
+        .toDF("event_id", "event_type")
+        .select(col("event_id"), Tables.tsLiteral(sentinelMs, tsType).as("ts"),
+          col("event_id").as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(watch.resolve("z_sentinel").toString)
+      val now = System.currentTimeMillis()
+      Option(watch.resolve("z_sentinel").toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .foreach(f => { f.setLastModified(now + 60_000); () })
+      watch
+    })
+
+  def purchaseViewsOuterAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    outerScratch.retire()
+    val watch = stageOuterFeed(spark, sfDir)
+    val staged = watch.resolve("a_events")
     val table = s"graft_stream_ssouter_${outerSeq.incrementAndGet()}"
     val ss = StreamingIndexer.drainSession(spark)
     val src = Tables.eventsStream(ss, staged.toString, watch.toString + "/*",
@@ -128,9 +143,9 @@ object StreamingJoin {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    outerScratch.defer(
-      () => { ss.catalog.dropTempView(table); () },
-      () => graft.util.Scratch.deleteRecursively(watch))
+    // the staged feed is memoized (shared, exit-deleted) — only the
+    // memory table is per-invocation scratch
+    outerScratch.defer(() => { ss.catalog.dropTempView(table); () })
     ss.table(table)
       .filter(col("p_user") >= 0) // drop the sentinel's own rows
       .groupBy(col("event_id"), col("p_user").as("user_id"),

@@ -62,9 +62,9 @@ object StreamingSessionWindow {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    drainScratch.defer(
-      () => { ss.catalog.dropTempView(table); () },
-      () => graft.util.Scratch.deleteRecursively(watch))
+    // the staged feed is memoized (shared, exit-deleted) — only the
+    // memory table is per-invocation scratch
+    drainScratch.defer(() => { ss.catalog.dropTempView(table); () })
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms"))
     ss.table(table)
       .filter(col("user_id") >= 0)

@@ -127,12 +127,28 @@ object StreamingSessionize {
   /** Stage the events corpus as ONE parquet file plus the far-future
     * sentinel file (mtime-bumped past the corpus so the file source's
     * oldest-first ordering is explicit) — the drain staging shared with
-    * [[StreamingSessionWindow]]. Caller owns cleanup of the returned dir.
+    * [[StreamingSessionWindow]].
+    *
+    * MEMOIZED per corpus dir: the staged feed is read-only for every
+    * drain (each drain gets its own fresh checkpoint and memory table),
+    * so one copy serves both session mechanisms and every bench pass —
+    * without this, each of the 4 executions per bench re-wrote the whole
+    * events table. The dir lives under [[graft.util.Scratch.dir]]
+    * (deleted at JVM exit), NOT in a per-invocation ScratchSlot.
     */
-  private[streaming] def stageWithSentinel(
-      spark: SparkSession, sfDir: String): java.nio.file.Path = {
+  private val stageMemo =
+    scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
+  private[graft] def stageWithSentinel(
+      spark: SparkSession, sfDir: String): java.nio.file.Path =
+    stageMemo.getOrElseUpdate(sfDir,
+      stageWithSentinelInto(spark, sfDir, java.nio.file.Paths.get(
+        graft.util.Scratch.dir(spark,
+          "graft_sessions_feed_" + Integer.toHexString(sfDir.hashCode)))))
+
+  private def stageWithSentinelInto(
+      spark: SparkSession, sfDir: String,
+      watch: java.nio.file.Path): java.nio.file.Path = {
     import spark.implicits._
-    val watch = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
     val real = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"))
     real.coalesce(1).write.mode("overwrite")
@@ -173,9 +189,9 @@ object StreamingSessionize {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    drainScratch.defer(
-      () => { ss.catalog.dropTempView(table); () },
-      () => graft.util.Scratch.deleteRecursively(watch))
+    // the staged feed is memoized (shared, exit-deleted) — only the
+    // memory table is per-invocation scratch
+    drainScratch.defer(() => { ss.catalog.dropTempView(table); () })
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms"))
     ss.table(table)
       .filter(col("user_id") >= 0)

@@ -100,6 +100,33 @@ object Scratch {
     p
   }
 
+  /** Clone a directory tree with HARDLINKS (content copy as fallback, e.g.
+    * across filesystems): the way to hand a mutating consumer (an in-place
+    * partition upsert) its own private copy of an immutable build artifact
+    * without re-running — or re-copying — the build. Deleting or
+    * overwriting a link in the clone never touches the shared source
+    * files. `skip` filters top-level-relative names (sidecars like
+    * `_base_sig` that describe the SOURCE, not the clone).
+    */
+  def hardlinkTree(src: String, dst: String,
+                   skip: String => Boolean = _ => false): Unit = {
+    val srcP = java.nio.file.Paths.get(src)
+    val dstP = java.nio.file.Paths.get(dst)
+    Files.createDirectories(dstP)
+    val walk = Files.walk(srcP)
+    try walk.forEach { p =>
+      val rel = srcP.relativize(p).toString
+      if (rel.nonEmpty && !skip(rel)) {
+        val target = dstP.resolve(rel)
+        if (Files.isDirectory(p)) { Files.createDirectories(target); () }
+        else try { Files.createLink(target, p); () }
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, target); ()
+        }
+      }
+    } finally walk.close()
+  }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

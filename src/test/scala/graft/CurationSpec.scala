@@ -96,4 +96,37 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(keep === Set(1L, 2L))
   }
+
+  test("dsirWeights == driver-side two-LM micro-nat recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split(" ", -1).toSeq
+        .map(_.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+    val all = docs.flatMap { case (_, l, t) => toks(t).map((l, _)) }
+    val nS = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nT = all.filter(_._1 == "en").groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    val totS = nS.values.sum; val totT = nT.values.sum
+    val v = nS.size.toLong
+    def llq(n: Long, tot: Long): Long =
+      math.round(math.log((n + 1).toDouble / (tot + v).toDouble) * 1e6)
+    val dllq = nS.keys.map(t =>
+      t -> (llq(nT.getOrElse(t, 0L), totT) - llq(nS(t), totS))).toMap
+    val want = docs.map { case (id, lang, t) =>
+      val ts = toks(t)
+      (id, lang, ts.length.toLong, ts.map(dllq).sum)
+    }.toSet
+    val got = Sampling.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === want)
+    // target-domain docs must score higher on average — the signal DSIR
+    // resampling exists to exploit
+    val byLang = got.groupBy(_._2).view
+      .mapValues(g => g.map(_._4).sum.toDouble / g.size).toMap
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
+      s"en mean weight not dominant: $byLang")
+  }
 }

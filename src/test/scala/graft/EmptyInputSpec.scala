@@ -71,10 +71,13 @@ class EmptyInputSpec extends SparkTestBase {
     "q_knn_classify",
     "q_pca_top",
     "q_embed_drift",
-    // round-14: the composed IVF-PQ serve (empty index artifact) and the
-    // prototype classifier (zero prototypes → empty confusion matrix)
+    // round-14: the composed IVF-PQ serve (empty index artifact), the
+    // prototype classifier (zero prototypes → empty confusion matrix),
+    // mining over zero queries, LM weights over zero docs
     "q_ivfpq_topk",
-    "q_centroid_classify")
+    "q_centroid_classify",
+    "q_hard_negatives",
+    "q_dsir_weights")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

@@ -45,8 +45,10 @@ class LayoutInvarianceSpec extends SparkTestBase {
     "q_knn_classify", "q_pca_top", "q_mv_choose", "q_index_refresh",
     "q_embed_correlation", "q_label_centroids", "q_embed_drift",
     // round-14: ADC/cosine tie-break and prototype argmax must not depend
-    // on partitioning; the centroid collect reruns per layout
-    "q_ivfpq_topk", "q_centroid_classify")
+    // on partitioning; the centroid collect reruns per layout; the
+    // struct-max mining ties and the micro-nat LM sums likewise
+    "q_ivfpq_topk", "q_centroid_classify", "q_hard_negatives",
+    "q_dsir_weights")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

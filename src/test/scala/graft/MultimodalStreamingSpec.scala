@@ -94,6 +94,48 @@ class MultimodalStreamingSpec extends SparkTestBase {
       Multimodal.resizeStub(textBytes, 2, 2)))
   }
 
+  test("multimodal: real JPEG payloads decode through javax.imageio (features + resize)") {
+    // synthesize a genuine JPEG via the JDK's own encoder. JPEG is lossy,
+    // so pixel values are NOT asserted exactly like the PNG cases — but
+    // uniform images survive DCT quantization exactly at the block level,
+    // so all-black/all-white land fully in the first/last luma bin
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out), "no JPEG writer")
+      out.toByteArray
+    }
+    val black = jpeg(8, 8, 0x000000)
+    val white = jpeg(8, 8, 0xFFFFFF)
+    assert(Multimodal.isJpeg(black) && !Multimodal.isPng(black))
+    assert(!Multimodal.isJpeg("not a jpeg".getBytes("UTF-8")))
+    val in = Seq(
+      Multimodal.Asset(1L, "image", black, 8, 8),
+      Multimodal.Asset(2L, "image", white, 8, 8)).toDS()
+    val feats = Multimodal.extractFeaturesFrom(spark, in).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats(1L).decode_ok && feats(2L).decode_ok)
+    assert(feats(1L).features(0) === 1.0f,
+      "all-black JPEG must land fully in luma bin 0")
+    assert(feats(2L).features(Multimodal.FeatureDim - 1) === 1.0f,
+      "all-white JPEG must land fully in the last luma bin")
+    // resize: JPEG decodes, NN-resamples, re-encodes as PNG (lossless)
+    val thumbs = Multimodal.resizeImagesFrom(spark, in, 2, 2).collect()
+      .map(t => t.asset_id -> t).toMap
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(1L).thumb))
+    assert(Multimodal.isPng(thumbs(1L).thumb), "thumb re-encodes as PNG")
+    assert(dec.getWidth === 2 && dec.getHeight === 2)
+    assert((dec.getRGB(0, 0) & 0xFFFFFF) === 0x000000)
+    // a corrupt payload that SNIFFS as JPEG quarantines the row
+    val corrupt = java.util.Arrays.copyOf(black, 8)
+    val bad = Multimodal.extractFeaturesFrom(spark,
+      Seq(Multimodal.Asset(3L, "image", corrupt, 8, 8)).toDS()).collect().head
+    assert(!bad.decode_ok && bad.features.isEmpty && bad.decode_error.nonEmpty)
+  }
+
   test("multimodal: real WAV payloads decode through javax.sound.sampled to exact sample stats") {
     // synthesize genuine 16-bit PCM WAVs with known samples: asset 1 all
     // silence (amp 0, histogram bin 0), asset 2 full-scale (32767, last
@@ -226,7 +268,7 @@ class MultimodalStreamingSpec extends SparkTestBase {
     assert(real.forall(f => f.n_frames === 6 && f.decode_ok &&
       f.n_bytes === f.data.length && Multimodal.isPng(f.data)))
     val argmaxBins = real.map { f =>
-      val h = Multimodal.decodePngFeatures(f.data)
+      val h = Multimodal.decodeImageFeatures(f.data)
       assert(math.abs(h.sum - 1.0f) < 1e-6, "histogram mass")
       h.indexOf(h.max)
     }

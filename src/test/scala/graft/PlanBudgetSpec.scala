@@ -296,6 +296,13 @@ class PlanBudgetSpec extends SparkTestBase {
     // broadcast), ADC partial top-rerank agg + final top-k rides the same
     // query_id partitioning (rerank joins broadcast) + output order
     "q_ivfpq_topk" -> 2,
+    // mining: broadcast queries, conditional struct-max partial agg
+    // (O(1)/query crosses) + output order — corpus never shuffles
+    "q_hard_negatives" -> 2,
+    // grid side is vocab-sized (materialized counts + 1-row totals agg
+    // riding its broadcast); per-doc score agg + doc-metadata left-join
+    // exchange + output order — the token stream itself never shuffles
+    "q_dsir_weights" -> 4,
     // ONE dim-keyed exchange (both slices' conditional moments ride it)
     // + output order over d rows
     "q_embed_drift" -> 2,

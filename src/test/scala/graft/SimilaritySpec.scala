@@ -354,6 +354,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("hardNegatives == driver-side conditional argmax (ties to lowest id)") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else r6(dot / den)
+    }
+    val want = rows.filter(_._1 < 50).map { case (qid, q, ql) =>
+      def pick(cond: Int => Boolean): Option[(Long, Double)] = {
+        val cand = rows.filter { case (id, _, l) => id != qid && cond(l) }
+          .map { case (id, v, _) => (id, cos(q, v)) }
+        if (cand.isEmpty) None
+        else Some(cand.minBy { case (id, c) => (-c, id) })
+      }
+      val pos = pick(_ == ql); val neg = pick(_ != ql)
+      (qid, ql, pos.map(_._1), pos.map(_._2), neg.map(_._1), neg.map(_._2),
+        for (p <- pos; n <- neg) yield r6(p._2 - n._2) + 0.0)
+    }.toSet
+    val got = Similarity.hardNegatives(spark, sf).collect().map { r =>
+      def oL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def oD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), r.getInt(1), oL(2), oD(3), oL(4), oD(5), oD(6))
+    }.toSet
+    assert(got === want)
+    // the margin must actually be "hard": at least one query's impostor
+    // beats its positive on this isotropic corpus
+    assert(got.exists(_._7.exists(_ < 0)))
+  }
+
   test("embedStats covers every label once") {
     val got = Similarity.embedStats(spark, sf)
       .as[(Int, Long, Double)].collect()
