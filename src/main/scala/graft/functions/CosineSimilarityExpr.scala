@@ -63,9 +63,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
   // nullable even for non-null children: zero-norm input yields NULL, and
-  // so does a NULL ELEMENT — the HOF twin's null product poisons its
+  // so do a NULL ELEMENT and LENGTH-MISMATCHED inputs — the HOF twin's
+  // zip_with null-pads the short side and the null product poisons its
   // aggregate sum, and an unguarded getFloat/getDouble on a null slot
-  // reads stale UnsafeArrayData bits (silent garbage, not an error)
+  // reads stale UnsafeArrayData bits (silent garbage, not an error). A
+  // common-prefix cosine would hand a truncated embedding a REAL
+  // similarity — and possibly a top-k rank — the oracle never computes.
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = typeCheck(prettyName)
@@ -73,9 +76,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val xf = isFloat(left.dataType)
     val yf = isFloat(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -105,10 +109,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val denom = ctx.freshName("denom")
       val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $bad = $n != $y.numElements();
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  double $xi = ${genRead(x, left.dataType, i)};
          |  double $yi = ${genRead(y, right.dataType, i)};

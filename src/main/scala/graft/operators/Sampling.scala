@@ -241,29 +241,29 @@ object Sampling {
 
   // ——— DSIR importance weights ———
 
-  private val dsirBuilt = scala.collection.concurrent.TrieMap[String, String]()
-
   /** Materialize the combined unigram counts of BOTH language models in
     * ONE corpus pass — (term, n_s over every doc, n_t over target-domain
     * docs) — so the vocab-sized grid and its one-row totals never re-scan
     * the corpus (the [[NaiveBayes.ensureTrainCounts]] discipline: a
     * multi-consumer relation recomputes its subtree per consumer in a
-    * static plan).
+    * static plan). Keyed on the corpus LISTING SIGNATURE, so a mutated
+    * corpus rebuilds the counts instead of joining a stale grid against
+    * the fresh token stream.
     */
   private def ensureDsirCounts(spark: SparkSession, sfDir: String,
                                targetLang: String): String = {
-    val path = graft.util.Scratch.dir(spark,
-      s"graft_dsir_${targetLang}_" + Integer.toHexString(sfDir.hashCode))
-    dsirBuilt.getOrElseUpdate(path, {
-      Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    graft.util.Scratch.memoizedDir(spark,
+      s"graft_dsir_${targetLang}_" + Integer.toHexString(sfDir.hashCode),
+      graft.sources.Tables.listingSig(docs)) { path =>
+      docs
         .select(col("lang"),
           graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
         .groupBy("term")
         .agg(count(lit(1)).as("n_s"),
           count(when(col("lang") === targetLang, 1)).as("n_t"))
         .write.mode("overwrite").parquet(path)
-      path
-    })
+    }
   }
 
   /** Laplace-smoothed quantized log-likelihood in integer micro-nats —

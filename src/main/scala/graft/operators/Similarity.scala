@@ -223,15 +223,26 @@ object Similarity {
     * folding over raw cosine expressions would evaluate each twice. Ties
     * break to the first (= lowest) cent_id: strictly-greater replaces.
     */
+  /** The ONE strictly-greater argmax fold every cell/prototype argmax in
+    * this module shares: cells are (score, id) structs in id-ascending
+    * order, the seed's score sits strictly below every reachable score
+    * (so even an all-floor array picks the FIRST cell), and
+    * strictly-greater replacement keeps the lowest id on ties. Field
+    * names/types stay the caller's — the invariant lives here once.
+    */
+  private def argmaxFold(cells: Column, seed: Column,
+                         scoreField: String, outField: String): Column =
+    aggregate(cells, seed,
+      (acc, x) => when(x.getField(scoreField) > acc.getField(scoreField), x)
+        .otherwise(acc),
+      acc => acc.getField(outField))
+
   private def assignExpr(cents: Seq[(Long, Seq[Float])], v: Column): Column = {
     val scoredCells = transform(typedlit(cents.sortBy(_._1)), c => struct(
       cosineNative(v, c.getField("_2")).as("best"),
       c.getField("_1").as("id")))
-    aggregate(scoredCells,
-      struct(lit(-2.0).as("best"), lit(-1L).as("id")),
-      (acc, x) => when(x.getField("best") > acc.getField("best"), x)
-        .otherwise(acc),
-      acc => acc.getField("id"))
+    argmaxFold(scoredCells,
+      struct(lit(-2.0).as("best"), lit(-1L).as("id")), "best", "id")
   }
 
   private def assignCells(emb: DataFrame,
@@ -371,14 +382,12 @@ object Similarity {
     * in the oracle).
     */
   private def argmaxCell(scores: Column): Column =
-    aggregate(
+    argmaxFold(
       zip_with(scores, sequence(lit(0), lit(ServeCells - 1)),
         (s, i) => struct(s.as("s"), i.as("i"))),
       // seed strictly below the −2.0 zero-norm floor so even an all-floor
       // score array assigns cell 0 (ties keep the first/lowest id)
-      struct(lit(-3.0).as("s"), lit(-1).as("i")),
-      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc),
-      acc => acc.getField("i"))
+      struct(lit(-3.0).as("s"), lit(-1).as("i")), "s", "i")
 
   /** IVF serving against the fixed centroid table: assign every corpus
     * vector to its nearest cell (a pure projection — the corpus never
@@ -779,11 +788,8 @@ object Similarity {
       coalesce(round(cosineNative(col("embedding"), c.getField("_2")), 6),
         lit(-2.0)).as("score"),
       c.getField("_1").as("lbl")))
-    val predicted = aggregate(scoredCells,
-      struct(lit(-3.0).as("score"), lit(-1).as("lbl")),
-      (acc, x) => when(x.getField("score") > acc.getField("score"), x)
-        .otherwise(acc),
-      acc => acc.getField("lbl"))
+    val predicted = argmaxFold(scoredCells,
+      struct(lit(-3.0).as("score"), lit(-1).as("lbl")), "score", "lbl")
     Tables.embeddings(spark, sfDir)
       .select(col("label").as("actual"), predicted.as("predicted"))
       .groupBy(col("actual"), col("predicted"))
@@ -820,11 +826,17 @@ object Similarity {
           lit(-2.0)).as("cosine"))
     def best(cond: Column): Column =
       max(when(cond, struct(col("cosine"), (-col("vec_id")).as("nid"))))
-    scored
-      .groupBy(col("query_id"), col("q_label"))
+    val mined = scored
+      .groupBy(col("query_id"))
       .agg(best(col("label") === col("q_label")).as("pos"),
         best(col("label") =!= col("q_label")).as("neg"))
-      .select(col("query_id"), col("q_label").as("label"),
+    // EVERY query emits a row — a query with no candidates at all (a
+    // single-vector corpus) must still surface with NULL pos/neg, exactly
+    // like the oracle's LEFT JOIN from the query set; aggregating the
+    // cross join alone would silently drop it
+    q.select(col("query_id"), col("q_label").as("label"))
+      .join(broadcast(mined), Seq("query_id"), "left")
+      .select(col("query_id"), col("label"),
         (-col("pos.nid")).as("pos_id"), col("pos.cosine").as("pos_cos"),
         (-col("neg.nid")).as("neg_id"), col("neg.cosine").as("neg_cos"),
         // both operands are 6dp-rounded doubles, so the difference never

@@ -95,4 +95,16 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** File-listing signature of a table's base relation — the staleness
+    * fingerprint every memoized artifact keys on (the `_base_sig`
+    * discipline): same files+sizes+mtimes ⟺ same signature. In-memory
+    * FileIndex metadata, no data read.
+    */
+  private[graft] def listingSig(df: DataFrame): String =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        graft.plans.AggRewriteRule.fileSig(lr)
+    }.flatten.getOrElse(
+      throw new IllegalStateException("relation has no file listing"))
 }

@@ -77,24 +77,25 @@ object StreamingIndexer {
     * Scratch (staged copy + memory table) from the PREVIOUS invocation is
     * disposed first — see [[graft.util.ScratchSlot]].
     */
-  // staged single-file copies, memoized per (corpus dir, file): the copy
-  // is read-only for every drain (checkpoints and memory tables are
-  // per-invocation), so one copy serves every consumer and bench pass.
-  // Exit-deleted via Scratch.dir.
-  private val stagedCopies =
-    scala.collection.concurrent.TrieMap[(String, String), java.nio.file.Path]()
+  // staged single-file copies, memoized per (corpus dir, file) STATE —
+  // Scratch.memoizedDir keys on the source file's size+mtime, so the copy
+  // is rebuilt if the corpus file changes: it is read-only for every
+  // drain (checkpoints and memory tables are per-invocation), so one copy
+  // serves every consumer and bench pass. Exit-deleted.
   private def stagedCopy(spark: SparkSession, sfDir: String,
-                         file: String): java.nio.file.Path =
-    stagedCopies.getOrElseUpdate((sfDir, file), {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val watch = Paths.get(graft.util.Scratch.dir(spark,
-        s"graft_feed_${file.takeWhile(_ != '.')}_" +
-          Integer.toHexString(sfDir.hashCode)))
+                         file: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sfDir, file)
+    val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    Paths.get(graft.util.Scratch.memoizedDir(spark,
+      s"graft_feed_${file.takeWhile(_ != '.')}_" +
+        Integer.toHexString(sfDir.hashCode), sig) { watchDir =>
+      val watch = Paths.get(watchDir)
       Files.createDirectories(watch)
-      Files.copy(Paths.get(sfDir, file),
-        watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
-      watch
+      Files.copy(src, watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
+      ()
     })
+  }
 
   private[streaming] def drainToTable(
       spark: SparkSession, sfDir: String, file: String,

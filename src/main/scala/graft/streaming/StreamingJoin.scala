@@ -77,18 +77,17 @@ object StreamingJoin {
     * reconstructed by a batch tail), and the batch interval-join oracle
     * checks the result bit-for-bit.
     */
-  // staged feed memoized per corpus dir (read-only for every drain; each
-  // drain has its own memory table) — exit-deleted via Scratch.dir, so
-  // per-invocation retire() only drops the memory table
-  private val outerStageMemo =
-    scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
-
+  // staged feed memoized per corpus STATE (read-only for every drain;
+  // each drain has its own memory table) — Scratch.memoizedDir keys on
+  // the events listing signature and exit-deletes, so per-invocation
+  // retire() only drops the memory table and a mutated corpus re-stages
   private[graft] def stageOuterFeed(spark: SparkSession,
                                     sfDir: String): java.nio.file.Path =
-    outerStageMemo.getOrElseUpdate(sfDir, {
+    java.nio.file.Paths.get(graft.util.Scratch.memoizedDir(spark,
+      "graft_ssouter_feed_" + Integer.toHexString(sfDir.hashCode),
+      Tables.listingSig(Tables.events(spark, sfDir))) { watchDir =>
       import spark.implicits._
-      val watch = java.nio.file.Paths.get(graft.util.Scratch.dir(spark,
-        "graft_ssouter_feed_" + Integer.toHexString(sfDir.hashCode)))
+      val watch = java.nio.file.Paths.get(watchDir)
       java.nio.file.Files.createDirectories(watch)
       // stage the REAL events (the driver's raw parquet, read raw below)
       // and a sentinel file carrying one far-future row PER ROLE; the
@@ -112,7 +111,7 @@ object StreamingJoin {
       Option(watch.resolve("z_sentinel").toFile.listFiles())
         .getOrElse(Array.empty[java.io.File])
         .foreach(f => { f.setLastModified(now + 60_000); () })
-      watch
+      ()
     })
 
   def purchaseViewsOuterAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {

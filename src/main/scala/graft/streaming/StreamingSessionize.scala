@@ -129,21 +129,23 @@ object StreamingSessionize {
     * oldest-first ordering is explicit) — the drain staging shared with
     * [[StreamingSessionWindow]].
     *
-    * MEMOIZED per corpus dir: the staged feed is read-only for every
-    * drain (each drain gets its own fresh checkpoint and memory table),
-    * so one copy serves both session mechanisms and every bench pass —
-    * without this, each of the 4 executions per bench re-wrote the whole
-    * events table. The dir lives under [[graft.util.Scratch.dir]]
-    * (deleted at JVM exit), NOT in a per-invocation ScratchSlot.
+    * MEMOIZED per corpus state ([[graft.util.Scratch.memoizedDir]], keyed
+    * on the events listing signature): the staged feed is read-only for
+    * every drain (each drain gets its own fresh checkpoint and memory
+    * table), so one copy serves both session mechanisms and every bench
+    * pass — without this, each of the 4 executions per bench re-wrote
+    * the whole events table — and a mutated corpus re-stages instead of
+    * serving stale events.
     */
-  private val stageMemo =
-    scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
   private[graft] def stageWithSentinel(
       spark: SparkSession, sfDir: String): java.nio.file.Path =
-    stageMemo.getOrElseUpdate(sfDir,
-      stageWithSentinelInto(spark, sfDir, java.nio.file.Paths.get(
-        graft.util.Scratch.dir(spark,
-          "graft_sessions_feed_" + Integer.toHexString(sfDir.hashCode)))))
+    java.nio.file.Paths.get(graft.util.Scratch.memoizedDir(spark,
+      "graft_sessions_feed_" + Integer.toHexString(sfDir.hashCode),
+      graft.sources.Tables.listingSig(
+        graft.sources.Tables.events(spark, sfDir))) { path =>
+      stageWithSentinelInto(spark, sfDir, java.nio.file.Paths.get(path))
+      ()
+    })
 
   private def stageWithSentinelInto(
       spark: SparkSession, sfDir: String,

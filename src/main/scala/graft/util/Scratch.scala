@@ -100,6 +100,31 @@ object Scratch {
     p
   }
 
+  // path → the input signature it was last built from
+  private val memoDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Memoized per-process STAGING directory: `populate` runs once per
+    * (name, signature) — callers re-enter for free while the signature
+    * (an input file-listing fingerprint) is unchanged, and a CHANGED
+    * signature rebuilds the staging rather than silently serving stale
+    * data (the `_base_sig` discipline of the materialized index, applied
+    * to every staged feed/count table). The dir lives under [[dir]]
+    * (exit-deleted), NOT in a per-invocation ScratchSlot: staged inputs
+    * are read-only for every consumer, so one copy serves all of them.
+    */
+  def memoizedDir(spark: org.apache.spark.sql.SparkSession, name: String,
+                  sig: String)(populate: String => Unit): String = {
+    val path = dir(spark, name)
+    if (!memoDirs.get(path).contains(sig)) {
+      deleteRecursively(path)
+      populate(path)
+      memoDirs.put(path, sig)
+      ()
+    }
+    path
+  }
+
   /** Clone a directory tree with HARDLINKS (content copy as fallback, e.g.
     * across filesystems): the way to hand a mutating consumer (an in-place
     * partition upsert) its own private copy of an immutable build artifact

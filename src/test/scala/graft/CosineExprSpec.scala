@@ -95,6 +95,15 @@ class CosineExprSpec extends SparkTestBase {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(2))
     assert(rows(0).isNullAt(1) && rows(0).isNullAt(3), "HOF parity on null element")
     assert(!rows(1).isNullAt(0) && rows(1).getDouble(2) === 5.0)
+    // LENGTH MISMATCH → NULL on cosine too (a truncated embedding must
+    // never earn a common-prefix similarity the HOF twin NULLs)
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(cosineNative(col("a"), col("b")).as("n"),
+        VectorFunctions.cosine(col("a"), col("b")).as("h"))
+      .collect().head
+    assert(mm.isNullAt(0))
+    assert(mm.isNullAt(1), "HOF twin should also be null (parity)")
     // interpreted eval path hits the same guard
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}

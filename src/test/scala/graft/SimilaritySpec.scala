@@ -392,6 +392,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.exists(_._7.exists(_ < 0)))
   }
 
+  test("hardNegatives: a query with no candidates still emits its row (NULL mined)") {
+    // single-vector corpus: the oracle LEFT JOINs from the query set, so
+    // the engine must surface query 0 with every mined column NULL — an
+    // aggregate over the empty cross join alone would drop the row
+    val dir = java.nio.file.Files.createTempDirectory("graft_hn_one_").toString
+    try {
+      Seq((0L, Seq(1.0f, 2.0f), 3)).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val rows = Similarity.hardNegatives(spark, dir).collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(0) === 0L && r.getInt(1) === 3)
+      assert((2 to 6).forall(r.isNullAt), "all mined columns must be NULL")
+    } finally graft.util.Scratch.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("embedStats covers every label once") {
     val got = Similarity.embedStats(spark, sf)
       .as[(Int, Long, Double)].collect()
