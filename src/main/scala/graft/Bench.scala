@@ -123,7 +123,9 @@ object Bench {
       "session_feed_materialize" ->
         (() => { graft.streaming.StreamingSessionize.stageWithSentinel(spark, sfDir); () }),
       "ssouter_feed_materialize" ->
-        (() => { graft.streaming.StreamingJoin.stageOuterFeed(spark, sfDir); () }))
+        (() => { graft.streaming.StreamingJoin.stageOuterFeed(spark, sfDir); () }),
+      "scrub_counts_materialize" ->
+        (() => { graft.operators.TextAnalysis.ensureScrubCounts(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

@@ -99,7 +99,11 @@ object Curate {
       .withColumn("rk", row_number().over(keeperRank))
       .filter(col("rk") === 1)
       .select("doc_id")
-    val survivors = TextAnalysis.spanScrubRelative(spark, sfDir)
+    // scrub COUNTS from the materialized artifact (built once per corpus
+    // state): this composition consumes only (doc_id, n_kept), so the
+    // token-gram scan is a build-time cost, not a per-serve one
+    val survivors = spark.read
+      .parquet(TextAnalysis.ensureScrubCounts(spark, sfDir))
       .select(col("doc_id"), col("n_kept"))
       .join(keepers, "doc_id")
       .filter(col("n_kept") >= minKept)

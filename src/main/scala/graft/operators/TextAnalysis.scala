@@ -950,6 +950,26 @@ object TextAnalysis {
         .select(col("sh").as("g")))
   }
 
+  /** MATERIALIZED per-doc scrub COUNTS of [[spanScrubRelative]] —
+    * (doc_id, n_tokens, n_kept) without the text reassembly (column
+    * pruning drops the collect_list when only counts are selected) —
+    * built once per corpus state: the downstream export composition
+    * ([[Curate.curatedShards]]) only consumes the counts, and paying the
+    * full token-gram scan per execution was the second-biggest tail
+    * entry. Keyed on the corpus listing signature like every memoized
+    * artifact; q_span_scrub / q_self_scrub keep computing their scrubs
+    * inline — the scrub itself is what THOSE queries test.
+    */
+  private[graft] def ensureScrubCounts(spark: SparkSession,
+                                       sfDir: String): String =
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_scrubcounts_" + Integer.toHexString(sfDir.hashCode),
+      graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { p =>
+      spanScrubRelative(spark, sfDir)
+        .select("doc_id", "n_tokens", "n_kept")
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** Row-local (doc_id, pos, tok, gram-starting-here) quadruples — the
     * gram is sliced out of the token array, no lead() window.
     */

@@ -182,10 +182,11 @@ class PlanBudgetSpec extends SparkTestBase {
     // drained cell read + base cell agg + outer cell join + psi + order —
     // all cell-table-sized after the one staged-file drain
     "q_streaming_drift" -> 5,
-    // the composed V3 pipeline: gram-df agg + threshold broadcast + the
-    // scrub's doc exchange + keeper window exchange + prefix-scan trio +
-    // shard agg/order — each stage's own budget, nothing multiplicative
-    "q_curated_shards" -> 11,
+    // the composed V3 pipeline, serving scrub COUNTS from the
+    // materialized artifact (the gram-df/scrub exchanges moved to the
+    // scrub_counts build): keeper window exchange + survivors join +
+    // prefix-scan trio + shard agg/order
+    "q_curated_shards" -> 7,
     // ONE doc exchange (the (g,pos)-sort repeat flag and the pos-sort
     // covered window both ride it) + order — no corpus-wide relation
     "q_self_scrub" -> 2,
