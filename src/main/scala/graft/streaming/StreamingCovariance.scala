@@ -39,10 +39,18 @@ object StreamingCovariance {
     val watch = root.resolve("watch")
     val cp = root.resolve("cp")
     val stateRoot = root.resolve("state")
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
-    emb.filter(col("vec_id") < splitAt).coalesce(1)
-      .write.parquet(watch.resolve("a").toString)
+    // the two vec_id-split batch files are a pure function of the corpus
+    // — memoized once per corpus state; each execution hardlink-assembles
+    // its own watch dir batch by batch (resume proof untouched)
+    val staged = graft.util.Scratch.memoizedDir(spark,
+      s"graft_cov_feed_${splitAt}_" + Integer.toHexString(sfDir.hashCode),
+      graft.sources.Tables.listingSig(Tables.embeddings(spark, sfDir))) { p =>
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      emb.filter(col("vec_id") < splitAt).coalesce(1).write.parquet(s"$p/a")
+      emb.filter(col("vec_id") >= splitAt).coalesce(1).write.parquet(s"$p/b")
+    }
+    graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
 
     val ss = StreamingIndexer.drainSession(spark)
     val schema = ss.read.parquet(watch.resolve("a").toString).schema
@@ -84,8 +92,7 @@ object StreamingCovariance {
         .awaitTermination()
 
     drain() // incarnation 1: the base history
-    emb.filter(col("vec_id") >= splitAt).coalesce(1)
-      .write.parquet(watch.resolve("b").toString)
+    graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
     drain() // incarnation 2 resumes the checkpoint: the delta only
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     // the count n must come back as BIGINT after the sum-merge roundtrip

@@ -166,11 +166,20 @@ object StreamingIndexer {
     val root = Files.createTempDirectory("graft_stream_resume_")
     val watch = root.resolve("watch")
     val cp = root.resolve("cp")
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val split = maxId / 2
-    docs.filter(col("doc_id") <= split).coalesce(1)
-      .write.parquet(watch.resolve("a").toString)
+    // the two doc-id-split batch files are a pure function of the corpus
+    // — memoized once per corpus state; each execution hardlink-assembles
+    // its own watch dir batch by batch (resume proof untouched)
+    val staged = graft.util.Scratch.memoizedDir(spark,
+      "graft_resume_feed_" + Integer.toHexString(sfDir.hashCode),
+      graft.sources.Tables.listingSig(
+        graft.sources.Tables.documents(spark, sfDir))) { p =>
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId / 2
+      docs.filter(col("doc_id") <= split).coalesce(1).write.parquet(s"$p/a")
+      docs.filter(col("doc_id") > split).coalesce(1).write.parquet(s"$p/b")
+    }
+    graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
     val ss = drainSession(spark)
     def drain(table: String): org.apache.spark.sql.streaming.StreamingQuery = {
       val q = postingsStream(ss, watch.toString + "/*").writeStream
@@ -188,8 +197,7 @@ object StreamingIndexer {
     ss.catalog.dropTempView(t1)
     // the "next crawl batch" lands; a NEW query incarnation resumes from
     // the same checkpoint
-    docs.filter(col("doc_id") > split).coalesce(1)
-      .write.parquet(watch.resolve("b").toString)
+    graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
     val t2 = s"graft_stream_resume_b_${resumeSeq.incrementAndGet()}"
     val q2 = drain(t2)
     // recentProgress is a ring buffer of the last

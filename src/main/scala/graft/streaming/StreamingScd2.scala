@@ -40,12 +40,22 @@ object StreamingScd2 {
     val watch = root.resolve("watch")
     val cp = root.resolve("cp")
     val stateRoot = root.resolve("state")
-    val split = lit(splitAt).cast("timestamp")
-    // stage through Tables.events so staged ts is plain µs TimestampType
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-    ev.filter(col("ts") < split).coalesce(1)
-      .write.parquet(watch.resolve("a").toString)
+    // the two time-split batch FILES are a pure function of the corpus —
+    // memoized once per corpus state (stage through Tables.events so
+    // staged ts is plain µs TimestampType); each execution assembles its
+    // own watch dir by HARDLINK, batch by batch, so the two-incarnation
+    // resume proof is untouched while the corpus writes happen once
+    val staged = graft.util.Scratch.memoizedDir(spark,
+      s"graft_scd2_feed_${splitAt.hashCode.toHexString}_" +
+        Integer.toHexString(sfDir.hashCode),
+      graft.sources.Tables.listingSig(Tables.events(spark, sfDir))) { p =>
+      val split = lit(splitAt).cast("timestamp")
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      ev.filter(col("ts") < split).coalesce(1).write.parquet(s"$p/a")
+      ev.filter(col("ts") >= split).coalesce(1).write.parquet(s"$p/b")
+    }
+    graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
 
     val ss = StreamingIndexer.drainSession(spark)
     val schema = ss.read.parquet(watch.resolve("a").toString).schema
@@ -74,8 +84,7 @@ object StreamingScd2 {
         .awaitTermination()
 
     drain() // incarnation 1: the base history
-    ev.filter(col("ts") >= split).coalesce(1)
-      .write.parquet(watch.resolve("b").toString)
+    graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
     drain() // incarnation 2 resumes the checkpoint: the delta only
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     spark.read.parquet(stateRoot.resolve(s"v$gen").toString)
