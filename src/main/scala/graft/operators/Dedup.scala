@@ -392,6 +392,10 @@ object Dedup {
       case None => df.localCheckpoint(true)
     }
 
+  /** Spec observability: rounds the last CC run took to converge. */
+  private[graft] val lastCcRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def dupClustersFromPairs(spark: SparkSession,
                                           pairs: DataFrame): DataFrame = {
     // symmetric edge list, materialized once — reused every round; the
@@ -433,13 +437,31 @@ object Dedup {
     // separate convergence action, no per-row UDF: the metric is a plain
     // aggregate Catalyst evaluates alongside the checkpoint write, and
     // max() is retry-idempotent so speculative tasks can't corrupt it.
+    //
+    // Each round takes min over THREE legs: the vertex's own label, its
+    // neighbors' labels (one-hop propagation — this leg alone already
+    // reaches the correct fixpoint: labels only decrease toward the
+    // component minimum, and at a fixpoint no neighbor offers a smaller
+    // label, so every component is uniformly labeled), and POINTER
+    // DOUBLING — the label of the vertex's current label (l(l(v))), a
+    // self-join of the vertex-sized label table that squares the hop
+    // distance per round. Long chains then converge in O(log diameter)
+    // rounds instead of O(diameter); at drain sizes each round is
+    // job-setup dominated, so halving rounds is the lever. The shortcut
+    // leg cannot change the fixpoint: it only ever offers labels already
+    // reachable by propagation (monotone, bounded below by the
+    // component min).
     while (!converged && iter < 50) {
       val obs = new org.apache.spark.sql.Observation(s"graft_cc_$iter")
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("l"), lit(false).as("own"))
+      val viaParent = labels.as("c")
+        .join(labels.as("p"), col("c.l") === col("p.v"))
+        .select(col("c.v").as("v"), col("p.l").as("l"), lit(false).as("own"))
       val next = roundCheckpoint(spark,
         labels.select(col("v"), col("l"), lit(true).as("own"))
           .unionAll(viaEdges)
+          .unionAll(viaParent)
           .repartition(nParts, col("v"))
           .groupBy("v")
           .agg(min("l").as("new_l"), max(when(col("own"), col("l"))).as("old_l"))
@@ -454,6 +476,7 @@ object Dedup {
       }
       iter += 1
     }
+    lastCcRounds.set(iter)
     val sizes = labels.groupBy(col("l").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))

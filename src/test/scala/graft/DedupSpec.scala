@@ -151,6 +151,21 @@ class DedupSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("dupClusters: pointer doubling converges a long chain in O(log d) rounds") {
+    // 65-vertex path graph: one-hop propagation alone needs 64 rounds to
+    // carry the min to the far end; the l(l(v)) shortcut leg squares hop
+    // distance per round, so convergence must land in ~log2(64)+slack
+    val n = 64
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClustersFromPairs(spark, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === (0 to n).map(i => (i.toLong, 0L, (n + 1).toLong)).toSet)
+    val rounds = Dedup.lastCcRounds.get()
+    assert(rounds <= 10,
+      s"CC took $rounds rounds on a 65-vertex chain — pointer doubling broken?")
+  }
+
   test("dupClusters with spark.graft.checkpointDir checkpoints reliably, same labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
     spark.conf.set("spark.graft.checkpointDir", dir)
