@@ -61,22 +61,22 @@ object Dedup {
   private[graft] def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(ensureShingles(spark, sfDir))
 
-  private val shinglesBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
-  private[graft] def ensureShingles(spark: SparkSession, sfDir: String): String = {
-    // keyed on the RESOLVED path (not sfDir) so a spark.graft.scratchDir
-    // change mid-JVM builds under the new root instead of serving the old
-    val path = graft.util.Scratch.dir(spark,
-      "graft_shingles_" + Integer.toHexString(sfDir.hashCode))
-    shinglesBuilt.getOrElseUpdate(path, {
+  private[graft] def ensureShingles(spark: SparkSession, sfDir: String): String =
+    // memoizedDir resolves under the CURRENT scratch root (a
+    // spark.graft.scratchDir change mid-JVM builds under the new root)
+    // and keys on the corpus listing signature: every downstream span op
+    // — including the sig-keyed scrub-counts artifact — must see shingles
+    // of the corpus as it is NOW, never a stale relation
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_shingles_" + Integer.toHexString(sfDir.hashCode),
+      graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .select(col("doc_id"),
           explode(array_distinct(shinglesOfTokens(col("ts"), 3))).as("sh"))
         .write.mode("overwrite").parquet(path)
-      path
-    })
-  }
+    }
 
   /** Exact-verify candidate pairs: intersect counts from the shingle index
     * restricted to candidates, Jaccard from |A|+|B|−|A∩B|. Shared by the
@@ -354,27 +354,24 @@ object Dedup {
     spark.read.parquet(ensureClusters(spark, sfDir, threshold))
       .orderBy("doc_id")
 
-  private val clustersBuilt =
-    scala.collection.concurrent.TrieMap[(String, Double), String]()
-
-  /** Cluster labels MATERIALIZED once per (corpus, threshold) per JVM —
+  /** Cluster labels MATERIALIZED once per (corpus state, threshold) —
     * like [[shingleIndex]]: the labeling is consumed by dup-cluster
     * reporting AND by corpus curation ([[Curate.curateCorpus]]), and the
     * PPJoin + propagation that produces it is the most expensive plan in
     * the suite; every consumer after the first reads a 3-column parquet.
+    * Keyed on the corpus listing signature so a mutated corpus relabels
+    * instead of serving stale clusters.
     */
   private[graft] def ensureClusters(spark: SparkSession, sfDir: String,
-                                    threshold: Double): String = {
-    val path = graft.util.Scratch.dir(spark,
+                                    threshold: Double): String =
+    graft.util.Scratch.memoizedDir(spark,
       "graft_dupclusters_" + Integer.toHexString(sfDir.hashCode) +
-        "_" + (threshold * 100).toInt)
-    clustersBuilt.getOrElseUpdate((path, threshold), {
+        "_" + (threshold * 100).toInt,
+      graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       dupClustersFromPairs(spark,
         ngramJaccardPairs(spark, sfDir, threshold).select("doc_a", "doc_b"))
         .write.mode("overwrite").parquet(path)
-      path
-    })
-  }
+    }
 
   /** Per-round lineage truncation for the CC loop. `localCheckpoint`
     * stores blocks on executors — fast, but an executor loss on a real
@@ -455,13 +452,18 @@ object Dedup {
       val obs = new org.apache.spark.sql.Observation(s"graft_cc_$iter")
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("l"), lit(false).as("own"))
-      val viaParent = labels.as("c")
-        .join(labels.as("p"), col("c.l") === col("p.v"))
-        .select(col("c.v").as("v"), col("p.l").as("l"), lit(false).as("own"))
+      // round 0's labels are the identity mapping, so l(l(v)) = l(v):
+      // the shortcut leg can't offer anything yet — skip its join
+      val withParent =
+        if (iter == 0) labels.select(col("v"), col("l"), lit(true).as("own"))
+        else labels.select(col("v"), col("l"), lit(true).as("own"))
+          .unionAll(labels.as("c")
+            .join(labels.as("p"), col("c.l") === col("p.v"))
+            .select(col("c.v").as("v"), col("p.l").as("l"),
+              lit(false).as("own")))
       val next = roundCheckpoint(spark,
-        labels.select(col("v"), col("l"), lit(true).as("own"))
+        withParent
           .unionAll(viaEdges)
-          .unionAll(viaParent)
           .repartition(nParts, col("v"))
           .groupBy("v")
           .agg(min("l").as("new_l"), max(when(col("own"), col("l"))).as("old_l"))

@@ -42,14 +42,15 @@ object StreamingCovariance {
     // the two vec_id-split batch files are a pure function of the corpus
     // — memoized once per corpus state; each execution hardlink-assembles
     // its own watch dir batch by batch (resume proof untouched)
-    val staged = graft.util.Scratch.memoizedDir(spark,
+    val staged = StreamingIndexer.ensureSplitFeed(spark,
       s"graft_cov_feed_${splitAt}_" + Integer.toHexString(sfDir.hashCode),
-      graft.sources.Tables.listingSig(Tables.embeddings(spark, sfDir))) { p =>
-      val emb = Tables.embeddings(spark, sfDir)
+      graft.sources.Tables.listingSig(Tables.embeddings(spark, sfDir)))(
+      a => Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-      emb.filter(col("vec_id") < splitAt).coalesce(1).write.parquet(s"$p/a")
-      emb.filter(col("vec_id") >= splitAt).coalesce(1).write.parquet(s"$p/b")
-    }
+        .filter(col("vec_id") < splitAt).coalesce(1).write.parquet(a),
+      b => Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= splitAt).coalesce(1).write.parquet(b))
     graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
 
     val ss = StreamingIndexer.drainSession(spark)

@@ -70,13 +70,24 @@ object StreamingIndexer {
     ss
   }
 
-  /** Stage one parquet file into a fresh watched directory, drain
-    * `mkStream(session, watchDir)` into a memory table with an
-    * AvailableNow trigger, and return the table. The stream MUST be built
-    * on the session handed to `mkStream` (a [[drainSession]] clone).
-    * Scratch (staged copy + memory table) from the PREVIOUS invocation is
-    * disposed first — see [[graft.util.ScratchSlot]].
+  /** The memoize-two-split-batches staging shared by every
+    * two-incarnation resume proof (scd2, covariance, the postings
+    * resume): the batch FILES are a pure function of the corpus, staged
+    * once per corpus state as `a/` and `b/` under one memoized dir; each
+    * execution hardlink-assembles its own watch dir batch by batch, so
+    * the checkpoint-resume semantics are per-execution while the corpus
+    * writes are not. Callers must build their name from VALUES (not
+    * hashCodes) of any parameters that change the split — hash-keyed
+    * names collide silently across parameterizations.
     */
+  private[streaming] def ensureSplitFeed(
+      spark: SparkSession, name: String, sig: String)(
+      writeA: String => Unit, writeB: String => Unit): String =
+    graft.util.Scratch.memoizedDir(spark, name, sig) { p =>
+      writeA(s"$p/a")
+      writeB(s"$p/b")
+    }
+
   // staged single-file copies, memoized per (corpus dir, file) STATE —
   // Scratch.memoizedDir keys on the source file's size+mtime, so the copy
   // is rebuilt if the corpus file changes: it is read-only for every
@@ -97,6 +108,13 @@ object StreamingIndexer {
     })
   }
 
+  /** Stage one parquet file into a memoized watched directory, drain
+    * `mkStream(session, watchDir)` into a memory table with an
+    * AvailableNow trigger, and return the table. The stream MUST be built
+    * on the session handed to `mkStream` (a [[drainSession]] clone).
+    * The previous invocation's memory table is disposed first — see
+    * [[graft.util.ScratchSlot]].
+    */
   private[streaming] def drainToTable(
       spark: SparkSession, sfDir: String, file: String,
       prefix: String, slot: graft.util.ScratchSlot,
@@ -169,15 +187,15 @@ object StreamingIndexer {
     // the two doc-id-split batch files are a pure function of the corpus
     // — memoized once per corpus state; each execution hardlink-assembles
     // its own watch dir batch by batch (resume proof untouched)
-    val staged = graft.util.Scratch.memoizedDir(spark,
-      "graft_resume_feed_" + Integer.toHexString(sfDir.hashCode),
-      graft.sources.Tables.listingSig(
-        graft.sources.Tables.documents(spark, sfDir))) { p =>
+    val staged = {
       val docs = graft.sources.Tables.documents(spark, sfDir)
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      val split = maxId / 2
-      docs.filter(col("doc_id") <= split).coalesce(1).write.parquet(s"$p/a")
-      docs.filter(col("doc_id") > split).coalesce(1).write.parquet(s"$p/b")
+      lazy val split =
+        docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      ensureSplitFeed(spark,
+        "graft_resume_feed_" + Integer.toHexString(sfDir.hashCode),
+        graft.sources.Tables.listingSig(docs))(
+        a => docs.filter(col("doc_id") <= split).coalesce(1).write.parquet(a),
+        b => docs.filter(col("doc_id") > split).coalesce(1).write.parquet(b))
     }
     graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
     val ss = drainSession(spark)

@@ -45,16 +45,24 @@ object StreamingScd2 {
     // staged ts is plain µs TimestampType); each execution assembles its
     // own watch dir by HARDLINK, batch by batch, so the two-incarnation
     // resume proof is untouched while the corpus writes happen once
-    val staged = graft.util.Scratch.memoizedDir(spark,
-      s"graft_scd2_feed_${splitAt.hashCode.toHexString}_" +
+    val staged = StreamingIndexer.ensureSplitFeed(spark,
+      // the split VALUE (sanitized) keys the name — a hashCode would
+      // silently collide across distinct splitAt parameterizations
+      s"graft_scd2_feed_${splitAt.replaceAll("\\W", "")}_" +
         Integer.toHexString(sfDir.hashCode),
-      graft.sources.Tables.listingSig(Tables.events(spark, sfDir))) { p =>
-      val split = lit(splitAt).cast("timestamp")
-      val ev = Tables.events(spark, sfDir)
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      ev.filter(col("ts") < split).coalesce(1).write.parquet(s"$p/a")
-      ev.filter(col("ts") >= split).coalesce(1).write.parquet(s"$p/b")
-    }
+      graft.sources.Tables.listingSig(Tables.events(spark, sfDir)))(
+      a => {
+        val split = lit(splitAt).cast("timestamp")
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .filter(col("ts") < split).coalesce(1).write.parquet(a)
+      },
+      b => {
+        val split = lit(splitAt).cast("timestamp")
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .filter(col("ts") >= split).coalesce(1).write.parquet(b)
+      })
     graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
 
     val ss = StreamingIndexer.drainSession(spark)

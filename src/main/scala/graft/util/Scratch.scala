@@ -103,6 +103,8 @@ object Scratch {
   // path → the input signature it was last built from
   private val memoDirs =
     scala.collection.concurrent.TrieMap[String, String]()
+  private val memoLocks =
+    scala.collection.concurrent.TrieMap[String, Object]()
 
   /** Memoized per-process STAGING directory: `populate` runs once per
     * (name, signature) — callers re-enter for free while the signature
@@ -112,15 +114,23 @@ object Scratch {
     * to every staged feed/count table). The dir lives under [[dir]]
     * (exit-deleted), NOT in a per-invocation ScratchSlot: staged inputs
     * are read-only for every consumer, so one copy serves all of them.
+    *
+    * Check-then-populate is serialized PER PATH: two first callers racing
+    * would otherwise interleave deleteRecursively with the other's
+    * populate/read (the reason the older ensure* memos used atomic
+    * getOrElseUpdate).
     */
   def memoizedDir(spark: org.apache.spark.sql.SparkSession, name: String,
                   sig: String)(populate: String => Unit): String = {
     val path = dir(spark, name)
-    if (!memoDirs.get(path).contains(sig)) {
-      deleteRecursively(path)
-      populate(path)
-      memoDirs.put(path, sig)
-      ()
+    val lock = memoLocks.getOrElseUpdate(path, new Object)
+    lock.synchronized {
+      if (!memoDirs.get(path).contains(sig)) {
+        deleteRecursively(path)
+        populate(path)
+        memoDirs.put(path, sig)
+        ()
+      }
     }
     path
   }
