@@ -69,18 +69,17 @@ object Graph {
       when(uRank < vRank, col("dv")).otherwise(col("du")).as("dst_deg"))
   }
 
-  private val edgesBuilt = scala.collection.concurrent.TrieMap[String, String]()
-
-  /** Materialize the oriented co-purchase edge relation once per sf. */
-  private[graft] def ensureEdges(spark: SparkSession, sfDir: String): String = {
-    val path = graft.util.Scratch.dir(spark,
-      "graft_graph_edges_" + Integer.toHexString(sfDir.hashCode))
-    edgesBuilt.getOrElseUpdate(path, {
+  /** Materialize the oriented co-purchase edge relation once per fact
+    * STATE (listing-signature-keyed, so a mutated lineitem re-derives the
+    * graph instead of serving stale edges).
+    */
+  private[graft] def ensureEdges(spark: SparkSession, sfDir: String): String =
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_graph_edges_" + graft.util.Scratch.valueToken(sfDir),
+      graft.sources.Tables.listingSig(Tables.lineitem(spark, sfDir))) { path =>
       orientedEdges(copurchaseEdges(spark, sfDir))
         .write.mode("overwrite").parquet(path)
-      path
-    })
-  }
+    }
 
   /** Per-vertex triangle participation counts from an oriented edge set
     * (src, dst, dst_deg) — EDGE-ITERATOR WITH INTERSECTION, not wedge

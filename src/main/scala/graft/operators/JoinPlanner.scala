@@ -49,11 +49,31 @@ object JoinPlanner {
     */
   def measuredJoin(fact: DataFrame, dim: DataFrame, cond: Column,
                    joinType: String = "inner"): DataFrame = {
+    fact.join(measuredSide(dim), cond, joinType)
+  }
+
+  /** USING-column variant of [[measuredJoin]] (one shared key column in
+    * the output, the shape the scoring joins need).
+    */
+  def measuredJoinUsing(fact: DataFrame, dim: DataFrame,
+                        usingCols: Seq[String],
+                        joinType: String = "inner"): DataFrame =
+    fact.join(measuredSide(dim), usingCols, joinType)
+
+  /** The measured decision itself: return `dim` broadcast-hinted when its
+    * MEASURED rows × schema width clear the threshold, bare (→ the
+    * optimizer's shuffle strategy) otherwise. This is the guard every
+    * model/vocabulary-grid scoring join must route through: a grid that is
+    * tiny at test scale is 10⁸–10⁹ rows on a web corpus (the Zipf tail of
+    * raw terms), and a FORCED `broadcast()` hint on it is an executor OOM,
+    * not a slow plan — Spark honors the hint regardless of size.
+    */
+  def measuredSide(dim: DataFrame): DataFrame = {
     val limit = thresholdBytes(dim.sparkSession)
     val estBytes = dim.count() * estimatedRowBytes(dim)
     val small = limit >= 0 && estBytes <= limit
     lastDecision = Some(small)
-    fact.join(if (small) broadcast(dim) else dim, cond, joinType)
+    if (small) broadcast(dim) else dim
   }
 
   /** Declared query: order revenue by market segment for platinum-balance

@@ -63,26 +63,25 @@ object NaiveBayes {
         (HashFunctions.knuthMod(col("doc_id"), 4294967296L) % 100 < TrainPct)
           .as("is_train"))
 
-  private val statsBuilt = scala.collection.concurrent.TrieMap[String, String]()
-
   /** Materialize the sufficient statistics — (lang, term, n) token counts
-    * over the TRAIN split — once per sf dir: the single corpus-sized pass.
-    * Model grid, vocab size, class totals, and the predict join all read
-    * this vocabulary-sized parquet instead of re-tokenizing the corpus.
+    * over the TRAIN split — once per corpus STATE: the single corpus-sized
+    * pass. Model grid, vocab size, class totals, and the predict join all
+    * read this vocabulary-sized parquet instead of re-tokenizing the
+    * corpus. Keyed on the corpus listing signature
+    * ([[graft.util.Scratch.memoizedDir]]) so a mutated corpus retrains
+    * instead of scoring fresh documents against a stale model.
     */
-  private[graft] def ensureTrainCounts(spark: SparkSession, sfDir: String): String = {
-    val path = graft.util.Scratch.dir(spark,
-      "graft_nb_counts_" + Integer.toHexString(sfDir.hashCode))
-    statsBuilt.getOrElseUpdate(path, {
+  private[graft] def ensureTrainCounts(spark: SparkSession, sfDir: String): String =
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_nb_counts_" + graft.util.Scratch.valueToken(sfDir),
+      Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       labeled(spark, sfDir)
         .where(col("is_train"))
         .select(col("lang"), explode(tokens(col("text"))).as("term"))
         .groupBy("lang", "term")
         .agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(path)
-      path
-    })
-  }
+    }
 
   /** The model: Laplace-smoothed quantized log-likelihoods on the FULL
     * vocab × class grid (zeros filled in, so unseen-in-class terms carry
@@ -121,17 +120,19 @@ object NaiveBayes {
     * in-vocabulary terms (exact BIGINT arithmetic end to end). The dot
     * product needs no (doc, term) pre-aggregation: summing llq once per
     * token OCCURRENCE is identical to k·llq per distinct term, so the
-    * token stream joins the BROADCAST model and partial aggregation
-    * collapses it map-side — the only data-sized exchange carries
-    * pre-combined (doc, class) partials. (For a vocab × classes grid too
-    * large to broadcast, drop the hint and the same plan shuffles on
-    * term.)
+    * token stream joins the model grid and partial aggregation collapses
+    * it map-side — the only data-sized exchange carries pre-combined
+    * (doc, class) partials. The vocab × classes grid is unbounded at
+    * corpus scale, so the broadcast decision is MEASURED
+    * ([[JoinPlanner.measuredSide]]): under the threshold the grid ships
+    * to every executor, over it the same plan shuffles on term instead
+    * of OOMing the executors with a forced hint.
     */
   private[graft] def scores(spark: SparkSession, sfDir: String): DataFrame = {
     val te = labeled(spark, sfDir).where(!col("is_train"))
-    val tokScores = te
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .join(broadcast(modelGrid(spark, sfDir)), "term")
+    val tokScores = JoinPlanner.measuredJoinUsing(
+      te.select(col("doc_id"), explode(tokens(col("text"))).as("term")),
+      modelGrid(spark, sfDir), Seq("term"))
       .groupBy(col("doc_id"), col("lang").as("cls"))
       .agg(sum(col("llq")).as("tok_llq"))
     te.select(col("doc_id"), col("lang").as("actual"))

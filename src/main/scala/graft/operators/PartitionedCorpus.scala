@@ -26,24 +26,22 @@ import graft.sources.Tables
   */
 object PartitionedCorpus {
 
-  private val built = scala.collection.concurrent.TrieMap[String, String]()
-
   /** Path of the lang-partitioned documents layout for `sfDir`, written on
-    * first use in this JVM (build-once/query-many, same lifecycle as
-    * [[MaterializedIndex.ensure]]). One shuffle on `lang` before the write
-    * so each partition directory holds one file per shuffle task that owns
-    * the lang — no small-file spray.
+    * first use per corpus STATE (listing-signature-keyed —
+    * build-once/query-many, same lifecycle as [[MaterializedIndex.ensure]],
+    * and a mutated corpus re-partitions instead of serving a stale
+    * layout). One shuffle on `lang` before the write so each partition
+    * directory holds one file per shuffle task that owns the lang — no
+    * small-file spray.
     */
-  def ensureLangPartitioned(spark: SparkSession, sfDir: String): String = {
-    val path = graft.util.Scratch.dir(spark,
-      "graft_langpart_" + Integer.toHexString(sfDir.hashCode))
-    built.getOrElseUpdate(path, {
+  def ensureLangPartitioned(spark: SparkSession, sfDir: String): String =
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_langpart_" + graft.util.Scratch.valueToken(sfDir),
+      graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       Tables.documents(spark, sfDir)
         .repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(path)
-      path
-    })
-  }
+    }
 
   /** Per-language rollup restricted to the languages whose MEAN document
     * length exceeds `minAvgChars` — the qualifying set is an aggregation

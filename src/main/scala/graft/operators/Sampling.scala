@@ -254,7 +254,7 @@ object Sampling {
                                targetLang: String): String = {
     val docs = Tables.documents(spark, sfDir)
     graft.util.Scratch.memoizedDir(spark,
-      s"graft_dsir_${targetLang}_" + Integer.toHexString(sfDir.hashCode),
+      s"graft_dsir_${targetLang}_" + graft.util.Scratch.valueToken(sfDir),
       graft.sources.Tables.listingSig(docs)) { path =>
       docs
         .select(col("lang"),
@@ -299,10 +299,18 @@ object Sampling {
     val grid = cnt.crossJoin(broadcast(tots))
       .select(col("term"),
         (expr(llq("n_t", "tot_t")) - expr(llq("n_s", "tot_s"))).as("dllq"))
-    val perDoc = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.explodedTokens(col("text")).as("term"))
-      .join(broadcast(grid), "term")
+    // the grid is the RAW-TERM vocabulary — unbounded at corpus scale
+    // (10⁸–10⁹ rows on a web crawl), so the broadcast decision is
+    // MEASURED, never forced: under the threshold the token stream scans
+    // map-side against the broadcast grid; over it the same plan takes a
+    // shuffle join on term (both sides hash-partition; the token side's
+    // exchange carries (doc_id, term) pairs, the same weight the map-side
+    // combine would read anyway)
+    val perDoc = JoinPlanner.measuredJoinUsing(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.explodedTokens(col("text")).as("term")),
+      grid, Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum("dllq").as("w_llq"))
     Tables.documents(spark, sfDir)

@@ -624,48 +624,37 @@ object Similarity {
   /** The codebooks literal, exposed for the native ADC kernel's spec. */
   private[graft] def pqBooksLit(dim: Int): Column = pqLit(dim)
 
-  // path → the corpus file-listing signature the codes were encoded from
-  private val pqBuilt = scala.collection.concurrent.TrieMap[String, String]()
-
   /** MATERIALIZED PQ codes — built per corpus STATE, exactly like
     * [[MaterializedIndex.ensure]]: in production the codes ARE the index
     * artifact (encode once offline, serve forever from the M-byte
     * codes), so re-encoding the corpus on every query — a full float
     * read plus the per-row subspace argmin math — was paying the build
-    * cost at serve time. A memoized-forever artifact would silently
-    * serve STALE codes after the corpus mutates, so each ensure compares
-    * the corpus file-listing signature against the one the codes were
-    * built from (the `_base_sig` discipline of the postings index; the
-    * listing is in-memory FileIndex metadata) and re-encodes on any
-    * mismatch. Codes are a deterministic pure function of the fixed
-    * codebooks, so serving from the parquet is value-identical to inline
-    * encoding (the q_pq_topk oracle hash proves it).
+    * cost at serve time. [[graft.util.Scratch.memoizedDir]] keys the
+    * artifact on the corpus file-listing signature (per-path-locked,
+    * exit-deleted, fresh generation on corpus mutation), so stale codes
+    * are structurally impossible and two concurrent first callers cannot
+    * interleave overwrite/read. Codes are a deterministic pure function
+    * of the fixed codebooks, so serving from the parquet is
+    * value-identical to inline encoding (the q_pq_topk oracle hash
+    * proves it).
     */
   private[graft] def ensurePqCodes(spark: SparkSession, sfDir: String): String = {
-    val path = graft.util.Scratch.dir(spark,
-      "graft_pqcodes_" + Integer.toHexString(sfDir.hashCode))
     val emb = Tables.embeddings(spark, sfDir)
-    val curSig = emb.queryExecution.analyzed
-      .collectFirst {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          graft.plans.AggRewriteRule.fileSig(lr)
-      }.flatten.getOrElse(
-        throw new IllegalStateException("embeddings base has no file listing"))
-    if (!pqBuilt.get(path).contains(curSig)) {
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_pqcodes_" + graft.util.Scratch.valueToken(sfDir),
+      Tables.listingSig(emb)) { path =>
       val dim = embeddingDim(spark, sfDir)
-      // the artifact carries the IVF cell id alongside the codes — one
-      // corpus pass builds the ENTIRE IVF-PQ index (cell + M-byte codes
-      // per vector), which is exactly the on-disk layout a production
-      // billion-vector tier ships: [[pqTopK]] prunes cent_id away,
-      // [[ivfPqTopK]] joins its probes against it
-      emb.select(col("vec_id"),
+      // the artifact carries the IVF cell id and the label alongside the
+      // codes — one corpus pass builds the ENTIRE filtered-IVF-PQ index
+      // (cell + metadata + M-byte codes per vector), which is exactly the
+      // on-disk layout a production billion-vector tier ships: [[pqTopK]]
+      // prunes cent_id away, [[ivfPqTopK]] joins its probes against it,
+      // [[filteredAnnTopK]] pushes its metadata predicate to this scan
+      emb.select(col("vec_id"), col("label"),
           argmaxCell(serveCellScores(col("embedding"), dim)).as("cent_id"),
           pqEncode(col("embedding"), dim).as("codes"))
         .write.mode("overwrite").parquet(path)
-      pqBuilt.put(path, curSig)
-      ()
     }
-    path
   }
 
   /** PQ-compressed top-k serving: read the MATERIALIZED codes (32×

@@ -74,7 +74,12 @@ object Snapshots {
     writeManifest(root, 1, letters.map(_ -> "v1").toMap)
   }
 
-  // per-corpus letter list of the shared v1 build (≤ 26 entries)
+  // per-(corpus, listing-signature) letter list of the shared v1 build
+  // (≤ 26 entries): keying on sfDir alone would serve a STALE manifest
+  // after a mid-JVM corpus mutation — MaterializedIndex.ensure rebuilds,
+  // but a letter missing from the rebuilt artifact would make
+  // readSnapshot fail on a nonexistent partition path, and a newly
+  // appearing letter would silently drop out of the snapshot
   private val v1Letters = scala.collection.concurrent.TrieMap[String, Manifest]()
 
   /** Snapshot v1 WITHOUT re-running the index build: version directories
@@ -90,7 +95,8 @@ object Snapshots {
   private def linkSharedV1(spark: SparkSession, sfDir: String, root: String): Unit = {
     val data = MaterializedIndex.ensure(spark, sfDir)
     Files.createSymbolicLink(Paths.get(root, "v1"), Paths.get(data))
-    val letters = v1Letters.getOrElseUpdate(sfDir,
+    val sig = graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))
+    val letters = v1Letters.getOrElseUpdate(s"$sfDir|$sig",
       spark.read.parquet(data)
         .select(col("first_letter").cast("string")).distinct()
         .collect().map(_.getString(0)).map(_ -> "v1").toMap)

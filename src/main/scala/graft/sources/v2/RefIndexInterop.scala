@@ -13,7 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object RefIndexInterop {
 
-  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Write the corpus postings in the reference's format
     * (`/root/reference/helper_reduce.c:238-256`: 26 files `a`…`z`, one
@@ -27,12 +26,14 @@ object RefIndexInterop {
     * the format allows.
     */
   private[graft] def ensureRefIndex(spark: SparkSession, sfDir: String): String =
-    built.getOrElseUpdate(sfDir, {
-      // per-process generation under the configurable scratch root (same
-      // concurrency rationale as [[graft.util.Scratch.dir]])
-      val dir = Paths.get(graft.util.Scratch.dir(spark,
-        "graft_refindex_" + Integer.toHexString(sfDir.hashCode)))
-      graft.util.Scratch.deleteRecursively(dir)
+    // memoized per corpus STATE (listing signature of the text corpus the
+    // postings derive from), per-path-locked and exit-deleted — a mutated
+    // corpus re-materializes instead of serving a stale interop index
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_refindex_" + graft.util.Scratch.valueToken(sfDir),
+      graft.sources.Tables.listingSig(
+        graft.operators.Indexer.postings(spark, sfDir))) { path =>
+      val dir = Paths.get(path)
       Files.createDirectories(dir)
       graft.operators.Indexer.postings(spark, sfDir)
         .select(substring(col("term"), 1, 1).as("first_letter"),
@@ -42,8 +43,7 @@ object RefIndexInterop {
         .option("path", dir.toString)
         .mode("overwrite")
         .save()
-      dir.toString
-    })
+    }
 
   private def readRefIndex(spark: SparkSession, sfDir: String): DataFrame =
     spark.read

@@ -46,10 +46,12 @@ object StreamingScd2 {
     // own watch dir by HARDLINK, batch by batch, so the two-incarnation
     // resume proof is untouched while the corpus writes happen once
     val staged = StreamingIndexer.ensureSplitFeed(spark,
-      // the split VALUE (sanitized) keys the name — a hashCode would
-      // silently collide across distinct splitAt parameterizations
-      s"graft_scd2_feed_${splitAt.replaceAll("\\W", "")}_" +
-        Integer.toHexString(sfDir.hashCode),
+      // the split VALUE keys the name via the collision-free token (bare
+      // sanitization would collapse '2024-01-01 00:00' variants differing
+      // only in non-word chars onto one memo dir; a hashCode would
+      // silently collide across distinct parameterizations)
+      s"graft_scd2_feed_${graft.util.Scratch.valueToken(splitAt)}_" +
+        graft.util.Scratch.valueToken(sfDir),
       graft.sources.Tables.listingSig(Tables.events(spark, sfDir)))(
       a => {
         val split = lit(splitAt).cast("timestamp")

@@ -100,9 +100,27 @@ object Scratch {
     p
   }
 
-  // path → the input signature it was last built from
-  private val memoDirs =
-    scala.collection.concurrent.TrieMap[String, String]()
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Collision-free naming token for a parameter VALUE (a corpus dir, a
+    * split timestamp): the sanitized tail keeps the name human-readable,
+    * the sha-256 prefix makes distinct values distinct even when
+    * sanitization collapses them ('2024-01-01 00' vs '2024-01-0100' both
+    * sanitize to the same digits) — the failure mode of both the
+    * `hashCode` convention (32-bit, collision-prone) and bare
+    * `replaceAll("\\W","")`.
+    */
+  def valueToken(s: String): String = {
+    val sane = s.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val tail = if (sane.length > 24) sane.substring(sane.length - 24) else sane
+    tail + "_" + sha256Hex(s).take(12)
+  }
+
+  // generation paths this process already populated
+  private val memoPopulated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val memoLocks =
     scala.collection.concurrent.TrieMap[String, Object]()
 
@@ -115,6 +133,16 @@ object Scratch {
     * (exit-deleted), NOT in a per-invocation ScratchSlot: staged inputs
     * are read-only for every consumer, so one copy serves all of them.
     *
+    * The signature is part of the PATH (a generation suffix), so a
+    * rebuild lands in a FRESH directory: a lazy DataFrame an earlier call
+    * returned keeps reading its own generation's files instead of hitting
+    * the new corpus' data — or FileNotFound — mid-scan when the rebuild
+    * would otherwise repopulate under the same path. Old generations are
+    * deleted at JVM exit like every other owned dir ([[dir]] registers
+    * them); mid-JVM corpus mutations are rare enough (tests, upsert
+    * proofs) that one superseded generation on disk is the right price
+    * for in-flight-reader atomicity.
+    *
     * Check-then-populate is serialized PER PATH: two first callers racing
     * would otherwise interleave deleteRecursively with the other's
     * populate/read (the reason the older ensure* memos used atomic
@@ -122,13 +150,16 @@ object Scratch {
     */
   def memoizedDir(spark: org.apache.spark.sql.SparkSession, name: String,
                   sig: String)(populate: String => Unit): String = {
-    val path = dir(spark, name)
+    val path = dir(spark, s"${name}_g${sha256Hex(sig).take(12)}")
     val lock = memoLocks.getOrElseUpdate(path, new Object)
     lock.synchronized {
-      if (!memoDirs.get(path).contains(sig)) {
+      if (!memoPopulated.contains(path)) {
+        // a dead dir can only be a same-pid crash remnant: nobody in this
+        // process has read it (it is not in memoPopulated), so clearing it
+        // before the first populate is safe
         deleteRecursively(path)
         populate(path)
-        memoDirs.put(path, sig)
+        memoPopulated.add(path)
         ()
       }
     }
