@@ -44,7 +44,9 @@ object Explain {
         // round-14: composed IVF-PQ serving, nearest-centroid classify,
         // contrastive mining, DSIR importance weights
         "q_ivfpq_topk", "q_centroid_classify", "q_hard_negatives",
-        "q_dsir_weights")
+        "q_dsir_weights",
+        // round-15: PII census/redaction and the PII-gated curation
+        "q_pii_scrub", "q_pii_curate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

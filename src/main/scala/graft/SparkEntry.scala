@@ -327,6 +327,10 @@ object SparkEntry {
     "q_pseudonym_join" -> ((s, d) => Privacy.ordersByPseudonym(s, d)),
     // k-anonymity: sub-k quasi-identifier classes suppressed, not dropped
     "q_kanon_release"  -> ((s, d) => Privacy.kAnonymousRelease(s, d, 5)),
+    // free-text PII census + redaction round-trip proof (residual = 0),
+    // and the PII-density gate composed into the curation pipeline
+    "q_pii_scrub"      -> ((s, d) => Privacy.piiScrub(s, d)),
+    "q_pii_curate"     -> ((s, d) => Privacy.piiCurate(s, d)),
     // — dedup —
     "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
     // the SAME dedup reduction (keeper = min id, group_size) computed by
@@ -2032,6 +2036,46 @@ object SparkEntry {
         |SELECT CAST((CAST(o_custkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS pseudo_key,
         |       n_orders, CAST(rev AS DOUBLE) AS revenue
         |FROM a ORDER BY pseudo_key""".stripMargin,
+    // PII census/redaction: the same augmentation fragment and the same
+    // RE2∩Java-safe patterns, DuckDB's 'g' flag matching Spark's
+    // replace-all semantics
+    "q_pii_scrub" -> Privacy.piiScrubOracleSql,
+    // curation composed with the PII-density gate: the recursive dedup
+    // core of q_curated_corpus + a per-doc PII count join
+    "q_pii_curate" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v),
+         |nl AS (SELECT v AS doc_id FROM labels WHERE cluster_id <> v),
+         |ek AS (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, sha256(text) AS fp FROM documents)
+         |       GROUP BY fp),
+         |pii AS (SELECT doc_id,
+         |               CAST(${Privacy.piiTotalSql("aug")} AS BIGINT) AS pii_total
+         |        FROM (SELECT doc_id,
+         |                     ${Privacy.piiAugSql(e => s"CAST($e AS VARCHAR)")} AS aug
+         |              FROM documents)),
+         |t AS (SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT t.doc_id, t.lang, t.n_tokens, pii.pii_total
+         |FROM t JOIN ek USING (doc_id) JOIN pii USING (doc_id)
+         |WHERE NOT EXISTS (SELECT 1 FROM nl WHERE nl.doc_id = t.doc_id)
+         |  AND t.n_tokens BETWEEN 10 AND 5000
+         |  AND pii.pii_total <= 1
+         |ORDER BY doc_id""".stripMargin,
     // — dedup —
     "q_exact_dedup" ->
       """WITH f AS (SELECT doc_id, sha256(text) AS fp FROM documents),

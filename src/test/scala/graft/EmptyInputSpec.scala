@@ -77,7 +77,10 @@ class EmptyInputSpec extends SparkTestBase {
     "q_ivfpq_topk",
     "q_centroid_classify",
     "q_hard_negatives",
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // round-15: PII census and the PII-gated curation over zero docs
+    "q_pii_scrub",
+    "q_pii_curate")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

@@ -48,7 +48,10 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // on partitioning; the centroid collect reruns per layout; the
     // struct-max mining ties and the micro-nat LM sums likewise
     "q_ivfpq_topk", "q_centroid_classify", "q_hard_negatives",
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // round-15: regex census counts and the PII-gated curation must not
+    // depend on partitioning (row-local detection, integer counts)
+    "q_pii_scrub", "q_pii_curate")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

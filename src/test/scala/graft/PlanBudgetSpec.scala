@@ -327,7 +327,14 @@ class PlanBudgetSpec extends SparkTestBase {
     // text column is never read, the corpus never tokenized — only the
     // term agg (+ the doc variant's output order) exchanges
     "q_index_rewrite" -> 1,
-    "q_index_rewrite_doc" -> 2
+    "q_index_rewrite_doc" -> 2,
+    // round-15. PII census: detection/redaction is row-local — the only
+    // exchanges are the source rollup agg + output order
+    "q_pii_scrub" -> 2,
+    // PII-gated curation: the curate-v1 subplan's fp-keeper agg + output
+    // order — the pii-count join is row-local and broadcasts (cluster
+    // labels served from the materialized parquet)
+    "q_pii_curate" -> 2
   )
 
   test("q_range_join never degenerates to a nested-loop join") {
