@@ -45,8 +45,9 @@ object Explain {
         // contrastive mining, DSIR importance weights
         "q_ivfpq_topk", "q_centroid_classify", "q_hard_negatives",
         "q_dsir_weights",
-        // round-15: PII census/redaction and the PII-gated curation
-        "q_pii_scrub", "q_pii_curate")
+        // round-15: PII census/redaction, the PII-gated curation, and
+        // predicate-pushed filtered ANN
+        "q_pii_scrub", "q_pii_curate", "q_filtered_ann")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

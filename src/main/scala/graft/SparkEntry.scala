@@ -382,6 +382,9 @@ object SparkEntry {
     // the composed production shape: IVF probes bound candidates, ADC
     // over materialized codes ranks them, exact cosine reranks the top 30
     "q_ivfpq_topk"     -> ((s, d) => Similarity.ivfPqTopK(s, d, 10, 10)),
+    // predicate + ANN: nearest among label<=4, predicate pushed to the
+    // codes scan BEFORE ADC scoring (plan-asserted in FilteredAnnSpec)
+    "q_filtered_ann"   -> ((s, d) => Similarity.filteredAnnTopK(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     // per-class mean embedding (prototypes) from exact integer moments
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -1056,6 +1059,87 @@ object SparkEntry {
        |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(range(1, len($b)+1),
        |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  /** The composed IVF-PQ oracle, parameterized by an extra candidate
+    * predicate (empty for q_ivfpq_topk; the metadata filter for
+    * q_filtered_ann) — one pipeline, two declared queries.
+    */
+  private def ivfPqOracleSql(candFilter: String): String =
+      s"""WITH cents(cent_id, c) AS (VALUES
+         |  $ivfCentroidValues),
+         |cb(m, c, w) AS (VALUES
+         |  $pqCodebookValues),
+         |sim AS (
+         |  SELECT vec_id, cent_id,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
+         |  FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           ${cosSql("e.embedding", "c.c")} AS s
+         |    FROM embeddings e CROSS JOIN cents c)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim WHERE vec_id < 10) WHERE rn <= 3),
+         |cand0 AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM assign a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.query_id$candFilter),
+         |dists AS (
+         |  SELECT e.vec_id, cb.m, cb.c,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i])
+         |              * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i]))) AS d
+         |  FROM embeddings e CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |sub AS (
+         |  SELECT k.vec_id, k.m, cb.w
+         |  FROM codes k JOIN cb ON cb.m = k.m AND cb.c = k.c),
+         |pairsums AS (
+         |  SELECT c0.query_id, s.vec_id, s.m,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i])
+         |              * (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i]))) AS pd
+         |  FROM cand0 c0
+         |  JOIN sub s        ON s.vec_id = c0.vec_id
+         |  JOIN embeddings q ON q.vec_id = c0.query_id),
+         |adc AS (
+         |  SELECT query_id, vec_id,
+         |         round(list_sum(list(pd ORDER BY m)), 6) AS adc_dist
+         |  FROM pairsums GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY adc_dist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 30),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |           round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
+         |    FROM cand c
+         |    JOIN embeddings e  ON e.vec_id  = c.vec_id
+         |    JOIN embeddings qe ON qe.vec_id = c.query_id)),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
 
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
@@ -2586,82 +2670,12 @@ object SparkEntry {
     // q_pq_topk CTEs (fixed codebooks → codes → ADC) rank them (asc, ties
     // lowest vec_id, 6dp-rounded before the rerank-30 cut), exact cosine
     // reranks the winners — every stage deterministic double arithmetic
-    "q_ivfpq_topk" ->
-      s"""WITH cents(cent_id, c) AS (VALUES
-         |  $ivfCentroidValues),
-         |cb(m, c, w) AS (VALUES
-         |  $pqCodebookValues),
-         |sim AS (
-         |  SELECT vec_id, cent_id,
-         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
-         |  FROM (
-         |    SELECT e.vec_id, c.cent_id,
-         |           ${cosSql("e.embedding", "c.c")} AS s
-         |    FROM embeddings e CROSS JOIN cents c)),
-         |assign AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                ORDER BY s DESC, cent_id) AS rn
-         |    FROM sim) WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                ORDER BY s DESC, cent_id) AS rn
-         |    FROM sim WHERE vec_id < 10) WHERE rn <= 3),
-         |cand0 AS (
-         |  SELECT p.query_id, a.vec_id
-         |  FROM assign a JOIN probes p USING (cent_id)
-         |  WHERE a.vec_id <> p.query_id),
-         |dists AS (
-         |  SELECT e.vec_id, cb.m, cb.c,
-         |         list_sum(list_transform(range(1, 9),
-         |           i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i])
-         |              * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i]))) AS d
-         |  FROM embeddings e CROSS JOIN cb),
-         |codes AS (
-         |  SELECT vec_id, m, c FROM (
-         |    SELECT vec_id, m, c,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
-         |    FROM dists) WHERE rn = 1),
-         |sub AS (
-         |  SELECT k.vec_id, k.m, cb.w
-         |  FROM codes k JOIN cb ON cb.m = k.m AND cb.c = k.c),
-         |pairsums AS (
-         |  SELECT c0.query_id, s.vec_id, s.m,
-         |         list_sum(list_transform(range(1, 9),
-         |           i -> (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i])
-         |              * (CAST(q.embedding[s.m*8 + i] AS DOUBLE) - s.w[i]))) AS pd
-         |  FROM cand0 c0
-         |  JOIN sub s        ON s.vec_id = c0.vec_id
-         |  JOIN embeddings q ON q.vec_id = c0.query_id),
-         |adc AS (
-         |  SELECT query_id, vec_id,
-         |         round(list_sum(list(pd ORDER BY m)), 6) AS adc_dist
-         |  FROM pairsums GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |                ORDER BY adc_dist, vec_id) AS rn
-         |    FROM adc) WHERE rn <= 30),
-         |scored AS (
-         |  SELECT query_id, vec_id,
-         |         CASE WHEN cosine IS NULL OR isnan(cosine)
-         |              THEN -2.0 ELSE cosine END AS cosine
-         |  FROM (
-         |    SELECT c.query_id, c.vec_id,
-         |           round(${cosSql("qe.embedding", "e.embedding")}, 6) AS cosine
-         |    FROM cand c
-         |    JOIN embeddings e  ON e.vec_id  = c.vec_id
-         |    JOIN embeddings qe ON qe.vec_id = c.query_id)),
-         |r AS (SELECT query_id, vec_id, cosine,
-         |             CAST(row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
-         |      FROM scored)
-         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
-         |ORDER BY query_id, rnk""".stripMargin,
+    "q_ivfpq_topk" -> ivfPqOracleSql(""),
+    // filtered ANN: identical pipeline, with the metadata predicate
+    // applied to the candidate set BEFORE ADC ranking (mirroring the
+    // engine-side pushed filter on the codes scan)
+    "q_filtered_ann" -> ivfPqOracleSql(
+      " AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label <= 4)"),
     // q_pq_topk: codebooks are embedded literals, sub-distances are exact
     // products + sequential sums, the ADC fold runs in subspace order on
     // both engines (list(pd ORDER BY m)), and the argmin/top-k tie rules

@@ -747,6 +747,49 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** q_filtered_ann: PREDICATE + ANN — production vector search is
+    * almost never bare top-k; it is "nearest among rows passing a
+    * metadata predicate" (lang = 'en', date range, tenant id). The
+    * predicate must prune BEFORE similarity scoring, not filter the
+    * top-k afterwards — post-filtering both wastes ADC work on excluded
+    * vectors and silently returns fewer than k rows when the excluded
+    * share is high. The [[ensurePqCodes]] artifact carries the metadata
+    * column alongside the codes precisely so the predicate lands on the
+    * CODES SCAN as a parquet pushed filter (plan-asserted in
+    * FilteredAnnSpec): at 100 TB the scan reads only row groups whose
+    * label stats survive, then only probed cells are ADC-scored, and
+    * floats are read for the rerank winners alone — the [[ivfPqTopK]]
+    * pipeline with the predicate composed at its cheapest point.
+    */
+  def filteredAnnTopK(spark: SparkSession, sfDir: String, nQueries: Int,
+                      k: Int, nprobe: Int = 3, rerank: Int = 30,
+                      maxLabel: Int = 4): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = spark.read.parquet(ensurePqCodes(spark, sfDir))
+      .filter(col("label") <= maxLabel)
+    val probes = serveProbes(emb, dim, nQueries, nprobe)
+    val scored = index.join(broadcast(probes), "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id"),
+        (-round(graft.functions.PqAdcExpr.pqAdcNative(
+          col("q_emb"), col("codes"), pqLit(dim)), 6)).as("s"))
+    val topn = udaf(new TopKByScore(rerank))
+    val cand = scored
+      .groupBy(col("query_id"))
+      .agg(topn(col("s"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("embedding").as("v_emb")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qq"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        coalesce(round(cosineNative(col("qq"), col("v_emb")), 6), lit(-2.0))
+          .as("cosine"))
+    topKPerQuery(rescored, k)
+  }
+
   /** q_centroid_classify: nearest-centroid classification — the consumer
     * the [[labelCentroids]] prototypes exist for. The L×d cell table is
     * metadata-sized at any corpus scale, so it collects once and rides

@@ -78,9 +78,11 @@ class EmptyInputSpec extends SparkTestBase {
     "q_centroid_classify",
     "q_hard_negatives",
     "q_dsir_weights",
-    // round-15: PII census and the PII-gated curation over zero docs
+    // round-15: PII census and the PII-gated curation over zero docs;
+    // filtered ANN over an empty codes artifact
     "q_pii_scrub",
-    "q_pii_curate")
+    "q_pii_curate",
+    "q_filtered_ann")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

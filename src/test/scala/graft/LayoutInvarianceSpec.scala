@@ -50,8 +50,9 @@ class LayoutInvarianceSpec extends SparkTestBase {
     "q_ivfpq_topk", "q_centroid_classify", "q_hard_negatives",
     "q_dsir_weights",
     // round-15: regex census counts and the PII-gated curation must not
-    // depend on partitioning (row-local detection, integer counts)
-    "q_pii_scrub", "q_pii_curate")
+    // depend on partitioning (row-local detection, integer counts);
+    // filtered ANN shares the ivfpq tie-break obligations
+    "q_pii_scrub", "q_pii_curate", "q_filtered_ann")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

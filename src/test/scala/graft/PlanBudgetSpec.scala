@@ -297,6 +297,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // broadcast), ADC partial top-rerank agg + final top-k rides the same
     // query_id partitioning (rerank joins broadcast) + output order
     "q_ivfpq_topk" -> 2,
+    // predicate + ANN: the pushed label filter adds ZERO exchanges —
+    // same budget as the unfiltered pipeline
+    "q_filtered_ann" -> 2,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
