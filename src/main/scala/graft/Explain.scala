@@ -47,7 +47,7 @@ object Explain {
         "q_dsir_weights",
         // round-15: PII census/redaction, the PII-gated curation, and
         // predicate-pushed filtered ANN
-        "q_pii_scrub", "q_pii_curate", "q_filtered_ann")
+        "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -385,6 +385,9 @@ object SparkEntry {
     // predicate + ANN: nearest among label<=4, predicate pushed to the
     // codes scan BEFORE ADC scoring (plan-asserted in FilteredAnnSpec)
     "q_filtered_ann"   -> ((s, d) => Similarity.filteredAnnTopK(s, d, 10, 10)),
+    // incremental ANN-index maintenance: append a batch, delta-encode
+    // ONLY the new file, serve the per-cell fingerprint — delta ≡ rebuild
+    "q_ivfpq_refresh"  -> ((s, d) => Similarity.ivfPqRefresh(s, d)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     // per-class mean embedding (prototypes) from exact integer moments
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -2676,6 +2679,50 @@ object SparkEntry {
     // engine-side pushed filter on the codes scan)
     "q_filtered_ann" -> ivfPqOracleSql(
       " AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label <= 4)"),
+    // incremental codes refresh: the oracle recomputes cells + codes over
+    // base ∪ the appended batch directly from the embedded literals, so a
+    // hash match proves the delta-encoded artifact equals a full rebuild
+    "q_ivfpq_refresh" ->
+      s"""WITH cents(cent_id, c) AS (VALUES
+         |  $ivfCentroidValues),
+         |cb(m, c, w) AS (VALUES
+         |  $pqCodebookValues),
+         |emb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+         |sim AS (
+         |  SELECT vec_id, cent_id,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
+         |  FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           ${cosSql("e.embedding", "c.c")} AS s
+         |    FROM emb e CROSS JOIN cents c)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |dists AS (
+         |  SELECT e.vec_id, cb.m, cb.c,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i])
+         |              * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i]))) AS d
+         |  FROM emb e CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |cks AS (SELECT vec_id, CAST(sum((c + 1) * (m + 1)) AS BIGINT) AS k
+         |        FROM codes GROUP BY vec_id)
+         |SELECT a.cent_id,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(a.vec_id) AS BIGINT) AS sum_ids,
+         |       CAST(sum(k) AS BIGINT) AS code_cks
+         |FROM assign a JOIN cks USING (vec_id)
+         |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin,
     // q_pq_topk: codebooks are embedded literals, sub-distances are exact
     // products + sequential sums, the ADC fold runs in subspace order on
     // both engines (list(pd ORDER BY m)), and the argmin/top-k tie rules

@@ -657,6 +657,126 @@ object Similarity {
     }
   }
 
+  // ——— Incremental PQ-codes maintenance ———
+  //
+  // [[ensurePqCodes]] rebuilds from scratch whenever the corpus mutates —
+  // correct, but at 100 TB a daily append batch must not re-encode the
+  // other 99.9% of the corpus. Codes are ROW-LOCAL (each vector's cell +
+  // codes is a pure function of that vector and the fixed literals), so
+  // the artifact is embarrassingly delta-able: encode ONLY the appended
+  // files' rows and append them to the codes parquet. Removals and
+  // rewrites fall back HONESTLY to a full re-encode (stored codes might
+  // describe vanished rows) — the same lifecycle as the postings index
+  // refresh ([[MaterializedIndex]] via [[graft.util.ListingDiff]]).
+
+  /** Artifact generation per corpus dir: the codes path + the corpus
+    * listing signature it covers. NOT the signature-less memo pattern:
+    * every read path below compares the stored signature against the
+    * CURRENT listing and refreshes/rebuilds on any mismatch.
+    */
+  private case class PqGen(path: String, sig: String)
+  private val pqGens = scala.collection.concurrent.TrieMap[String, PqGen]()
+  private val pqGenLocks = scala.collection.concurrent.TrieMap[String, Object]()
+
+  /** Spec observability: what the last ensure call did
+    * ("current" | "delta" | "full").
+    */
+  private[graft] val lastPqRefreshMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("none")
+
+  private def encodePq(df: DataFrame, dim: Int): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      argmaxCell(serveCellScores(col("embedding"), dim)).as("cent_id"),
+      pqEncode(col("embedding"), dim).as("codes"))
+
+  /** Generation-aware ensure: serve the current artifact when the corpus
+    * is unchanged; APPEND-encode exactly the new files when the corpus
+    * grew; full-rebuild into a fresh generation otherwise.
+    */
+  private[graft] def ensurePqCodesIncremental(spark: SparkSession,
+                                              sfDir: String): String = {
+    val lock = pqGenLocks.getOrElseUpdate(sfDir, new Object)
+    lock.synchronized {
+      val emb = Tables.embeddings(spark, sfDir)
+      val curSig = Tables.listingSig(emb)
+      val dim = embeddingDim(spark, sfDir)
+      def fullBuild(): String = {
+        // fresh sig-suffixed generation (the memoizedDir convention), so
+        // in-flight readers of an old generation never see a mid-scan swap
+        val path = graft.util.Scratch.dir(spark,
+          "graft_pqcodes_inc_" + graft.util.Scratch.valueToken(sfDir) +
+            "_g" + graft.util.Scratch.valueToken(curSig).takeRight(12))
+        encodePq(emb, dim).write.mode("overwrite").parquet(path)
+        lastPqRefreshMode.set("full")
+        pqGens.put(sfDir, PqGen(path, curSig))
+        path
+      }
+      pqGens.get(sfDir) match {
+        case Some(g) if g.sig == curSig =>
+          lastPqRefreshMode.set("current"); g.path
+        case Some(g) =>
+          graft.util.ListingDiff.deltaFiles(g.sig, curSig) match {
+            case Some(newFiles) if newFiles.nonEmpty =>
+              // append-only growth: encode the delta rows alone — the
+              // stored codes files are never touched (spec-asserted)
+              encodePq(spark.read.schema(emb.schema).parquet(newFiles: _*), dim)
+                .write.mode("append").parquet(g.path)
+              lastPqRefreshMode.set("delta")
+              pqGens.put(sfDir, PqGen(g.path, curSig))
+              g.path
+            case _ => fullBuild() // shrink/rewrite → honest full re-encode
+          }
+        case None => fullBuild()
+      }
+    }
+  }
+
+  /** Per-cell fingerprint of a codes artifact — (cent_id, n_vecs,
+    * sum_ids, code_cks): scalar rows any engine can sort and hash, with
+    * the checksum an order-free integer fold over every (subspace, code)
+    * pair, so ANY divergent code in any vector changes it.
+    */
+  private def pqArtifactFingerprint(art: DataFrame): DataFrame =
+    art.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vec_id")).as("sum_ids"),
+        sum(aggregate(
+          zip_with(col("codes"), sequence(lit(1), lit(PqM)),
+            (c, m) => (c + 1) * m),
+          lit(0), (acc, x) => acc + x).cast("long")).as("code_cks"))
+      .orderBy("cent_id")
+
+  private val pqRefreshStage =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q_ivfpq_refresh: the ANN-index maintenance lifecycle under one
+    * driver-checked oracle — stage a private copy of the embeddings,
+    * full-build the codes artifact, APPEND a deterministic batch (the
+    * 100 lowest vec_ids re-inserted under vec_id+10000), incrementally
+    * refresh (encodes the delta file only — spec-asserted: the base
+    * codes files stay byte-identical), and serve the per-cell
+    * fingerprint from the refreshed artifact. The oracle recomputes
+    * cells + codes over base ∪ the same batch from the embedded
+    * literals, so the hash match proves append-detection, delta-only
+    * encoding, AND delta ≡ rebuild in one row — the ANN twin of
+    * q_index_refresh.
+    */
+  def ivfPqRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = pqRefreshStage.getOrElseUpdate(sfDir, {
+      val d = graft.util.Scratch.dir(spark,
+        "graft_pqrefresh_base_" + graft.util.Scratch.valueToken(sfDir))
+      val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      raw.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      ensurePqCodesIncremental(spark, d)
+      raw.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 10000)
+        .coalesce(1).write.mode("append").parquet(s"$d/embeddings.parquet")
+      d
+    })
+    pqArtifactFingerprint(
+      spark.read.parquet(ensurePqCodesIncremental(spark, dir)))
+  }
+
   /** PQ-compressed top-k serving: read the MATERIALIZED codes (32×
     * smaller than the floats — see [[ensurePqCodes]]), broadcast the
     * full-precision queries, rank every corpus vector by ADC distance

@@ -82,7 +82,8 @@ class EmptyInputSpec extends SparkTestBase {
     // filtered ANN over an empty codes artifact
     "q_pii_scrub",
     "q_pii_curate",
-    "q_filtered_ann")
+    "q_filtered_ann",
+    "q_ivfpq_refresh")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

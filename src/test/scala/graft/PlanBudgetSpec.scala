@@ -300,6 +300,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // predicate + ANN: the pushed label filter adds ZERO exchanges —
     // same budget as the unfiltered pipeline
     "q_filtered_ann" -> 2,
+    // refresh SERVE plan: fingerprint agg over the artifact + output
+    // order (staging/encode are build-side, charged once)
+    "q_ivfpq_refresh" -> 2,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
