@@ -124,6 +124,8 @@ object Bench {
         (() => { graft.streaming.StreamingSessionize.stageWithSentinel(spark, sfDir); () }),
       "ssouter_feed_materialize" ->
         (() => { graft.streaming.StreamingJoin.stageOuterFeed(spark, sfDir); () }),
+      "token_grams_materialize" ->
+        (() => { graft.operators.TextAnalysis.ensureTokenGrams(spark, sfDir); () }),
       "scrub_counts_materialize" ->
         (() => { graft.operators.TextAnalysis.ensureScrubCounts(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>

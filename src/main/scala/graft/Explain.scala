@@ -47,7 +47,8 @@ object Explain {
         "q_dsir_weights",
         // round-15: PII census/redaction, the PII-gated curation, and
         // predicate-pushed filtered ANN
-        "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh")
+        "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh",
+        "q_scrub_report")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -353,6 +353,8 @@ object SparkEntry {
     "q_cluster_keep_longest" -> ((s, d) => Dedup.clusterKeepLongest(s, d, 0.8)),
     // C4-style span scrub: REMOVE tokens covered by cross-doc 3-grams
     "q_span_scrub"     -> ((s, d) => TextAnalysis.spanScrub(s, d)),
+    // per-source scrub audit served from the materialized scrub counts
+    "q_scrub_report"   -> ((s, d) => TextAnalysis.scrubReport(s, d)),
     // intra-doc repetition scrub: later same-doc 3-gram tellings removed
     "q_self_scrub"     -> ((s, d) => TextAnalysis.selfScrub(s, d)),
     // V3 capstone: retention → scrub → gate → shard manifest in one plan
@@ -2381,6 +2383,37 @@ object SparkEntry {
          |  WHERE b.n_chars <= a.n_chars AND b.n_distinct >= a.n_distinct
          |    AND (b.n_chars < a.n_chars OR b.n_distinct > a.n_distinct))
          |ORDER BY doc_id""".stripMargin,
+    // per-source scrub audit: the corpus-relative covered-window counts
+    // of the scrub-counts artifact, rolled up by source; kept_share is
+    // one double division rounded 6dp (NULL on a zero-token source)
+    "q_scrub_report" ->
+      s"""$shingleCte,
+         |thr AS (SELECT greatest(3, count(*) // 200) AS t FROM documents),
+         |shared AS (SELECT sh AS g FROM sh GROUP BY sh
+         |           HAVING count(*) >= (SELECT t FROM thr)),
+         |tg AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok,
+         |         CASE WHEN i + 2 <= len(ts)
+         |              THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS g
+         |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+         |), cov AS (
+         |  SELECT tg.doc_id, tg.pos,
+         |         max(CASE WHEN shared.g IS NOT NULL THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY tg.doc_id ORDER BY tg.pos
+         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tg LEFT JOIN shared ON tg.g = shared.g),
+         |kept AS (SELECT doc_id, count(*) AS n_tokens, sum(1 - covered) AS n_kept
+         |         FROM cov GROUP BY doc_id)
+         |SELECT d.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sum(k.n_kept), 0) AS BIGINT) AS n_kept,
+         |       CASE WHEN coalesce(sum(k.n_tokens), 0) = 0 THEN NULL
+         |            ELSE round(CAST(sum(k.n_kept) AS DOUBLE)
+         |                       / CAST(sum(k.n_tokens) AS DOUBLE), 6) END
+         |         AS kept_share
+         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_curated_shards" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter

@@ -52,7 +52,8 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // round-15: regex census counts and the PII-gated curation must not
     // depend on partitioning (row-local detection, integer counts);
     // filtered ANN shares the ivfpq tie-break obligations
-    "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh")
+    "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh",
+    "q_scrub_report")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -303,6 +303,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // refresh SERVE plan: fingerprint agg over the artifact + output
     // order (staging/encode are build-side, charged once)
     "q_ivfpq_refresh" -> 2,
+    // scrub audit serves the materialized counts: source agg + order
+    // (the counts join broadcasts; gram scan ran at build)
+    "q_scrub_report" -> 2,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
