@@ -338,6 +338,9 @@ object SparkEntry {
     // so the batch oracle applies bit-for-bit
     "q_streaming_dedup" -> ((s, d) => graft.streaming.StreamingDedup.dedupAvailableNow(s, d)),
     "q_neardup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.8)),
+    // eval-set decontamination: train docs covering ≥ half of a benchmark
+    // doc's shingles (benchmark side broadcasts — fixed-size at any scale)
+    "q_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
     // asymmetric: docs whose shingles are ≥90% subsumed by another doc
     "q_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d, 0.9)),
     "q_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d, 0.8)),
@@ -2178,6 +2181,24 @@ object SparkEntry {
         |g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keeper FROM f GROUP BY fp)
         |SELECT keeper AS doc_id, fp, CAST(group_size AS BIGINT) AS group_size
         |FROM g ORDER BY doc_id""".stripMargin,
+    // eval-set decontamination: directed containment with the fixed
+    // benchmark slice as the contained side
+    "q_decontaminate" ->
+      s"""$shingleCte,
+         |bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 3),
+         |bs AS (SELECT bench_id, count(*) AS n_bench_sh FROM bench GROUP BY 1),
+         |ov AS (
+         |  SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+         |  FROM sh t JOIN bench b USING (sh)
+         |  WHERE t.doc_id % 97 <> 3
+         |  GROUP BY 1, 2)
+         |SELECT ov.doc_id, ov.bench_id,
+         |       CAST(n_shared AS BIGINT) AS n_shared,
+         |       CAST(n_bench_sh AS BIGINT) AS n_bench_sh,
+         |       round(CAST(n_shared AS DOUBLE) / n_bench_sh, 6) AS containment
+         |FROM ov JOIN bs USING (bench_id)
+         |WHERE round(CAST(n_shared AS DOUBLE) / n_bench_sh, 6) >= 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin,
     "q_neardup_jaccard" ->
       s"""$shingleCte, inter AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter

@@ -212,6 +212,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_decontaminate: EVAL-SET DECONTAMINATION — the n-gram overlap
+    * check every LLM pipeline runs before training (the GPT-3 appendix-C
+    * / Llama procedure): a training document is CONTAMINATED when it
+    * covers at least `tau` of some benchmark document's distinct
+    * n-grams, because a near-copy of an eval item inside the training
+    * set silently inflates the benchmark. The "benchmark" here is the
+    * deterministic ~1% slice doc_id ≡ 3 (mod 97) (a stand-in both
+    * engines can name in SQL); training side = everything else.
+    *
+    * Shape: directed containment ([[containmentPairs]]' measure) with
+    * the BENCHMARK as the contained side — the decisive scale asymmetry:
+    * eval sets are fixed-size (KBs–MBs however big the corpus), so the
+    * benchmark shingle relation broadcasts and the check is ONE pass
+    * over the training shingles, never a corpus self-join. Output is one
+    * row per contaminated (train, bench) pair with the overlap share —
+    * what a pipeline quarantines or reports before the tokenizer runs.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    tau: Double = 0.5): DataFrame = {
+    val sh = shingleIndex(spark, sfDir)
+    val isBench = col("doc_id") % 97 === 3
+    val bench = sh.where(isBench)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val benchSizes = bench.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_bench_sh"))
+    sh.where(!isBench)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(benchSizes), "bench_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_bench_sh"), 6))
+      .filter(col("containment") >= tau)
+      .select("doc_id", "bench_id", "n_shared", "n_bench_sh", "containment")
+      .orderBy("doc_id", "bench_id")
+  }
+
   // MinHash parameters: k independent permutations h_j(x) = (a_j·x + b_j) mod p
   // over murmur3 shingle hashes; seeded so signatures are reproducible.
   private val MinhashP = 2147483647L // 2^31 − 1 (Mersenne prime)

@@ -53,6 +53,28 @@ class DedupSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("decontaminate == brute-force benchmark containment; bench side broadcasts") {
+    val shingles = graft.operators.Dedup.shingleIndex(spark, sf)
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val want = (for {
+      (b, sb) <- shingles.toSeq if b % 97 == 3
+      (t, st) <- shingles.toSeq if t % 97 != 3
+      c = (st & sb).size.toDouble / sb.size
+      cr = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cr >= 0.5
+    } yield (t, b, (st & sb).size.toLong, sb.size.toLong, cr)).toSet
+    assert(want.nonEmpty, "fixture has no contaminated doc to check")
+    val df = Dedup.decontaminate(spark, sf)
+    val got = df.as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // the scale contract: the benchmark side is fixed-size, so the
+    // overlap join must be a broadcast — never a corpus self-shuffle
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "benchmark shingles must broadcast")
+  }
+
   test("incrementalNeardup == exact batch-vs-corpus matches reduced to best match") {
     // ngramJaccardPairs is exact all-pairs; restrict it to (new=doc_id≡7
     // mod 10, old=rest) in either orientation and reduce per new doc to

@@ -84,7 +84,8 @@ class EmptyInputSpec extends SparkTestBase {
     "q_pii_curate",
     "q_filtered_ann",
     "q_ivfpq_refresh",
-    "q_scrub_report")
+    "q_scrub_report",
+    "q_decontaminate")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

@@ -306,6 +306,10 @@ class PlanBudgetSpec extends SparkTestBase {
     // scrub audit serves the materialized counts: source agg + order
     // (the counts join broadcasts; gram scan ran at build)
     "q_scrub_report" -> 2,
+    // decontamination: bench shingles broadcast (two tiny bench-side
+    // aggs) + the (train, bench) overlap agg + output order — the train
+    // shingle stream is scanned once and never self-joins
+    "q_decontaminate" -> 4,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
