@@ -144,11 +144,15 @@ object Dedup {
     // global (df, sh) order on both sides, so everything before the
     // match positions is disjoint). Keeping a pair only when its BEST
     // match position clears α cuts candidates ~3.4× on this corpus —
-    // and the expensive exact-verify join shrinks with them. The 1e-4
-    // slack keeps the integer bound sound under the verify step's
-    // 6dp-rounded Jaccard (a raw j marginally below t can round to t).
-    val alpha = ceil(lit(threshold / (1 + threshold)) *
-      (col("na") + col("nb")) - lit(1e-4))
+    // and the expensive exact-verify join shrinks with them. The verify
+    // step keeps raw j ≥ t − 5e-7 (its Jaccard rounds to 6dp before the
+    // compare), so the bound must be derived from the RELAXED threshold
+    // — a constant slack would be outgrown by (|A|+|B|) on multi-
+    // million-shingle documents; the 1e-9 absorbs double noise in the
+    // product itself.
+    val tEff = threshold - 5e-7
+    val alpha = ceil(lit(tEff / (1 + tEff)) *
+      (col("na") + col("nb")) - lit(1e-9))
     val cand = prefix.as("x").join(prefix.as("y"), "sh")
       .where(col("x.doc_id") < col("y.doc_id") &&
         least(col("x.n_sh"), col("y.n_sh")) >=
@@ -223,11 +227,16 @@ object Dedup {
     *
     * Shape: directed containment ([[containmentPairs]]' measure) with
     * the BENCHMARK as the contained side — the decisive scale asymmetry:
-    * eval sets are fixed-size (KBs–MBs however big the corpus), so the
-    * benchmark shingle relation broadcasts and the check is ONE pass
-    * over the training shingles, never a corpus self-join. Output is one
-    * row per contaminated (train, bench) pair with the overlap share —
-    * what a pipeline quarantines or reports before the tokenizer runs.
+    * a production eval set is fixed-size (KBs–MBs however big the
+    * corpus), so its shingle relation broadcasts and the check is ONE
+    * pass over the training shingles, never a corpus self-join. The
+    * test slice here is a corpus FRACTION though, so the broadcast is
+    * MEASURED ([[JoinPlanner.measuredSide]]), not forced: a bench side
+    * that outgrows the threshold takes a shuffle join on sh instead of
+    * OOMing executors — the same guard as the model-grid scoring joins.
+    * Output is one row per contaminated (train, bench) pair with the
+    * overlap share — what a pipeline quarantines or reports before the
+    * tokenizer runs.
     */
   def decontaminate(spark: SparkSession, sfDir: String,
                     tau: Double = 0.5): DataFrame = {
@@ -238,10 +247,10 @@ object Dedup {
     val benchSizes = bench.groupBy("bench_id")
       .agg(count(lit(1)).as("n_bench_sh"))
     sh.where(!isBench)
-      .join(broadcast(bench), "sh")
+      .join(JoinPlanner.measuredSide(bench), "sh")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(benchSizes), "bench_id")
+      .join(JoinPlanner.measuredSide(benchSizes), "bench_id")
       .withColumn("containment",
         round(col("n_shared").cast("double") / col("n_bench_sh"), 6))
       .filter(col("containment") >= tau)

@@ -762,9 +762,16 @@ object Similarity {
     * q_index_refresh.
     */
   def ivfPqRefresh(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = pqRefreshStage.getOrElseUpdate(sfDir, {
+    // the staging memo is keyed on (sfDir, SOURCE listing signature) —
+    // keying on sfDir alone would serve a stale staged copy (and a stale
+    // fingerprint) after a mid-JVM corpus mutation, the exact staleness
+    // class every other memo eliminates; the generation suffix gives
+    // each corpus state its own staging dir
+    val srcSig = Tables.listingSig(Tables.embeddings(spark, sfDir))
+    val dir = pqRefreshStage.getOrElseUpdate(s"$sfDir|$srcSig", {
       val d = graft.util.Scratch.dir(spark,
-        "graft_pqrefresh_base_" + graft.util.Scratch.valueToken(sfDir))
+        "graft_pqrefresh_base_" + graft.util.Scratch.valueToken(sfDir) +
+          "_g" + graft.util.Scratch.valueToken(srcSig).takeRight(12))
       val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
       raw.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
       ensurePqCodesIncremental(spark, d)
