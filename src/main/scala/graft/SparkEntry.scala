@@ -331,6 +331,10 @@ object SparkEntry {
     // and the PII-density gate composed into the curation pipeline
     "q_pii_scrub"      -> ((s, d) => Privacy.piiScrub(s, d)),
     "q_pii_curate"     -> ((s, d) => Privacy.piiCurate(s, d)),
+    // the same census maintained micro-batch by micro-batch (mergeable
+    // integer sums); drained state answers the identical batch oracle
+    "q_streaming_pii"  -> ((s, d) =>
+      graft.streaming.StreamingPii.piiCensusAvailableNow(s, d)),
     // — dedup —
     "q_exact_dedup"    -> ((s, d) => Dedup.exactDedup(s, d)),
     // the SAME dedup reduction (keeper = min id, group_size) computed by
@@ -2132,6 +2136,8 @@ object SparkEntry {
     // RE2∩Java-safe patterns, DuckDB's 'g' flag matching Spark's
     // replace-all semantics
     "q_pii_scrub" -> Privacy.piiScrubOracleSql,
+    // streaming census drain ≡ batch census: identical oracle
+    "q_streaming_pii" -> Privacy.piiScrubOracleSql,
     // curation composed with the PII-density gate: the recursive dedup
     // core of q_curated_corpus + a per-doc PII count join
     "q_pii_curate" ->

@@ -77,14 +77,14 @@ object BloomSkip {
   def ensureBloom(spark: SparkSession, sfDir: String): String = {
     val layout = Clustering.ensureClustered(spark, sfDir)
     val dir = new Path(graft.util.Scratch.root(spark),
-      "graft_lineitem_bloom_" + Integer.toHexString(sfDir.hashCode))
+      "graft_lineitem_bloom_" + graft.util.Scratch.valueToken(sfDir))
     val fs = fsOf(spark, dir)
     val layoutSuccess = new Path(layout, "_SUCCESS")
     lastEnsureWasCacheHit = mtimeOf(fs, new Path(dir, "_SUCCESS")) >=
       mtimeOf(fsOf(spark, layoutSuccess), layoutSuccess)
     if (!lastEnsureWasCacheHit) {
       val tmp = new Path(graft.util.Scratch.root(spark),
-        "graft_lineitem_bloom_" + Integer.toHexString(sfDir.hashCode) +
+        "graft_lineitem_bloom_" + graft.util.Scratch.valueToken(sfDir) +
           s"_build_p${graft.util.Scratch.procToken}")
       spark.read.parquet(layout)
         .select(input_file_name().as("file"), col("l_orderkey"))

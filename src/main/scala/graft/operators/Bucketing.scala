@@ -26,7 +26,7 @@ object Bucketing {
   val NumBuckets = 8
 
   private def tblName(prefix: String, sfDir: String): String =
-    prefix + "_" + Integer.toHexString(sfDir.hashCode)
+    prefix + "_" + graft.util.Scratch.valueToken(sfDir)
 
   /** Materialize orders + lineitem bucketed and bucket-sorted by order
     * key. Returns the two table names.

@@ -96,7 +96,7 @@ object Clustering {
   // through the Hadoop FileSystem API, so the SAME staleness logic works
   // on file://, hdfs://, s3a://, … paths.
   private def clusterDirName(sfDir: String): String =
-    s"graft_lineitem_z_v${LayoutVersion}_" + Integer.toHexString(sfDir.hashCode)
+    s"graft_lineitem_z_v${LayoutVersion}_" + graft.util.Scratch.valueToken(sfDir)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -143,7 +143,7 @@ object Clustering {
       // LayoutVersions (v1 had no version segment at all): a version bump
       // renames the cache dir, and without this each bump would strand one
       // full lineitem copy (plus manifest) per machine in the scratch root.
-      val hex = Integer.toHexString(sfDir.hashCode)
+      val hex = graft.util.Scratch.valueToken(sfDir)
       val keepPrefix = s"graft_lineitem_z_v${LayoutVersion}_$hex"
       if (fs.exists(root))
         fs.listStatus(root)

@@ -69,7 +69,7 @@ object Dedup {
     // — including the sig-keyed scrub-counts artifact — must see shingles
     // of the corpus as it is NOW, never a stale relation
     graft.util.Scratch.memoizedDir(spark,
-      "graft_shingles_" + Integer.toHexString(sfDir.hashCode),
+      "graft_shingles_" + graft.util.Scratch.valueToken(sfDir),
       graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
@@ -439,7 +439,7 @@ object Dedup {
   private[graft] def ensureClusters(spark: SparkSession, sfDir: String,
                                     threshold: Double): String =
     graft.util.Scratch.memoizedDir(spark,
-      "graft_dupclusters_" + Integer.toHexString(sfDir.hashCode) +
+      "graft_dupclusters_" + graft.util.Scratch.valueToken(sfDir) +
         "_" + (threshold * 100).toInt,
       graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       dupClustersFromPairs(spark,

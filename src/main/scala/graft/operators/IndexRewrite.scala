@@ -126,7 +126,7 @@ object IndexRewrite {
   def refreshedServe(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedBase.getOrElseUpdate(sfDir, {
       val d = graft.util.Scratch.dir(spark,
-        "graft_idx_refresh_base_" + Integer.toHexString(sfDir.hashCode))
+        "graft_idx_refresh_base_" + graft.util.Scratch.valueToken(sfDir))
       val raw = spark.read.parquet(s"$sfDir/documents.parquet")
       raw.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
       ensure(spark, d)

@@ -30,7 +30,7 @@ object MaterializedIndex {
     // storage on a real cluster — see [[graft.util.Scratch.root]]) is
     // honored even when it changes within one JVM
     val path = graft.util.Scratch.dir(spark,
-      "graft_index_" + Integer.toHexString(sfDir.hashCode))
+      "graft_index_" + graft.util.Scratch.valueToken(sfDir))
     built.getOrElseUpdate(path, {
       // capture the corpus listing THE BUILD READS — before the build, off
       // the same relation — and persist it beside the index: the rewrite
@@ -182,7 +182,7 @@ object MaterializedIndex {
     */
   def ensurePositional(spark: SparkSession, sfDir: String): String = {
     val path = graft.util.Scratch.dir(spark,
-      "graft_posindex_" + Integer.toHexString(sfDir.hashCode))
+      "graft_posindex_" + graft.util.Scratch.valueToken(sfDir))
     posBuilt.getOrElseUpdate(path, {
       graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id"),

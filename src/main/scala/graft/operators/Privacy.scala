@@ -113,9 +113,15 @@ object Privacy {
   /** Per-document PII counts + the redacted text + char accounting —
     * one row-local projection over the corpus scan.
     */
-  private[graft] def piiPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def piiPerDoc(spark: SparkSession, sfDir: String): DataFrame =
+    piiPerDocOf(Tables.documents(spark, sfDir))
+
+  /** [[piiPerDoc]] over an explicit (doc_id, lang, source, text) relation
+    * — the form a streaming micro-batch feeds.
+    */
+  private[graft] def piiPerDocOf(docs: DataFrame): DataFrame = {
     val aug = expr(piiAugSql(e => s"CAST($e AS STRING)"))
-    val d = Tables.documents(spark, sfDir)
+    val d = docs
       .select(col("doc_id"), col("lang"), col("source"), aug.as("aug"))
     val counts = PiiPatterns.map { case (n, p, _) =>
       size(regexp_extract_all(col("aug"), lit(p), lit(0))).cast("long")
@@ -143,7 +149,16 @@ object Privacy {
     * curation pipeline logs before shipping a corpus.
     */
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
-    piiPerDoc(spark, sfDir)
+    censusOf(piiPerDoc(spark, sfDir)).orderBy("source")
+
+  /** The per-source census reduction of a [[piiPerDocOf]] relation.
+    * Every output column is a plain SUM over per-doc integers, so the
+    * census is MERGEABLE: summing the censuses of disjoint batches
+    * equals the census of their union — the property the streaming
+    * maintenance ([[graft.streaming.StreamingPii]]) rides.
+    */
+  private[graft] def censusOf(perDoc: DataFrame): DataFrame =
+    perDoc
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pii_total") > 0, 1L).otherwise(0L)).as("n_docs_pii"),
@@ -153,7 +168,6 @@ object Privacy {
         sum(col("n_id")).as("n_id"),
         sum(col("len_raw") - length(col("scrubbed"))).as("chars_redacted"),
         sum(col("residual")).as("residual"))
-      .orderBy("source")
 
   /** Self-contained oracle for [[piiScrub]] (documents only): the same
     * augmentation fragment, the same patterns with DuckDB's 'g'

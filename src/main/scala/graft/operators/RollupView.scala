@@ -59,7 +59,7 @@ object RollupView {
 
   private def rootOf(spark: SparkSession, sfDir: String): String =
     graft.util.Scratch.dir(spark,
-      "graft_mv_hourly_" + Integer.toHexString(sfDir.hashCode))
+      "graft_mv_hourly_" + graft.util.Scratch.valueToken(sfDir))
 
   /** Build (once per JVM per sf dir) and register the view. */
   def ensure(spark: SparkSession, sfDir: String): String = {
@@ -210,7 +210,7 @@ object RollupView {
     */
   def ensureByType(spark: SparkSession, sfDir: String): String = {
     val root = graft.util.Scratch.dir(spark,
-      "graft_mv_bytype_" + Integer.toHexString(sfDir.hashCode))
+      "graft_mv_bytype_" + graft.util.Scratch.valueToken(sfDir))
     val (path, sig) = builtByType.getOrElseUpdate(root, {
       val df = byTypeViewDf(spark, sfDir)
       val s = baseSigOf(spark, df)
@@ -313,7 +313,7 @@ object RollupView {
   def refreshedServe(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedBase.getOrElseUpdate(sfDir, {
       val d = graft.util.Scratch.dir(spark,
-        "graft_mv_refresh_base_" + Integer.toHexString(sfDir.hashCode))
+        "graft_mv_refresh_base_" + graft.util.Scratch.valueToken(sfDir))
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       raw.coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
       ensure(spark, d)

@@ -963,7 +963,7 @@ object TextAnalysis {
   private[graft] def ensureScrubCounts(spark: SparkSession,
                                        sfDir: String): String =
     graft.util.Scratch.memoizedDir(spark,
-      "graft_scrubcounts_" + Integer.toHexString(sfDir.hashCode),
+      "graft_scrubcounts_" + graft.util.Scratch.valueToken(sfDir),
       graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { p =>
       spanScrubRelative(spark, sfDir)
         .select("doc_id", "n_tokens", "n_kept")

@@ -43,7 +43,7 @@ object StreamingCovariance {
     // — memoized once per corpus state; each execution hardlink-assembles
     // its own watch dir batch by batch (resume proof untouched)
     val staged = StreamingIndexer.ensureSplitFeed(spark,
-      s"graft_cov_feed_${splitAt}_" + Integer.toHexString(sfDir.hashCode),
+      s"graft_cov_feed_${splitAt}_" + graft.util.Scratch.valueToken(sfDir),
       graft.sources.Tables.listingSig(Tables.embeddings(spark, sfDir)))(
       a => Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))

@@ -100,7 +100,7 @@ object StreamingIndexer {
     val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
     Paths.get(graft.util.Scratch.memoizedDir(spark,
       s"graft_feed_${file.takeWhile(_ != '.')}_" +
-        Integer.toHexString(sfDir.hashCode), sig) { watchDir =>
+        graft.util.Scratch.valueToken(sfDir), sig) { watchDir =>
       val watch = Paths.get(watchDir)
       Files.createDirectories(watch)
       Files.copy(src, watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
@@ -192,7 +192,7 @@ object StreamingIndexer {
       lazy val split =
         docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       ensureSplitFeed(spark,
-        "graft_resume_feed_" + Integer.toHexString(sfDir.hashCode),
+        "graft_resume_feed_" + graft.util.Scratch.valueToken(sfDir),
         graft.sources.Tables.listingSig(docs))(
         a => docs.filter(col("doc_id") <= split).coalesce(1).write.parquet(a),
         b => docs.filter(col("doc_id") > split).coalesce(1).write.parquet(b))

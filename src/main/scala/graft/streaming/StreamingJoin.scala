@@ -84,7 +84,7 @@ object StreamingJoin {
   private[graft] def stageOuterFeed(spark: SparkSession,
                                     sfDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(graft.util.Scratch.memoizedDir(spark,
-      "graft_ssouter_feed_" + Integer.toHexString(sfDir.hashCode),
+      "graft_ssouter_feed_" + graft.util.Scratch.valueToken(sfDir),
       Tables.listingSig(Tables.events(spark, sfDir))) { watchDir =>
       import spark.implicits._
       val watch = java.nio.file.Paths.get(watchDir)

@@ -99,7 +99,7 @@ object StreamingMv {
     // durable copy (group-count-sized) so the rewrite registration never
     // points at this invocation's retired temp dirs
     val out = graft.util.Scratch.dir(spark,
-      "graft_mv_stream_" + Integer.toHexString(sfDir.hashCode))
+      "graft_mv_stream_" + graft.util.Scratch.valueToken(sfDir))
     spark.read.parquet(stateRoot.resolve(s"v$gen").toString)
       .coalesce(1).write.mode("overwrite").parquet(out)
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))

@@ -140,7 +140,7 @@ object StreamingSessionize {
   private[graft] def stageWithSentinel(
       spark: SparkSession, sfDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(graft.util.Scratch.memoizedDir(spark,
-      "graft_sessions_feed_" + Integer.toHexString(sfDir.hashCode),
+      "graft_sessions_feed_" + graft.util.Scratch.valueToken(sfDir),
       graft.sources.Tables.listingSig(
         graft.sources.Tables.events(spark, sfDir))) { path =>
       stageWithSentinelInto(spark, sfDir, java.nio.file.Paths.get(path))

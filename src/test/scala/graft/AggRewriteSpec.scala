@@ -157,7 +157,7 @@ class AggRewriteSpec extends SparkTestBase {
 
     RollupView.ensure(spark, dir)
     val stalePath = graft.util.Scratch.dir(spark,
-      "graft_mv_hourly_" + Integer.toHexString(dir.hashCode))
+      "graft_mv_hourly_" + graft.util.Scratch.valueToken(dir))
     assert(scanPaths(RollupView.byTypeServe(spark, dir))
       .exists(_.contains(stalePath)), "rewrite should fire on the fresh base")
 

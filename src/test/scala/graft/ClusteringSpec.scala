@@ -65,7 +65,9 @@ class ClusteringSpec extends SparkTestBase {
     // (column encoding, Z bit budget) must change the cache dir name so a
     // machine holding a pre-change /tmp copy rebuilds instead of serving it
     val dir = new java.io.File(Clustering.ensureClustered(spark, sf))
-    assert(dir.getName.matches("graft_lineitem_z_v\\d+_\\p{XDigit}+"),
+    // name = version segment + the collision-free corpus value token
+    // (sanitized tail + 12-hex sha prefix)
+    assert(dir.getName.matches("graft_lineitem_z_v\\d+_.+_\\p{XDigit}{12}"),
       s"expected a versioned layout dir name, got: ${dir.getName}")
   }
 

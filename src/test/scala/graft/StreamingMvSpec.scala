@@ -23,7 +23,7 @@ class StreamingMvSpec extends SparkTestBase {
   test("maintained state == batch view, served through the rewrite") {
     val df = StreamingMv.mvServeAvailableNow(spark, sf)
     val statePath = graft.util.Scratch.dir(spark,
-      "graft_mv_stream_" + Integer.toHexString(sf.hashCode))
+      "graft_mv_stream_" + graft.util.Scratch.valueToken(sf))
 
     // ≥2 batches across 2 incarnations: the checkpoint resume is real
     assert(StreamingMv.lastNumBatches.get() >= 2)
