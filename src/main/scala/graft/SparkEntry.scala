@@ -388,6 +388,8 @@ object SparkEntry {
     // static oracle SQL; the serve path with shipped centroids is the
     // declared, oracle-checked IVF query
     "q_ivf_serve"      -> ((s, d) => Similarity.ivfServeTopK(s, d, 10, 10)),
+    // ANN-index diagnostics: per-cell population + assignment quality
+    "q_ivf_cell_stats" -> ((s, d) => Similarity.ivfCellStats(s, d)),
     // the composed production shape: IVF probes bound candidates, ADC
     // over materialized codes ranks them, exact cosine reranks the top 30
     "q_ivfpq_topk"     -> ((s, d) => Similarity.ivfPqTopK(s, d, 10, 10)),
@@ -2733,6 +2735,34 @@ object SparkEntry {
     // q_pq_topk CTEs (fixed codebooks → codes → ADC) rank them (asc, ties
     // lowest vec_id, 6dp-rounded before the rerank-30 cut), exact cosine
     // reranks the winners — every stage deterministic double arithmetic
+    // per-cell index diagnostics: assignment + micro-quantized best
+    // cosine replayed from the embedded centroid literals
+    "q_ivf_cell_stats" ->
+      s"""WITH cents(cent_id, c) AS (VALUES
+         |  $ivfCentroidValues),
+         |sim AS (
+         |  SELECT vec_id, cent_id,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
+         |  FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           ${cosSql("e.embedding", "c.c")} AS s
+         |    FROM embeddings e CROSS JOIN cents c)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |bm AS (SELECT vec_id, CAST(round(max(s) * 1000000) AS BIGINT) AS best_micro
+         |       FROM sim GROUP BY vec_id)
+         |SELECT a.cent_id,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(min(best_micro) AS DOUBLE) / 1000000.0 AS min_cos,
+         |       CAST(max(best_micro) AS DOUBLE) / 1000000.0 AS max_cos,
+         |       round(CAST(sum(best_micro) AS DOUBLE)
+         |             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_cos
+         |FROM assign a JOIN bm USING (vec_id)
+         |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin,
     "q_ivfpq_topk" -> ivfPqOracleSql(""),
     // filtered ANN: identical pipeline, with the metadata predicate
     // applied to the candidate set BEFORE ADC ranking (mirroring the

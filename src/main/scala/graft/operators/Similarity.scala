@@ -874,6 +874,42 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** q_ivf_cell_stats: the ANN-index DIAGNOSTICS report — per-cell
+    * population and assignment quality (min/mean/max cosine of each
+    * vector to its OWN centroid). Production tiers watch exactly this
+    * table: skewed cell populations mean unbalanced probe latency, and a
+    * falling mean assignment cosine means the centroids have drifted off
+    * the corpus and the index wants re-training. One shuffle-free
+    * projection over the corpus (centroids ride as literals) + one
+    * cell-count-sized aggregation.
+    *
+    * Exactness: per-vector best cosine is 6dp-quantized to integer
+    * MICRO-units before summing (exact BIGINT, order-free), and the mean
+    * is ONE double division rounded 6dp — the covariance recipe, so the
+    * oracle replays it bit-for-bit from the embedded centroid literals.
+    */
+  def ivfCellStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
+      // the score array in its OWN projection (no HOF CSE in Catalyst —
+      // both the argmax and the max fold read it)
+      .select(serveCellScores(col("embedding"), dim).as("cs"))
+      // best = the assigned cell's score = array max (argmax ties pick
+      // the lowest id but the SCORE is identical); micro-quantized
+      // row-locally so the per-cell sum is an exact BIGINT
+      .select(argmaxCell(col("cs")).as("cent_id"),
+        expr(("CAST(round(aggregate(cs, CAST(-2.0 AS DOUBLE), " +
+          "(m, x) -> greatest(m, x)) * 1000000) AS BIGINT)"))
+          .as("best_micro"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        (min(col("best_micro")).cast("double") / 1e6).as("min_cos"),
+        (max(col("best_micro")).cast("double") / 1e6).as("max_cos"),
+        round(sum(col("best_micro")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_cos"))
+      .orderBy("cent_id")
+  }
+
   /** q_filtered_ann: PREDICATE + ANN — production vector search is
     * almost never bare top-k; it is "nearest among rows passing a
     * metadata predicate" (lang = 'en', date range, tenant id). The

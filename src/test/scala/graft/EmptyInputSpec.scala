@@ -85,7 +85,8 @@ class EmptyInputSpec extends SparkTestBase {
     "q_filtered_ann",
     "q_ivfpq_refresh",
     "q_scrub_report",
-    "q_decontaminate")
+    "q_decontaminate",
+    "q_ivf_cell_stats")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

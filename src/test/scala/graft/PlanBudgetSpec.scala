@@ -310,6 +310,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // aggs) + the (train, bench) overlap agg + output order — the train
     // shingle stream is scanned once and never self-joins
     "q_decontaminate" -> 4,
+    // index diagnostics: shuffle-free assignment projection + the
+    // cell-count-sized agg + output order
+    "q_ivf_cell_stats" -> 2,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
