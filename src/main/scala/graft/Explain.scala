@@ -48,7 +48,8 @@ object Explain {
         // round-15: PII census/redaction, the PII-gated curation, and
         // predicate-pushed filtered ANN
         "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh",
-        "q_scrub_report", "q_decontaminate", "q_ivf_cell_stats")
+        "q_scrub_report", "q_decontaminate", "q_ivf_cell_stats",
+        "q_padding_report")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -243,6 +243,8 @@ object SparkEntry {
     // (two-phase distributed prefix sum; no text moves)
     "q_seq_packing"    -> ((s, d) => Packing.packingHistogram(s, d)),
     "q_pack_summary"   -> ((s, d) => Packing.packingSummary(s, d)),
+    // dynamic-batching padding waste per length bucket (inference side)
+    "q_padding_report" -> ((s, d) => Packing.paddingReport(s, d)),
     // append-only incremental packing: base manifest + offset-shifted
     // delta must summarize identically to the monolithic re-pack (the
     // oracle IS the monolithic recompute)
@@ -2072,6 +2074,19 @@ object SparkEntry {
          |SELECT docs_in_window, CAST(count(*) AS BIGINT) AS n_windows
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pack_summary" -> packSummarySql,
+    // bucketed vs naive padding: exact integer arithmetic per bucket
+    "q_padding_report" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens
+         |      FROM toks WHERE len(ts) > 0),
+         |g AS (SELECT max(n_tokens) AS g FROM t)
+         |SELECT ((n_tokens + 15) // 16) * 16 AS bucket_len,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(((n_tokens + 15) // 16) * 16 - n_tokens) AS BIGINT)
+         |         AS pad_bucketed,
+         |       CAST(sum(g - n_tokens) AS BIGINT) AS pad_naive
+         |FROM t, g GROUP BY 1 ORDER BY 1""".stripMargin,
     // the incremental (base + offset-shifted delta) packing must equal
     // the monolithic re-pack — the oracle IS the monolithic recompute
     "q_ivm_packing" -> packSummarySql,

@@ -122,6 +122,36 @@ object Packing {
     * sort: the offsets ride the same two-phase distributed prefix sum,
     * and the report is shard-count-sized.
     */
+  /** q_padding_report: DYNAMIC-BATCHING efficiency — the inference-side
+    * companion of training-side packing. A serving tier that pads every
+    * sequence to the global max wastes Σ(max − len) token slots; bucketed
+    * batching pads only to the next multiple of `mult` (the bucket its
+    * batch is built from). This report quantifies that choice per bucket:
+    * docs, real tokens, padding under bucketed batching, padding under
+    * naive global-max padding. All integer arithmetic (exact on any
+    * engine); the only non-local input is the one-row global max, which
+    * broadcasts; the bucket rollup is one partially-aggregated exchange
+    * of bucket cells at any corpus size.
+    */
+  def paddingReport(spark: SparkSession, sfDir: String,
+                    mult: Int = 16): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val gmax = toks.agg(max(col("n_tokens")).as("g"))
+    toks.crossJoin(broadcast(gmax))
+      .withColumn("bucket_len",
+        expr(s"((n_tokens + ${mult - 1}) div $mult) * $mult"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("bucket_len") - col("n_tokens")).as("pad_bucketed"),
+        sum(col("g") - col("n_tokens")).as("pad_naive"))
+      .orderBy("bucket_len")
+  }
+
   def shardManifest(spark: SparkSession, sfDir: String,
                     budgetTokens: Long = 8192): DataFrame =
     manifestOfCounts(countsOf(Tables.documents(spark, sfDir)),

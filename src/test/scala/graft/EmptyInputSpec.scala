@@ -86,7 +86,8 @@ class EmptyInputSpec extends SparkTestBase {
     "q_ivfpq_refresh",
     "q_scrub_report",
     "q_decontaminate",
-    "q_ivf_cell_stats")
+    "q_ivf_cell_stats",
+    "q_padding_report")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

@@ -313,6 +313,8 @@ class PlanBudgetSpec extends SparkTestBase {
     // index diagnostics: shuffle-free assignment projection + the
     // cell-count-sized agg + output order
     "q_ivf_cell_stats" -> 2,
+    // padding report: 1-row global max (broadcast) + bucket agg + order
+    "q_padding_report" -> 3,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
