@@ -307,6 +307,8 @@ object SparkEntry {
     // DSIR importance weights: per-doc Σ micro-nat(llq_target − llq_source)
     // under two Laplace unigram LMs — exact BIGINT, broadcast grid scoring
     "q_dsir_weights" -> ((s, d) => Sampling.dsirWeights(s, d)),
+    // the selection the weights exist for: fixed-k most-target-like docs
+    "q_dsir_select" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(s, d, Map("en" -> 25), 60)),
     "q_sample_stats"   -> ((s, d) =>
@@ -364,6 +366,9 @@ object SparkEntry {
     "q_span_scrub"     -> ((s, d) => TextAnalysis.spanScrub(s, d)),
     // per-source scrub audit served from the materialized scrub counts
     "q_scrub_report"   -> ((s, d) => TextAnalysis.scrubReport(s, d)),
+    // T5-style span-corruption accounting: hash-seeded spans, merged by
+    // the covered window; per-doc achieved mask share
+    "q_span_corruption" -> ((s, d) => TextAnalysis.spanCorruption(s, d)),
     // intra-doc repetition scrub: later same-doc 3-gram tellings removed
     "q_self_scrub"     -> ((s, d) => TextAnalysis.selfScrub(s, d)),
     // V3 capstone: retention → scrub → gate → shard manifest in one plan
@@ -1157,6 +1162,39 @@ object SparkEntry {
          |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
 
+  /** The DSIR weight pipeline as shared oracle CTEs (ending at `w`:
+    * one row per document with its BIGINT weight) — q_dsir_weights
+    * reads it ordered by doc, q_dsir_select takes the fixed-k best.
+    */
+  private def dsirCteSql: String =
+    s"""WITH $toksCte,
+       |cnt AS (
+       |  SELECT term,
+       |         CAST(count(*) AS BIGINT) AS n_s,
+       |         CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_t
+       |  FROM (SELECT lang, unnest(ts) AS term FROM toks) GROUP BY 1),
+       |tots AS (
+       |  SELECT CAST(sum(n_s) AS BIGINT) AS tot_s,
+       |         CAST(sum(n_t) AS BIGINT) AS tot_t,
+       |         CAST(count(*) AS BIGINT) AS v
+       |  FROM cnt),
+       |grid AS (
+       |  SELECT term,
+       |         CAST(round(ln(CAST(n_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE)) * 1000000) AS BIGINT)
+       |       - CAST(round(ln(CAST(n_s + 1 AS DOUBLE) / CAST(tot_s + v AS DOUBLE)) * 1000000) AS BIGINT)
+       |           AS dllq
+       |  FROM cnt CROSS JOIN tots),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |         CAST(sum(dllq) AS BIGINT) AS w_llq
+       |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) t
+       |  JOIN grid USING (term) GROUP BY 1),
+       |w AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |         CAST(coalesce(pd.n_toks, 0) AS BIGINT) AS n_toks,
+       |         CAST(coalesce(pd.w_llq, 0) AS BIGINT) AS w_llq
+       |  FROM documents d LEFT JOIN pd USING (doc_id))""".stripMargin
+
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
@@ -1849,33 +1887,16 @@ object SparkEntry {
     // ln fragment, per-doc weight an exact BIGINT sum; zero-token docs
     // surface with w = 0 via the left join
     "q_dsir_weights" ->
-      s"""WITH $toksCte,
-         |cnt AS (
-         |  SELECT term,
-         |         CAST(count(*) AS BIGINT) AS n_s,
-         |         CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_t
-         |  FROM (SELECT lang, unnest(ts) AS term FROM toks) GROUP BY 1),
-         |tots AS (
-         |  SELECT CAST(sum(n_s) AS BIGINT) AS tot_s,
-         |         CAST(sum(n_t) AS BIGINT) AS tot_t,
-         |         CAST(count(*) AS BIGINT) AS v
-         |  FROM cnt),
-         |grid AS (
-         |  SELECT term,
-         |         CAST(round(ln(CAST(n_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE)) * 1000000) AS BIGINT)
-         |       - CAST(round(ln(CAST(n_s + 1 AS DOUBLE) / CAST(tot_s + v AS DOUBLE)) * 1000000) AS BIGINT)
-         |           AS dllq
-         |  FROM cnt CROSS JOIN tots),
-         |pd AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-         |         CAST(sum(dllq) AS BIGINT) AS w_llq
-         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) t
-         |  JOIN grid USING (term) GROUP BY 1)
-         |SELECT d.doc_id, d.lang, d.source,
-         |       CAST(coalesce(pd.n_toks, 0) AS BIGINT) AS n_toks,
-         |       CAST(coalesce(pd.w_llq, 0) AS BIGINT) AS w_llq
-         |FROM documents d LEFT JOIN pd USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$dsirCteSql
+         |SELECT doc_id, lang, source, n_toks, w_llq
+         |FROM w ORDER BY doc_id""".stripMargin,
+    // importance SELECTION over the same weights: the fixed-k best docs
+    // by (weight DESC, doc_id) — a TakeOrdered on the engine side, a
+    // LIMIT over the identical CTEs here
+    "q_dsir_select" ->
+      s"""$dsirCteSql
+         |SELECT doc_id, lang, source, w_llq
+         |FROM w ORDER BY w_llq DESC, doc_id LIMIT 50""".stripMargin,
     // bigram LM: both engines divide the identical bigram/marginal longs
     // in double, so P(w2|w1) is bit-exact without rounding
     // PMI over positional marginals; integer min-count gate + (w1, w2)
@@ -2427,6 +2448,28 @@ object SparkEntry {
          |  WHERE b.n_chars <= a.n_chars AND b.n_distinct >= a.n_distinct
          |    AND (b.n_chars < a.n_chars OR b.n_distinct > a.n_distinct))
          |ORDER BY doc_id""".stripMargin,
+    // span corruption: the same deterministic hash seeds and covered
+    // window on both engines; one rounded division for the share
+    "q_span_corruption" ->
+      s"""WITH $toksCte,
+         |p AS (SELECT doc_id, i - 1 AS pos
+         |      FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)),
+         |s AS (SELECT doc_id, pos,
+         |        CASE WHEN CAST((CAST(doc_id * 1048576 + pos AS HUGEINT)
+         |                        * 2654435761) % 4294967296 AS BIGINT) % 20 = 0
+         |             THEN 1 ELSE 0 END AS s
+         |      FROM p),
+         |m AS (SELECT doc_id, s,
+         |        max(s) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS masked
+         |      FROM s)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(s) AS BIGINT) AS n_seeds,
+         |       CAST(sum(masked) AS BIGINT) AS n_masked,
+         |       round(CAST(sum(masked) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS mask_share
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // per-source scrub audit: the corpus-relative covered-window counts
     // of the scrub-counts artifact, rolled up by source; kept_share is
     // one double division rounded 6dp (NULL on a zero-token source)

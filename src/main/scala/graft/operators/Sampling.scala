@@ -321,4 +321,18 @@ object Sampling {
         coalesce(col("w_llq"), lit(0L)).as("w_llq"))
       .orderBy("doc_id")
   }
+
+  /** q_dsir_select: the importance-resampling SELECTION the weights
+    * exist for — the fixed-k documents that look most like the target
+    * domain, by (weight DESC, doc_id) with deterministic ties. A fixed k
+    * means the cut is a TakeOrderedAndProject (per-partition top-k, one
+    * O(k) exchange), never a global sort of the corpus; the weights
+    * themselves come from the memoized one-pass count table.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+                 targetLang: String = "en", k: Int = 50): DataFrame =
+    dsirWeights(spark, sfDir, targetLang)
+      .select("doc_id", "lang", "source", "w_llq")
+      .orderBy(col("w_llq").desc, col("doc_id"))
+      .limit(k)
 }

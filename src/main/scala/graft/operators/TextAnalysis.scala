@@ -1010,6 +1010,41 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q_span_corruption: T5-style SPAN-CORRUPTION accounting — the
+    * masked-span preparation step of denoising pretraining (Raffel et
+    * al. 2020): span SEEDS are chosen deterministically (a position
+    * seeds a span iff knuth_hash(doc_id·2²⁰ + pos) ≡ 0 mod 20 — ~5% of
+    * positions), each seed masks itself plus the next two tokens, and
+    * overlapping spans merge — exactly the 2-PRECEDING covered-window
+    * rule the scrub family already rides, so a token is masked iff a
+    * seed sits in [pos−2, pos]. The report per document: tokens, seeds,
+    * masked tokens, and the achieved mask share (ONE rounded division) —
+    * what a pipeline logs to confirm the corruption rate landed near the
+    * target. Deterministic (hash seeds, not rand()), so retries, reruns
+    * and the oracle mask the identical positions; served from the
+    * materialized token-gram relation, one doc-keyed exchange.
+    */
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-2, Window.currentRow)
+    // doc_id·2²⁰ + pos is injective for every real document length
+    // (pos < 2²⁰) — the same multiplicative-hash seeding as the split
+    val seed = (graft.functions.HashFunctions.knuthMod(
+      col("doc_id") * lit(1048576L) + col("pos"), 4294967296L) % 20 === 0)
+      .cast("int")
+    spark.read.parquet(ensureTokenGrams(spark, sfDir))
+      .select(col("doc_id"), col("pos"), seed.as("s"))
+      .withColumn("masked", max(col("s")).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).cast("long").as("n_seeds"),
+        sum(col("masked")).cast("long").as("n_masked"))
+      .withColumn("mask_share",
+        round(col("n_masked").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Row-local (doc_id, pos, tok, gram-starting-here) quadruples — the
     * gram is sliced out of the token array, no lead() window.
     */

@@ -87,7 +87,9 @@ class EmptyInputSpec extends SparkTestBase {
     "q_scrub_report",
     "q_decontaminate",
     "q_ivf_cell_stats",
-    "q_padding_report")
+    "q_padding_report",
+    "q_span_corruption",
+    "q_dsir_select")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {

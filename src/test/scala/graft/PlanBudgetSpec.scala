@@ -315,6 +315,12 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_ivf_cell_stats" -> 2,
     // padding report: 1-row global max (broadcast) + bucket agg + order
     "q_padding_report" -> 3,
+    // span corruption: ONE doc exchange (covered window + rollup ride
+    // it) + output order, over the materialized gram relation
+    "q_span_corruption" -> 2,
+    // dsir selection: the weights subplan's exchanges; the cut itself is
+    // TakeOrderedAndProject (no extra exchange beyond the weights)
+    "q_dsir_select" -> 4,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
