@@ -49,7 +49,8 @@ object Explain {
         // predicate-pushed filtered ANN
         "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh",
         "q_scrub_report", "q_decontaminate", "q_ivf_cell_stats",
-        "q_padding_report", "q_span_corruption", "q_dsir_select")
+        "q_padding_report", "q_span_corruption", "q_dsir_select",
+        "q_curation_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -378,6 +378,8 @@ object SparkEntry {
     // doc-atomic token-budget shards for the export writer
     "q_shard_manifest" -> ((s, d) => Packing.shardManifest(s, d, 8192)),
     "q_curated_corpus" -> ((s, d) => Curate.curateCorpus(s, d)),
+    // the curation funnel audit: cumulative survivors per gate, one pass
+    "q_curation_funnel" -> ((s, d) => Curate.curationFunnel(s, d)),
     // v2: + boilerplate and bigram-repetition content gates
     "q_curated_v2"     -> ((s, d) => Curate.curateCorpusV2(s, d)),
     // — similarity search —
@@ -2170,6 +2172,50 @@ object SparkEntry {
         |SELECT CAST((CAST(o_custkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS pseudo_key,
         |       n_orders, CAST(rev AS DOUBLE) AS revenue
         |FROM a ORDER BY pseudo_key""".stripMargin,
+    // curation funnel: the dedup/cluster/length/PII gates as cumulative
+    // conditional counts over one pass — flags mirror the corresponding
+    // declared queries' rules exactly
+    "q_curation_funnel" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v),
+         |nl AS (SELECT v AS doc_id FROM labels WHERE cluster_id <> v),
+         |ek AS (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, sha256(text) AS fp FROM documents)
+         |       GROUP BY fp),
+         |pii AS (SELECT doc_id,
+         |               CAST(${Privacy.piiTotalSql("aug")} AS BIGINT) AS pii_total
+         |        FROM (SELECT doc_id,
+         |                     ${Privacy.piiAugSql(e => s"CAST($e AS VARCHAR)")} AS aug
+         |              FROM documents)),
+         |t AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |f AS (
+         |  SELECT t.doc_id,
+         |         EXISTS (SELECT 1 FROM ek WHERE ek.doc_id = t.doc_id) AS g1,
+         |         NOT EXISTS (SELECT 1 FROM nl WHERE nl.doc_id = t.doc_id) AS g2,
+         |         t.n_tokens BETWEEN 10 AND 5000 AS g3,
+         |         p.pii_total <= 1 AS g4
+         |  FROM t JOIN pii p USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |       CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_exact,
+         |       CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_neardup,
+         |       CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,
+         |       CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_pii
+         |FROM f""".stripMargin,
     // PII census/redaction: the same augmentation fragment and the same
     // RE2∩Java-safe patterns, DuckDB's 'g' flag matching Spark's
     // replace-all semantics

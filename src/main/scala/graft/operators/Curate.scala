@@ -119,6 +119,48 @@ object Curate {
       .orderBy("shard_id")
   }
 
+  /** q_curation_funnel: the pipeline AUDIT every curation run logs —
+    * how many documents survive each successive gate (raw → exact dedup
+    * → near-dup clusters → length → PII), as one row of cumulative
+    * counts. Each gate is the already-verified operator's rule evaluated
+    * as a per-doc FLAG, so the funnel is ONE plan: flags project/join
+    * row-locally (cluster labels from the materialized relation, PII
+    * row-local), and the five counts are conditional sums over a single
+    * corpus pass — no per-stage re-scan.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String,
+                     minTokens: Int = 10, maxTokens: Int = 5000,
+                     maxPii: Long = 1L): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val exact = Dedup.exactKeeperIds(spark, sfDir)
+      .withColumn("is_exact", lit(true))
+    val nearLosers = Dedup.dupClusters(spark, sfDir, 0.8)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_loser"))
+    val pii = Privacy.piiPerDoc(spark, sfDir)
+      .select(col("doc_id"), col("pii_total"))
+    toks
+      .join(exact, Seq("doc_id"), "left")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .join(pii, "doc_id")
+      .select(
+        coalesce(col("is_exact"), lit(false)).as("g1"),
+        coalesce(!col("is_loser"), lit(true)).as("g2"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("g3"),
+        (col("pii_total") <= maxPii).as("g4"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n_after_exact"),
+        sum(when(col("g1") && col("g2"), 1L).otherwise(0L))
+          .as("n_after_neardup"),
+        sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L))
+          .as("n_after_length"),
+        sum(when(col("g1") && col("g2") && col("g3") && col("g4"), 1L)
+          .otherwise(0L)).as("n_after_pii"))
+  }
+
   /** PARETO-FRONTIER (skyline) document selection — the budget-curation
     * question "which documents are on the quality-vs-cost frontier?":
     * keep every document NOT dominated by another (higher-or-equal

@@ -89,7 +89,8 @@ class EmptyInputSpec extends SparkTestBase {
     "q_ivf_cell_stats",
     "q_padding_report",
     "q_span_corruption",
-    "q_dsir_select")
+    "q_dsir_select",
+    "q_curation_funnel")
 
   cases.foreach { name =>
     test(s"$name degrades to an empty-compatible result on zero-row tables") {
@@ -104,7 +105,9 @@ class EmptyInputSpec extends SparkTestBase {
           "q_funnel",
           // the global moments row exists (n=0, null betas) even with
           // zero input rows — the 1-row-report shape
-          "q_linear_model")
+          "q_linear_model",
+          // the funnel's single cumulative-counts row exists at n_raw=0
+          "q_curation_funnel")
       if (!aggregateShaped.contains(name))
         assert(rows.isEmpty,
           s"$name returned ${rows.length} rows from zero-row inputs")

@@ -54,7 +54,8 @@ class LayoutInvarianceSpec extends SparkTestBase {
     // filtered ANN shares the ivfpq tie-break obligations
     "q_pii_scrub", "q_pii_curate", "q_filtered_ann", "q_ivfpq_refresh",
     "q_scrub_report", "q_decontaminate", "q_ivf_cell_stats",
-    "q_padding_report", "q_span_corruption", "q_dsir_select")
+    "q_padding_report", "q_span_corruption", "q_dsir_select",
+    "q_curation_funnel")
 
   private def rowsOf(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

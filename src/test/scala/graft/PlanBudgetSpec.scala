@@ -321,6 +321,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // dsir selection: the weights subplan's exchanges; the cut itself is
     // TakeOrderedAndProject (no extra exchange beyond the weights)
     "q_dsir_select" -> 4,
+    // funnel audit: exact-keeper fp agg + the 1-row final conditional
+    // agg; labels serve from the materialized relation, pii is row-local
+    "q_curation_funnel" -> 2,
     // mining: broadcast queries, conditional struct-max partial agg
     // (O(1)/query crosses) + output order — corpus never shuffles
     "q_hard_negatives" -> 2,
