@@ -20,6 +20,14 @@ import graft.sources.Tables
   */
 object Curate {
 
+  /** The curation pipeline's shared gate constants — the gates AND the
+    * funnel audit reference these, so the audit structurally mirrors
+    * the pipeline it reports on instead of restating its thresholds.
+    */
+  private[graft] val NearDupThreshold = 0.8
+  private[graft] val MinTokens = 10
+  private[graft] val MaxTokens = 5000
+
   /** Curated corpus: (doc_id, lang, n_tokens) of surviving documents.
     *
     *  - exact stage: keep the min doc_id per sha256(text);
@@ -28,12 +36,13 @@ object Curate {
     *  - quality gate: token count within [minTokens, maxTokens].
     */
   def curateCorpus(spark: SparkSession, sfDir: String,
-                   minTokens: Int = 10, maxTokens: Int = 5000): DataFrame = {
+                   minTokens: Int = MinTokens,
+                   maxTokens: Int = MaxTokens): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
     val exactKeepers = Dedup.exactKeeperIds(spark, sfDir)
-    val nearLosers = Dedup.dupClusters(spark, sfDir, 0.8)
+    val nearLosers = Dedup.dupClusters(spark, sfDir, NearDupThreshold)
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
     toks
       .join(exactKeepers, Seq("doc_id"), "left_semi")
@@ -54,7 +63,7 @@ object Curate {
     * operator, and Catalyst plans the whole composition together.
     */
   def curateCorpusV2(spark: SparkSession, sfDir: String,
-                     minTokens: Int = 10, maxTokens: Int = 5000,
+                     minTokens: Int = MinTokens, maxTokens: Int = MaxTokens,
                      maxBoiler: Double = 0.5,
                      maxDupBigram: Double = 0.08): DataFrame = {
     val boiler = TextAnalysis.boilerplateRatio(spark, sfDir)
@@ -129,14 +138,14 @@ object Curate {
     * corpus pass — no per-stage re-scan.
     */
   def curationFunnel(spark: SparkSession, sfDir: String,
-                     minTokens: Int = 10, maxTokens: Int = 5000,
-                     maxPii: Long = 1L): DataFrame = {
+                     minTokens: Int = MinTokens, maxTokens: Int = MaxTokens,
+                     maxPii: Long = Privacy.MaxPiiDefault): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
     val exact = Dedup.exactKeeperIds(spark, sfDir)
       .withColumn("is_exact", lit(true))
-    val nearLosers = Dedup.dupClusters(spark, sfDir, 0.8)
+    val nearLosers = Dedup.dupClusters(spark, sfDir, NearDupThreshold)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("is_loser"))
     val pii = Privacy.piiPerDoc(spark, sfDir)

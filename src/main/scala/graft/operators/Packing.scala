@@ -135,21 +135,30 @@ object Packing {
     */
   def paddingReport(spark: SparkSession, sfDir: String,
                     mult: Int = 16): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text")))
-          .cast("long").as("n_tokens"))
+    // ONE corpus pass: both padding totals are linear in the bucket
+    // aggregates — pad_bucketed = bucket_len·n − Σlen and
+    // pad_naive = g·n − Σlen with g = max over the bucket table. A
+    // second declarative consumer of the bucket relation would re-run
+    // the regexp tokenize (column pruning breaks subtree identity, the
+    // repo's documented multi-consumer issue), so the METADATA-SIZED
+    // bucket table (≤ max-doc-len/mult rows at any corpus size) collects
+    // once and the report derives locally — the q_pca_top precedent.
+    import spark.implicits._
+    val buckets = Tables.documents(spark, sfDir)
+      .select(size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    val gmax = toks.agg(max(col("n_tokens")).as("g"))
-    toks.crossJoin(broadcast(gmax))
       .withColumn("bucket_len",
         expr(s"((n_tokens + ${mult - 1}) div $mult) * $mult"))
       .groupBy("bucket_len")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(col("bucket_len") - col("n_tokens")).as("pad_bucketed"),
-        sum(col("g") - col("n_tokens")).as("pad_naive"))
-      .orderBy("bucket_len")
+        max(col("n_tokens")).as("max_tokens"))
+      .as[(Long, Long, Long, Long)].collect()
+    val g = if (buckets.isEmpty) 0L else buckets.map(_._4).max
+    buckets.toSeq.sortBy(_._1)
+      .map { case (b, n, s, _) => (b, n, s, b * n - s, g * n - s) }
+      .toDF("bucket_len", "n_docs", "n_tokens", "pad_bucketed", "pad_naive")
   }
 
   def shardManifest(spark: SparkSession, sfDir: String,

@@ -151,6 +151,20 @@ object Privacy {
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
     censusOf(piiPerDoc(spark, sfDir)).orderBy("source")
 
+  /** The PII-density curation budget shared by [[piiCurate]] and the
+    * funnel audit ([[Curate.curationFunnel]]).
+    */
+  private[graft] val MaxPiiDefault = 1L
+
+  /** The census value columns, in output order — the ONE source of
+    * truth the streaming merge and final cast derive their sum lists
+    * from (a pattern added to [[PiiPatterns]] must flow through state
+    * generations without a hand-edited column list going stale).
+    */
+  private[graft] val CensusCols: Seq[String] =
+    Seq("n_docs", "n_docs_pii") ++ PiiPatterns.map { case (n, _, _) => s"n_$n" } ++
+      Seq("chars_redacted", "residual")
+
   /** The per-source census reduction of a [[piiPerDocOf]] relation.
     * Every output column is a plain SUM over per-doc integers, so the
     * census is MERGEABLE: summing the censuses of disjoint batches
@@ -221,7 +235,7 @@ object Privacy {
     * declarative plan.
     */
   def piiCurate(spark: SparkSession, sfDir: String,
-                maxPii: Long = 1L): DataFrame =
+                maxPii: Long = MaxPiiDefault): DataFrame =
     Curate.curateCorpus(spark, sfDir)
       .join(piiPerDoc(spark, sfDir).select(col("doc_id"), col("pii_total")),
         "doc_id")

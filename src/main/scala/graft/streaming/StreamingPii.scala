@@ -56,19 +56,16 @@ object StreamingPii {
     @volatile var gen = 0
     val writeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
       val delta = Privacy.censusOf(Privacy.piiPerDocOf(batch.toDF()))
+      // the sum list derives from the census's own column roster: a new
+      // pattern in Privacy.PiiPatterns flows through state generations
+      // without a hand-edited list going stale
+      val sums = Privacy.CensusCols.map(c => sum(c).as(c))
       val merged =
         if (gen == 0) delta
         else ss.read.parquet(stateRoot.resolve(s"v$gen").toString)
           .unionByName(delta)
           .groupBy("source")
-          .agg(sum("n_docs").as("n_docs"),
-            sum("n_docs_pii").as("n_docs_pii"),
-            sum("n_email").as("n_email"),
-            sum("n_phone").as("n_phone"),
-            sum("n_ip").as("n_ip"),
-            sum("n_id").as("n_id"),
-            sum("chars_redacted").as("chars_redacted"),
-            sum("residual").as("residual"))
+          .agg(sums.head, sums.tail: _*)
       merged.coalesce(1).write.mode("overwrite")
         .parquet(stateRoot.resolve(s"v${gen + 1}").toString)
       gen += 1
@@ -89,10 +86,9 @@ object StreamingPii {
     drain() // incarnation 2 resumes the checkpoint: the delta only
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     // counts must come back as BIGINT after the sum-merge roundtrip
-    val cols = Seq("n_docs", "n_docs_pii", "n_email", "n_phone", "n_ip",
-      "n_id", "chars_redacted", "residual")
     spark.read.parquet(stateRoot.resolve(s"v$gen").toString)
-      .select(col("source") +: cols.map(c => col(c).cast("long").as(c)): _*)
+      .select(col("source") +:
+        Privacy.CensusCols.map(c => col(c).cast("long").as(c)): _*)
       .orderBy("source")
   }
 }

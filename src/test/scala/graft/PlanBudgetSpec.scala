@@ -313,8 +313,9 @@ class PlanBudgetSpec extends SparkTestBase {
     // index diagnostics: shuffle-free assignment projection + the
     // cell-count-sized agg + output order
     "q_ivf_cell_stats" -> 2,
-    // padding report: 1-row global max (broadcast) + bucket agg + order
-    "q_padding_report" -> 3,
+    // padding report: the bucket collect ran at query construction (its
+    // own 1-exchange metadata-sized job); the returned relation is local
+    "q_padding_report" -> 0,
     // span corruption: ONE doc exchange (covered window + rollup ride
     // it) + output order, over the materialized gram relation
     "q_span_corruption" -> 2,
