@@ -181,6 +181,9 @@ object SparkEntry {
     // pairs per task reach the exchange; deterministic, oracle-exact —
     // unlike percentile_approx, whose compaction is order-dependent)
     "q_sketch_quantiles" -> ((s, d) => Quantiles.sketchQuantiles(s, d)),
+    // measured sketch accuracy: exact rank error of each estimate, from
+    // one broadcast-join corpus pass (never an exact per-type percentile)
+    "q_sketch_error"   -> ((s, d) => Quantiles.sketchErrorAudit(s, d)),
     // range-partition boundary planning from the same sketch: the
     // 31 cut points for a 32-way repartitionByRange over doc length
     "q_range_boundaries" -> ((s, d) => Quantiles.rangeBoundaries(s, d)),
@@ -385,6 +388,10 @@ object SparkEntry {
     // — similarity search —
     "q_multimodal_stats" -> ((s, d) => Multimodal.featureStats(s, d)),
     "q_frame_sample"   -> ((s, d) => Multimodal.frameSampleStats(s, d, 4)),
+    // perceptual-hash image dedup: native 63-bit blockhash signature,
+    // then Manku chunk-banded candidate join + exact Hamming verify
+    "q_image_phash"    -> ((s, d) => Multimodal.imagePhash(s, d)),
+    "q_image_neardup"  -> ((s, d) => Multimodal.imageNearDupPairs(s, d, 3)),
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
     // PQ/ADC serving: rank by code distance, floats touched only for the
@@ -408,9 +415,15 @@ object SparkEntry {
     // incremental ANN-index maintenance: append a batch, delta-encode
     // ONLY the new file, serve the per-cell fingerprint — delta ≡ rebuild
     "q_ivfpq_refresh"  -> ((s, d) => Similarity.ivfPqRefresh(s, d)),
+    // — index/compression fidelity: measured recall@k per lossy tier —
+    "q_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d, 10, 10)),
+    "q_dim_ablation"   -> ((s, d) => Similarity.dimAblation(s, d, 10, 10)),
+    "q_quantize_recall" -> ((s, d) => Similarity.quantizeRecall(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     // per-class mean embedding (prototypes) from exact integer moments
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    // Cleanlab-style mislabel audit: own-prototype vs best-impostor margin
+    "q_label_noise"    -> ((s, d) => Similarity.labelNoiseAudit(s, d)),
     "q_embed_neardup"  -> ((s, d) => Similarity.embedNearDupPairs(s, d, 100, 0.3)),
     // SemDeDup: per-cell min-id-keeper semantic dedup on fixed centroids
     "q_semdedup"       -> ((s, d) => Similarity.semDedup(s, d, 0.3)),
@@ -591,6 +604,8 @@ object SparkEntry {
     "q_hourly_anomaly"     -> ((s, d) => Events.hourlyAnomalies(s, d)),
     // the median/MAD robust twin over trailing 24 calendar hours
     "q_robust_anomaly"     -> ((s, d) => Events.robustHourlyAnomalies(s, d)),
+    // α=½ EWMA forecast + integer-exact Poisson 3σ gate over 16 lags
+    "q_ewma_anomaly"       -> ((s, d) => Events.ewmaAnomalies(s, d)),
     // event-time RANGE frame (INTERVAL 1 HOUR PRECEDING) per user
     "q_user_activity_window" -> ((s, d) => Events.userActivityWindow(s, d)),
     // CUBE(source, lang): Expand-based multi-level rollup + grouping_id
@@ -1010,6 +1025,34 @@ object SparkEntry {
        |  THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** 63-bit blockhash signatures of the image assets (doc_id ≡ 0 mod 3),
+    * replayed from the text bytes: block j = byte positions ≡ j (mod 63),
+    * bit j set iff 63·blocksum_j > totalsum — mirrors the native
+    * [[graft.functions.BlockHashExpr]] integer-for-integer. A left join
+    * back to the asset list pins phash 0 for empty payloads (no byte
+    * rows) exactly as the expression's empty loop does.
+    */
+  private val imagePhashCte =
+    """img AS (SELECT doc_id AS asset_id, text FROM documents
+      |        WHERE doc_id % 3 = 0),
+      |byp AS (
+      |  SELECT asset_id, (i - 1) % 63 AS j,
+      |         CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS b
+      |  FROM img, unnest(range(1, length(text) + 1)) t(i)),
+      |blocks AS (SELECT asset_id, j, CAST(sum(b) AS BIGINT) AS bs
+      |           FROM byp GROUP BY 1, 2),
+      |tot AS (SELECT asset_id, CAST(sum(bs) AS BIGINT) AS ts
+      |        FROM blocks GROUP BY 1),
+      |sig0 AS (
+      |  SELECT b.asset_id,
+      |         CAST(sum(CASE WHEN b.bs * 63 > t.ts
+      |              THEN (CAST(1 AS BIGINT) << CAST(b.j AS INTEGER))
+      |              ELSE 0 END) AS BIGINT) AS phash
+      |  FROM blocks b JOIN tot t USING (asset_id) GROUP BY 1),
+      |sig AS (
+      |  SELECT i.asset_id, coalesce(s.phash, 0) AS phash
+      |  FROM img i LEFT JOIN sig0 s USING (asset_id))""".stripMargin
+
   private val postingsCte =
     s"""WITH $toksCte, flat AS (
       |  SELECT doc_id, unnest(ts) AS term FROM toks
@@ -1088,6 +1131,15 @@ object SparkEntry {
     * q_filtered_ann) — one pipeline, two declared queries.
     */
   private def ivfPqOracleSql(candFilter: String): String =
+    s"""${ivfPqCtes(candFilter)}
+       |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** The same pipeline's CTE chain ENDING at `r` (ranked rerank winners),
+    * so consumers can compose it: the serving oracles take `r`'s first k
+    * rows directly; q_ann_recall joins them against the exact reference.
+    */
+  private def ivfPqCtes(candFilter: String): String =
       s"""WITH cents(cent_id, c) AS (VALUES
          |  $ivfCentroidValues),
          |cb(m, c, w) AS (VALUES
@@ -1160,9 +1212,42 @@ object SparkEntry {
          |r AS (SELECT query_id, vec_id, cosine,
          |             CAST(row_number() OVER (PARTITION BY query_id
          |                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
-         |      FROM scored)
-         |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
-         |ORDER BY query_id, rnk""".stripMargin
+         |      FROM scored)""".stripMargin
+
+  /** Exact brute-force top-k as appendable CTEs (prefix-named to avoid
+    * clashes), ending at `<p>ref`: (query_id, vec_id) of the reference
+    * top 10 — the denominator of every recall oracle.
+    */
+  private def exactTopKCtes(p: String): String =
+    s"""${p}q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |          FROM embeddings WHERE vec_id < 10),
+       |${p}j AS (
+       |  SELECT query_id, vec_id,
+       |         CASE WHEN cosine IS NULL OR isnan(cosine)
+       |              THEN -2.0 ELSE cosine END AS cosine
+       |  FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |           round(${cosSql("q.q_emb", "e.embedding")}, 6) AS cosine
+       |    FROM embeddings e CROSS JOIN ${p}q q WHERE e.vec_id <> q.query_id)),
+       |${p}r AS (SELECT query_id, vec_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY cosine DESC, vec_id) AS rnk
+       |        FROM ${p}j),
+       |${p}ref AS (SELECT query_id, vec_id FROM ${p}r WHERE rnk <= 10)""".stripMargin
+
+  /** recall@k aggregation over `<p>ref` (reference ids) vs a candidate
+    * CTE holding the lossy tier's (query_id, vec_id) top k.
+    */
+  private def recallSelectSql(p: String, candCte: String): String =
+    s"""SELECT x.query_id,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(c.vec_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(c.vec_id) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM ${p}ref x
+       |LEFT JOIN $candCte c
+       |  ON c.query_id = x.query_id AND c.vec_id = x.vec_id
+       |GROUP BY x.query_id""".stripMargin
 
   /** The DSIR weight pipeline as shared oracle CTEs (ending at `w`:
     * one row per document with its BIGINT weight) — q_dsir_weights
@@ -1454,6 +1539,39 @@ object SparkEntry {
     // the native sketch-members twin computes the IDENTICAL matrix
     "q_vocab_overlap_native" -> vocabOverlapOracleSql,
     "q_sketch_quantiles" -> sketchQuantilesOracleSql,
+    // rank error of the sketch estimates: replay the sketch, then count
+    // the exact rank legs per (type, p) — integers end to end
+    "q_sketch_error" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         ((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
+        |         CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT DISTINCT event_type, h, v FROM b),
+        |r AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+        |      FROM d),
+        |s AS (SELECT event_type, list(v ORDER BY v) AS sv,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM r WHERE rn <= 256 GROUP BY event_type),
+        |est AS (
+        |  SELECT event_type, CAST(p AS INT) AS p,
+        |         sv[CAST((p * (n - 1)) // 100 AS INT) + 1] AS est
+        |  FROM s, unnest([50, 90, 99]) t(p)),
+        |base AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |         FROM events WHERE value IS NOT NULL),
+        |agg AS (
+        |  SELECT e.event_type, e.p, e.est,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN b.v < e.est THEN 1 ELSE 0 END) AS BIGINT) AS rank_lo,
+        |         CAST(sum(CASE WHEN b.v <= e.est THEN 1 ELSE 0 END) AS BIGINT) AS rank_hi1
+        |  FROM base b JOIN est e USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT event_type, p, n, est, rank_lo,
+        |       rank_hi1 - 1 AS rank_hi,
+        |       (p * (n - 1)) // 100 AS target,
+        |       greatest(0, rank_lo - (p * (n - 1)) // 100,
+        |                (p * (n - 1)) // 100 - (rank_hi1 - 1)) AS rank_err
+        |FROM agg ORDER BY event_type, p""".stripMargin,
     // streaming twin: drained sketch state == the batch sketch
     "q_streaming_quantiles" -> sketchQuantilesOracleSql,
     "q_range_boundaries" ->
@@ -2873,6 +2991,88 @@ object SparkEntry {
     // engine-side pushed filter on the codes scan)
     "q_filtered_ann" -> ivfPqOracleSql(
       " AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label <= 4)"),
+    // recall@10 of the composed IVF-PQ tier vs the exact reference: the
+    // full serving pipeline (fixed centroids/codebooks → r) joined
+    // against the brute-force top-10 — every stage deterministic, so the
+    // whole EVALUATION is oracle-replayable, not just the tiers
+    "q_ann_recall" ->
+      s"""${ivfPqCtes("")},
+         |${exactTopKCtes("x")},
+         |ivc AS (SELECT query_id, vec_id FROM r WHERE rnk <= 10)
+         |${recallSelectSql("x", "ivc")}
+         |ORDER BY x.query_id""".stripMargin,
+    // Matryoshka ablation: top-10 from the FIRST 16/32 dims vs the
+    // full-dim reference — list slicing keeps float elements on both
+    // engines, so the truncated cosines are the same bits as Spark's
+    // slice()+native kernel
+    "q_dim_ablation" ->
+      s"""WITH ${exactTopKCtes("f")},
+         |${Seq(16, 32).map { d =>
+             s"""t${d}e AS (SELECT vec_id, embedding[1:$d] AS t_emb FROM embeddings),
+                |t${d}q AS (SELECT vec_id AS query_id, t_emb AS q_emb
+                |           FROM t${d}e WHERE vec_id < 10),
+                |t${d}j AS (
+                |  SELECT query_id, vec_id,
+                |         CASE WHEN cosine IS NULL OR isnan(cosine)
+                |              THEN -2.0 ELSE cosine END AS cosine
+                |  FROM (
+                |    SELECT q.query_id, e.vec_id,
+                |           round(${cosSql("q.q_emb", "e.t_emb")}, 6) AS cosine
+                |    FROM t${d}e e CROSS JOIN t${d}q q
+                |    WHERE e.vec_id <> q.query_id)),
+                |t${d}r AS (SELECT query_id, vec_id,
+                |                row_number() OVER (PARTITION BY query_id
+                |                     ORDER BY cosine DESC, vec_id) AS rnk
+                |         FROM t${d}j),
+                |t${d}c AS (SELECT query_id, vec_id FROM t${d}r WHERE rnk <= 10),
+                |rec$d AS (
+                |  SELECT CAST($d AS INT) AS dims, q.* FROM (
+                |    ${recallSelectSql("f", s"t${d}c")}) q)""".stripMargin
+           }.mkString(",\n")}
+         |SELECT dims, query_id, n_exact, n_hits, recall FROM rec16
+         |UNION ALL
+         |SELECT dims, query_id, n_exact, n_hits, recall FROM rec32
+         |ORDER BY dims, query_id""".stripMargin,
+    // int8-quantization recall: cosine is scale-invariant, so the lossy
+    // tier scores DIRECTLY on the ⌊x/scale+0.5⌋ code arrays (exact
+    // integer sums in doubles) — the quantization CTEs are
+    // q_quantize_embed's, already proven bit-identical to Spark's
+    "q_quantize_recall" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, xd,
+         |         list_reduce(list_prepend(0.0, xd),
+         |                     (m, v) -> greatest(m, abs(v))) / 127 AS scale_raw
+         |  FROM e0),
+         |sc2 AS (
+         |  SELECT vec_id, xd,
+         |         CASE WHEN scale_raw = 0 THEN 1.0 ELSE scale_raw END AS scale
+         |  FROM sc),
+         |qv AS (
+         |  SELECT vec_id,
+         |         list_transform(xd, v -> floor(v / scale + 0.5)) AS q_vec
+         |  FROM sc2),
+         |qq AS (SELECT vec_id AS query_id, q_vec AS q_emb
+         |       FROM qv WHERE vec_id < 10),
+         |qj AS (
+         |  SELECT query_id, vec_id,
+         |         CASE WHEN cosine IS NULL OR isnan(cosine)
+         |              THEN -2.0 ELSE cosine END AS cosine
+         |  FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           round(${cosSql("q.q_emb", "e.q_vec")}, 6) AS cosine
+         |    FROM qv e CROSS JOIN qq q WHERE e.vec_id <> q.query_id)),
+         |qr AS (SELECT query_id, vec_id,
+         |             row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id) AS rnk
+         |      FROM qj),
+         |qc AS (SELECT query_id, vec_id FROM qr WHERE rnk <= 10),
+         |${exactTopKCtes("f")}
+         |${recallSelectSql("f", "qc")}
+         |ORDER BY x.query_id""".stripMargin,
     // incremental codes refresh: the oracle recomputes cells + codes over
     // base ∪ the appended batch directly from the embedded literals, so a
     // hash match proves the delta-encoded artifact equals a full rebuild
@@ -3061,6 +3261,23 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // — multimodal —
+    // perceptual blockhash: bit j = 63·blocksum_j > totalsum, pure integer
+    // arithmetic over the payload bytes (ASCII corpus: byte == ord(char)),
+    // packed into bits 0..62 — DuckDB raises on 1::BIGINT << 63, so the
+    // signature is 63-bit by construction on both engines
+    "q_image_phash" ->
+      s"""WITH $imagePhashCte
+         |SELECT asset_id, phash FROM sig ORDER BY asset_id""".stripMargin,
+    // brute-force all-pairs Hamming over the engine-exact signatures — the
+    // engine side is the 4-chunk banded candidate join, whose pigeonhole
+    // recall at maxDist=3 is total, so banding + verify ≡ brute force
+    "q_image_neardup" ->
+      s"""WITH $imagePhashCte
+         |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY asset_a, asset_b""".stripMargin,
     // The payload is the utf-8 text bytes (ASCII corpus: byte == ord(char)),
     // and the stub decoder's feature[0] is an exact integer byte-fold over
     // positions ≡ 0 (mod 16), divided once — so the whole decode pipeline is
@@ -3176,6 +3393,46 @@ object SparkEntry {
          |    FROM sc) WHERE rn = 1)
          |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
          |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // mislabel audit: same closed-form prototypes; per vector the own-label
+    // score and the best impostor (ties lowest label), micro-quantized
+    "q_label_noise" ->
+      s"""WITH q AS (
+         |  SELECT label, list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qs
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT label, CAST(i - 1 AS INTEGER) AS dim, qs[i] AS v
+         |  FROM q, LATERAL (SELECT unnest(generate_series(1, len(qs))) AS i)),
+         |m AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM e GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label AS clabel,
+         |         list(round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0.0
+         |              ORDER BY dim) AS cvec
+         |  FROM m GROUP BY label),
+         |sc AS (
+         |  SELECT vec_id, actual, clabel,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS score
+         |  FROM (
+         |    SELECT v.vec_id, v.label AS actual, c.clabel,
+         |           round(${cosSql("v.embedding", "c.cvec")}, 6) AS s
+         |    FROM embeddings v CROSS JOIN cent c)),
+         |own AS (
+         |  SELECT vec_id, actual AS label,
+         |         CAST(round(score * 1000000) AS BIGINT) AS own_micro
+         |  FROM sc WHERE clabel = actual),
+         |alt AS (
+         |  SELECT vec_id, clabel AS alt_label,
+         |         CAST(round(score * 1000000) AS BIGINT) AS alt_micro
+         |  FROM (
+         |    SELECT vec_id, clabel, score,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY score DESC, clabel) AS rn
+         |    FROM sc WHERE clabel <> actual) WHERE rn = 1)
+         |SELECT o.vec_id, o.label, o.own_micro, a.alt_label, a.alt_micro,
+         |       a.alt_micro > o.own_micro AS suspect
+         |FROM own o JOIN alt a USING (vec_id) ORDER BY o.vec_id""".stripMargin,
     "q_embed_stats" ->
       s"""WITH n AS (
          |  SELECT label,
@@ -4508,6 +4765,28 @@ object SparkEntry {
         |       abs(m.n - m.med) > 3.0 * mads.mad AS robust_anomaly
         |FROM meds m JOIN mads USING (hour_id)
         |WHERE m.k = 24 ORDER BY m.hour_id""".stripMargin,
+    // α=½ EWMA forecast over 16 row-lags: S = Σ n_{t-i}·2^(16-i) exact
+    // BIGINT, W = 65535 constant; the 3σ Poisson gate clears denominators
+    // to the integer comparison (n·W − S)² > 9·W·S (HUGEINT here,
+    // DECIMAL(38) on the Spark side — both exact)
+    "q_ewma_anomaly" ->
+      s"""WITH hours AS (
+         |  SELECT epoch_ms(ts) // 3600000 AS hour_id, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |w AS (
+         |  SELECT hour_id, n,
+         |         count(*) OVER (ORDER BY hour_id
+         |           ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS k,
+         |         ${(1 to 16).map(i =>
+               s"lag(n, $i) OVER (ORDER BY hour_id) * ${1L << (16 - i)}")
+               .mkString("\n         | + ")} AS s
+         |  FROM hours)
+         |SELECT CAST(hour_id AS BIGINT) AS hour_id, CAST(n AS BIGINT) AS n,
+         |       CAST(s AS BIGINT) AS ewma_scaled,
+         |       round(CAST(s AS DOUBLE) / 65535.0, 6) AS forecast,
+         |       (CAST(n AS HUGEINT) * 65535 - s) * (CAST(n AS HUGEINT) * 65535 - s)
+         |         > 9 * CAST(65535 AS HUGEINT) * s AS is_anomaly
+         |FROM w WHERE k = 16 ORDER BY hour_id""".stripMargin,
     // streamed hour cells ≡ batch hour cells is the claim under test, so
     // the streaming detector answers to the identical oracle
     "q_streaming_anomaly" -> anomalyOracleSql,

@@ -76,6 +76,41 @@ object Events {
       .orderBy("hour_id")
   }
 
+  /** q_ewma_anomaly: exponentially-weighted forecast + Poisson gate over
+    * the hourly count series — the RECENCY-weighted twin of
+    * [[hourlyAnomalies]] (whose flat 24 h z-score reacts a full day late
+    * to a level shift). Forecast for hour t is the α=½ EWMA of the 16
+    * preceding rows: weight 2^(16−i) for the i-th lag, so the scaled sum
+    * S = Σ n_{t−i}·2^(16−i) and the constant normalizer W = 2^16−1 are
+    * EXACT BIGINTs — the one double in the output is S/W rounded 6dp.
+    * The anomaly test |n − S/W| > 3·√(S/W) (3σ under Poisson(S/W))
+    * clears denominators to the pure integer comparison
+    * (n·W − S)² > 9·W·S — decimal(38) exact, no float drift ever.
+    *
+    * Scale: the hour-count table is O(hours) — metadata-sized at any
+    * corpus scale (a year is 8,760 rows) — so the single ordered window
+    * the 16 lags share is the right plan; the corpus-sized work is the
+    * one groupBy(hour) count, identical to [[hourlyAnomalies]].
+    */
+  def ewmaAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHour = Window.orderBy(col("hour_id"))
+    val lags = (1 to 16).map(i =>
+      lag(col("n"), i).over(byHour) * lit(1L << (16 - i)))
+    Tables.events(spark, sfDir)
+      .groupBy(expr("unix_millis(ts) div 3600000").as("hour_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", count(lit(1)).over(byHour.rowsBetween(-16, -1)))
+      .withColumn("s", lags.reduce(_ + _))
+      .filter(col("k") === 16) // forecast only with a full lag window
+      .withColumn("num", expr(
+        "CAST(n * 65535 - s AS DECIMAL(38,0)) * CAST(n * 65535 - s AS DECIMAL(38,0))"))
+      .withColumn("den", expr("9 * CAST(65535 AS DECIMAL(38,0)) * s"))
+      .select(col("hour_id"), col("n"), col("s").as("ewma_scaled"),
+        round(col("s").cast("double") / 65535.0, 6).as("forecast"),
+        (col("num") > col("den")).as("is_anomaly"))
+      .orderBy("hour_id")
+  }
+
   /** RANGE-frame moving aggregate — the event-TIME window frame (not row
     * count): for each event of the audited user subset, how many events
     * and how much value the SAME user produced in the preceding hour,

@@ -439,4 +439,57 @@ object Multimodal {
         count(lit(1)).cast("int").as("n_sampled"),
         sum(col("n_bytes")).cast("int").as("bytes_sampled"))
       .orderBy("asset_id")
+
+  // ——— Perceptual-hash image dedup ———
+  //
+  // Byte-identical dedup (sha256, q_exact_dedup) misses re-encoded /
+  // slightly-edited images — the dominant duplicate class in a scraped
+  // image corpus. The standard fix is a PERCEPTUAL hash: a small
+  // signature of the image's coarse structure, deduped by Hamming
+  // distance. [[graft.functions.BlockHashExpr.blockHash63]] computes the
+  // blockhash-style signature in one native O(n) pass over the payload
+  // (bit j = "block j brighter than the mean block", exact integers);
+  // production swaps the byte fold for a decoded-luma fold the same way
+  // decodeStub swaps for a JNI codec — the signature/pairing plumbing
+  // below is unchanged.
+
+  /** (asset_id, phash) for every image asset — one row-local projection,
+    * no shuffle; the hash is whole-stage-codegen'd.
+    */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame =
+    assets(spark, sfDir)
+      .filter(col("kind") === "image")
+      .select(col("asset_id"),
+        graft.functions.BlockHashExpr.blockHash63(col("payload")).as("phash"))
+      .orderBy("asset_id")
+
+  /** Image near-dup pairs with GUARANTEED recall at `maxDist` ≤ 3: split
+    * the 63 signature bits into 4 chunks (widths 15/16/16/16) — any pair
+    * within Hamming distance 3 agrees on ≥1 chunk by pigeonhole (Manku
+    * et al., WWW'07, the q_simhash_pairs construction) — bucket-join on
+    * (chunk_idx, chunk), then verify candidates by exact
+    * bit_count(xor). The join is linear in bucket occupancy (2^15+
+    * buckets per chunk), never the all-pairs product; at 100 TB the
+    * chunk relation shuffles once on its natural key.
+    */
+  def imageNearDupPairs(spark: SparkSession, sfDir: String,
+                        maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    val bounds = (0 to nChunks).map(i => i * 63 / nChunks)
+    val sig = imagePhash(spark, sfDir)
+    val chunks = sig.select(col("asset_id"), col("phash"),
+        posexplode(array((0 until nChunks).map { c =>
+          val width = bounds(c + 1) - bounds(c)
+          shiftright(col("phash"), bounds(c)).bitwiseAND((1L << width) - 1)
+        }: _*)))
+      .toDF("asset_id", "phash", "chunk_idx", "chunk")
+    chunks.as("x").join(chunks.as("y"), Seq("chunk_idx", "chunk"))
+      .where(col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("asset_a", "asset_b")
+  }
 }

@@ -114,4 +114,40 @@ object Quantiles {
         min("v").as("min_chars"), max("v").as("max_chars"))
       .orderBy("shard")
   }
+
+  /** q_sketch_error: MEASURED accuracy of the sketch-quantile tier — the
+    * recall@k discipline ([[Similarity.annRecall]]) applied to
+    * quantiles. For each (event_type, p) estimate, the exact RANK window
+    * the estimate occupies in the true per-type distribution
+    * ([rank_lo, rank_hi] under duplicates) and its integer distance from
+    * the target rank ⌊p·(n−1)/100⌋ — rank error, the ε a bottom-k sample
+    * actually delivered, in the units sketch guarantees are stated in
+    * (value error would be scale-dependent and float-fragile; rank error
+    * is exact integers end to end).
+    *
+    * One corpus pass: the 3·|types| estimate rows broadcast into a
+    * conditional aggregation — the exact-rank legs never sort or shuffle
+    * the feed (an exact per-type percentile would); at 100 TB this is
+    * the only affordable way to AUDIT a sketch in production.
+    */
+  def sketchErrorAudit(spark: SparkSession, sfDir: String,
+                       k: Int = 256): DataFrame = {
+    val est = sketchQuantiles(spark, sfDir, k).selectExpr("event_type",
+      "stack(3, 50, p50_est, 90, p90_est, 99, p99_est) AS (p, est)")
+    val ev = Tables.events(spark, sfDir).where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    ev.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"), col("p"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rank_hi1"))
+      .select(col("event_type"), col("p"), col("n"), col("est"),
+        col("rank_lo"), (col("rank_hi1") - 1).as("rank_hi"),
+        expr("(p * (n - 1)) DIV 100").as("target"),
+        greatest(lit(0L),
+          col("rank_lo") - expr("(p * (n - 1)) DIV 100"),
+          expr("(p * (n - 1)) DIV 100") - (col("rank_hi1") - 1))
+          .as("rank_err"))
+      .orderBy("event_type", "p")
+  }
 }

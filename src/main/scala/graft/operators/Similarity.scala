@@ -992,6 +992,51 @@ object Similarity {
       .orderBy("actual", "predicted")
   }
 
+  /** q_label_noise: mislabel audit — for EVERY vector, its 6dp cosine to
+    * its OWN label's prototype vs the best OTHER prototype; a vector
+    * whose best impostor beats its own class (suspect = true) is the
+    * classic confident-mislabel signal (the Cleanlab-style check every
+    * labeled training set gets before a model sees it). Same machinery
+    * as [[centroidClassify]]: closed-form exact prototypes collected
+    * once (L×d — metadata-sized at any corpus scale) and ridden into a
+    * single corpus projection as a typed literal; zero shuffle, scores
+    * micro-quantized so the output is scalar BIGINTs the oracle replays
+    * bit-for-bit. Ties keep the LOWEST impostor label (strictly-greater
+    * fold over label-ascending cells — the NB argmax convention).
+    */
+  def labelNoiseAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents: Seq[(Int, Seq[Double])] =
+      labelCentroids(spark, sfDir)
+        .select(col("label").cast("int"), col("dim"), col("c"))
+        .as[(Int, Int, Double)].collect().toSeq
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3)) }
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Int, Long, Int, Long, Boolean)]
+        .toDF("vec_id", "label", "own_micro", "alt_label", "alt_micro",
+          "suspect")
+    val scoredCells = transform(typedlit(cents), c => struct(
+      coalesce(round(cosineNative(col("embedding"), c.getField("_2")), 6),
+        lit(-2.0)).as("score"),
+      c.getField("_1").as("lbl")))
+    // the impostor fold re-runs per extracted field (Catalyst does not
+    // CSE lambdas) — row-local over ≤L cells, negligible
+    val altFold = "aggregate(filter(cells, c -> c.lbl != label), " +
+      "named_struct('score', CAST(-3.0 AS DOUBLE), 'lbl', -1), " +
+      "(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END)"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), scoredCells.as("cells"))
+      .select(col("vec_id"), col("label"),
+        expr("CAST(round(element_at(filter(cells, c -> c.lbl = label), 1)" +
+          ".score * 1000000) AS BIGINT)").as("own_micro"),
+        expr(s"$altFold.lbl").as("alt_label"),
+        expr(s"CAST(round($altFold.score * 1000000) AS BIGINT)")
+          .as("alt_micro"))
+      .withColumn("suspect", col("alt_micro") > col("own_micro"))
+      .orderBy("vec_id")
+  }
+
   /** q_hard_negatives: contrastive pair mining — for each query vector
     * (the fixed `vec_id < nQueries` budget, the [[knnClassify]] scale
     * contract), the best POSITIVE (nearest same-label vector) and the
@@ -1136,5 +1181,126 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         round(col("scale"), 8).as("scale"), col("err_l2_micro"))
       .orderBy("vec_id")
+  }
+
+  // ——— Index/compression fidelity suite ———
+  //
+  // Every lossy retrieval tier (IVF-PQ cells+codes, dimension truncation,
+  // int8 quantization) trades recall for scan cost. Production pipelines
+  // pick the operating point from a MEASURED recall@k table, not vibes —
+  // this family computes that table inside the engine, as the same kind
+  // of deterministic, oracle-checkable query as everything else. The
+  // expensive side (exact brute-force reference) runs over the FIXED
+  // query budget (`vec_id < nQueries`, the [[cosineTopK]] scale
+  // contract), so the whole evaluation is O(n·nQueries) regardless of
+  // corpus size and the recall join itself is output-sized.
+
+  /** recall@k of `candidate` against `reference` per query: both are
+    * (query_id, vec_id, …) top-k tables; a hit is a reference id the
+    * candidate also returned. The join runs on two k·nQueries-row inputs
+    * — broadcast-sized at any corpus scale — and the recall double is
+    * ONE division of small exact integers, rounded 6dp (identical bits
+    * in any engine).
+    */
+  private def recallPerQuery(reference: DataFrame,
+                             candidate: DataFrame): DataFrame =
+    reference.select(col("query_id"), col("vec_id"))
+      .join(candidate.select(col("query_id"), col("vec_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6))
+      .orderBy("query_id")
+
+  /** q_ann_recall: recall@k of the composed IVF-PQ serving path
+    * ([[ivfPqTopK]]) against the exact brute-force reference
+    * ([[cosineTopK]]) — the ONE number that decides nprobe/rerank at
+    * 100 TB (raise either until this table stops improving). Both sides
+    * are deterministic (fixed centroids/codebooks, 6dp tie conventions),
+    * so the oracle replays the entire evaluation.
+    */
+  def annRecall(spark: SparkSession, sfDir: String,
+                nQueries: Int, k: Int): DataFrame =
+    recallPerQuery(cosineTopK(spark, sfDir, nQueries, k),
+      ivfPqTopK(spark, sfDir, nQueries, k))
+
+  /** Exact cosine top-k over only the FIRST `dims` dimensions — the
+    * Matryoshka-truncation candidate generator. Same plan shape as
+    * [[cosineTopK]] (broadcast queries, one corpus scan, partial top-k);
+    * the slice happens in the projection, so at real scale a column
+    * layout that stores leading dims first reads only `dims` floats.
+    */
+  private def truncatedTopK(spark: SparkSession, sfDir: String,
+                            nQueries: Int, k: Int, dims: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), slice(col("embedding"), 1, dims).as("t_emb"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t_emb").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col("t_emb")), 6), lit(-2.0)))
+      .select("query_id", "vec_id", "cosine")
+    topKPerQuery(scored, k)
+  }
+
+  /** q_dim_ablation: recall@k of truncated-dimension retrieval (first
+    * 16 and first 32 of the stored dims) against the full-dimension
+    * exact reference — the measurement behind "can we serve the ANN
+    * tier from a 4×-narrower Matryoshka prefix?". One row per
+    * (dims, query); the full reference is computed once and joined
+    * against both ablations.
+    */
+  def dimAblation(spark: SparkSession, sfDir: String,
+                  nQueries: Int, k: Int): DataFrame = {
+    val reference = cosineTopK(spark, sfDir, nQueries, k)
+    Seq(16, 32).map { d =>
+      recallPerQuery(reference, truncatedTopK(spark, sfDir, nQueries, k, d))
+        .withColumn("dims", lit(d))
+    }.reduce(_.unionByName(_))
+      .select(col("dims"), col("query_id"), col("n_exact"),
+        col("n_hits"), col("recall"))
+      .orderBy("dims", "query_id")
+  }
+
+  /** q_quantize_recall: recall@k of int8-quantized retrieval against the
+    * full-precision reference — the fidelity half of
+    * [[quantizeEmbeddings]]' 4× memory cut. Cosine is scale-invariant,
+    * so scoring runs DIRECTLY on the integer code arrays (the per-vector
+    * scale cancels): every dot/norm term is a sum of ≤127² products over
+    * the embedding width — exact integer arithmetic in doubles — and the
+    * quantization itself is the exact ⌊x/scale+0.5⌋ the q_quantize_embed
+    * oracle already replays bit-for-bit.
+    */
+  def quantizeRecall(spark: SparkSession, sfDir: String,
+                     nQueries: Int, k: Int): DataFrame = {
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    val scaleRaw = aggregate(col("xd"), lit(0.0),
+      (m, v) => greatest(m, abs(v))) / 127
+    val scale = when(col("scale_raw") === 0, lit(1.0))
+      .otherwise(col("scale_raw"))
+    // one derived array per projection — Catalyst does not CSE lambdas
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), xd.as("xd"))
+      .withColumn("scale_raw", scaleRaw)
+      .withColumn("scale", scale)
+      // floor() yields LONG; the kernel wants float|double arrays — the
+      // cast is exact (codes are integers ≤ 127)
+      .select(col("vec_id"),
+        transform(col("xd"),
+          v => floor(v / col("scale") + lit(0.5)).cast("double"))
+          .as("q_vec"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q_vec").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col("q_vec")), 6), lit(-2.0)))
+      .select("query_id", "vec_id", "cosine")
+    recallPerQuery(cosineTopK(spark, sfDir, nQueries, k),
+      topKPerQuery(scored, k))
   }
 }

@@ -300,6 +300,17 @@ class PlanBudgetSpec extends SparkTestBase {
     // predicate + ANN: the pushed label filter adds ZERO exchanges —
     // same budget as the unfiltered pipeline
     "q_filtered_ann" -> 2,
+    // fidelity suite: every exchange AFTER the two corpus-side partial
+    // top-k aggs moves only k·nQueries rows (the recall join is
+    // output-sized at any corpus scale)
+    "q_ann_recall" -> 6, // exact topk (2) + ivfpq topk (2) + recall join/agg + order
+    "q_dim_ablation" -> 11, // 3 topk pipelines (2 each) + 2 recall joins/aggs + union order
+    "q_quantize_recall" -> 6, // exact topk (2) + int8 topk (2) + recall join/agg + order
+    "q_ewma_anomaly" -> 2, // hour-count agg + the (hours-sized) lag window/order
+    "q_image_phash" -> 1, // row-local native hash; output order only
+    "q_image_neardup" -> 1, // chunk self-join rides ONE exchange (same key both sides) + verify
+    "q_label_noise" -> 1, // prototypes ride as a literal; scan is shuffle-free + order
+    "q_sketch_error" -> 4, // sketch agg + estimate broadcast + rank agg + order
     // refresh SERVE plan: fingerprint agg over the artifact + output
     // order (staging/encode are build-side, charged once)
     "q_ivfpq_refresh" -> 2,
