@@ -392,6 +392,8 @@ object SparkEntry {
     // then Manku chunk-banded candidate join + exact Hamming verify
     "q_image_phash"    -> ((s, d) => Multimodal.imagePhash(s, d)),
     "q_image_neardup"  -> ((s, d) => Multimodal.imageNearDupPairs(s, d, 3)),
+    // the dedup decision: CC labels over the pair graph, min-id keeper
+    "q_image_dup_clusters" -> ((s, d) => Multimodal.imageDupClusters(s, d, 3)),
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
     "q_ann_topk"       -> ((s, d) => Similarity.annTopK(s, d, 10, 10)),
     // PQ/ADC serving: rank by code distance, floats touched only for the
@@ -3278,6 +3280,28 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.asset_id < b.asset_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY asset_a, asset_b""".stripMargin,
+    // CC labels via recursive reachability closure (the q_dup_clusters
+    // oracle construction) over the brute-force pair graph
+    "q_image_dup_clusters" ->
+      s"""WITH RECURSIVE $imagePhashCte,
+         |pairs AS (
+         |  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b
+         |  FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |edges AS (
+         |  SELECT asset_a AS src, asset_b AS dst FROM pairs
+         |  UNION ALL SELECT asset_b, asset_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |labels AS (SELECT v, MIN(l) AS cluster_id FROM reach GROUP BY v)
+         |SELECT v AS asset_id, cluster_id, CAST(cnt AS BIGINT) AS cluster_size,
+         |       v = cluster_id AS is_keeper
+         |FROM labels
+         |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
+         |  USING (cluster_id)
+         |ORDER BY asset_id""".stripMargin,
     // The payload is the utf-8 text bytes (ASCII corpus: byte == ord(char)),
     // and the stub decoder's feature[0] is an exact integer byte-fold over
     // positions ≡ 0 (mod 16), divided once — so the whole decode pipeline is

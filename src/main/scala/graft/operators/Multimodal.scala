@@ -453,15 +453,25 @@ object Multimodal {
   // decodeStub swaps for a JNI codec — the signature/pairing plumbing
   // below is unchanged.
 
-  /** (asset_id, phash) for every image asset — one row-local projection,
-    * no shuffle; the hash is whole-stage-codegen'd.
+  /** The unordered signature relation — what every internal consumer
+    * joins against. The output sort lives ONLY in the declared
+    * [[imagePhash]] query: feeding a sorted relation into the pair join
+    * planted a corpus-sized range exchange + sort on BOTH join legs for
+    * an ordering the join immediately destroyed (caught in plan review).
     */
-  def imagePhash(spark: SparkSession, sfDir: String): DataFrame =
+  private def imagePhashRelation(spark: SparkSession,
+                                 sfDir: String): DataFrame =
     assets(spark, sfDir)
       .filter(col("kind") === "image")
       .select(col("asset_id"),
         graft.functions.BlockHashExpr.blockHash63(col("payload")).as("phash"))
-      .orderBy("asset_id")
+
+  /** (asset_id, phash) for every image asset — one row-local projection;
+    * the hash is whole-stage-codegen'd and the only exchange is the
+    * output order.
+    */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame =
+    imagePhashRelation(spark, sfDir).orderBy("asset_id")
 
   /** Image near-dup pairs with GUARANTEED recall at `maxDist` ≤ 3: split
     * the 63 signature bits into 4 chunks (widths 15/16/16/16) — any pair
@@ -476,7 +486,7 @@ object Multimodal {
                         maxDist: Int = 3): DataFrame = {
     val nChunks = maxDist + 1
     val bounds = (0 to nChunks).map(i => i * 63 / nChunks)
-    val sig = imagePhash(spark, sfDir)
+    val sig = imagePhashRelation(spark, sfDir)
     val chunks = sig.select(col("asset_id"), col("phash"),
         posexplode(array((0 until nChunks).map { c =>
           val width = bounds(c + 1) - bounds(c)
@@ -492,4 +502,22 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
       .orderBy("asset_a", "asset_b")
   }
+
+  /** q_image_dup_clusters: the dedup DECISION over the pair evidence —
+    * connected components of the near-dup graph (duplicates chain
+    * A~B~C, so pairs alone can't pick keepers), labeling each clustered
+    * image with its component's min asset_id; the label holder is the
+    * keeper, everything else drops. Rides [[Dedup.dupClustersFromPairs]]
+    * — the same O(log d)-round min-label propagation the text pipeline
+    * uses, on a graph that is the DEDUP OUTPUT (pairs ≪ corpus).
+    */
+  def imageDupClusters(spark: SparkSession, sfDir: String,
+                       maxDist: Int = 3): DataFrame =
+    Dedup.dupClustersFromPairs(spark,
+        imageNearDupPairs(spark, sfDir, maxDist)
+          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("asset_id")
 }

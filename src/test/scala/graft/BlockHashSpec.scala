@@ -73,6 +73,32 @@ class BlockHashSpec extends SparkTestBase {
     assert(got == brute, s"banded=${got.size} brute=${brute.size}")
   }
 
+  test("imageDupClusters labels components of the brute-force pair graph") {
+    val sig = Multimodal.imagePhash(spark, sf).as[(Long, Long)].collect()
+    val edges = (for {
+      (a, ha) <- sig; (b, hb) <- sig
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSeq
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comp = verts.map(v => v -> find(v)).toMap
+    val sizes = comp.groupBy(_._2).map { case (l, vs) => l -> vs.size.toLong }
+    val expected = verts.map(v =>
+      (v, comp(v), sizes(comp(v)), v == comp(v))).sortBy(_._1).toSeq
+    val got = Multimodal.imageDupClusters(spark, sf, 3)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("two instances in one codegen scope compile (freshName'd locals)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -308,7 +308,11 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_quantize_recall" -> 6, // exact topk (2) + int8 topk (2) + recall join/agg + order
     "q_ewma_anomaly" -> 2, // hour-count agg + the (hours-sized) lag window/order
     "q_image_phash" -> 1, // row-local native hash; output order only
-    "q_image_neardup" -> 1, // chunk self-join rides ONE exchange (same key both sides) + verify
+    "q_image_neardup" -> 2, // chunk-key exchanges for the self-join (AQE broadcasts one side at runtime); output order rides the dedup agg
+    // SERVE plan over the converged labels (the CC loop's per-round
+    // exchanges run at construction on the checkpointed pair graph):
+    // cluster-size agg + size join-back + output order
+    "q_image_dup_clusters" -> 3,
     "q_label_noise" -> 1, // prototypes ride as a literal; scan is shuffle-free + order
     "q_sketch_error" -> 4, // sketch agg + estimate broadcast + rank agg + order
     // refresh SERVE plan: fingerprint agg over the artifact + output
