@@ -758,7 +758,11 @@ object SparkEntry {
   // bottom-k sample quantiles per event type — shared by the batch query
   // (q_sketch_quantiles) and the streaming-state twin
   // (q_streaming_quantiles): the drained stream state IS the batch sketch
-  private lazy val sketchQuantilesOracleSql: String =
+  // the bottom-k sketch REPLAY (ending at `s`: per-type sorted sample +
+  // size) — one definition shared by the quantile extraction and the
+  // rank-error audit, so the audit can never drift onto a different
+  // sketch than the tier it measures
+  private lazy val sketchReplayCtes: String =
     """WITH b AS (
       |  SELECT event_type,
       |         ((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
@@ -770,7 +774,10 @@ object SparkEntry {
       |      FROM d),
       |s AS (SELECT event_type, list(v ORDER BY v) AS sv,
       |        CAST(count(*) AS BIGINT) AS n
-      |      FROM r WHERE rn <= 256 GROUP BY event_type)
+      |      FROM r WHERE rn <= 256 GROUP BY event_type)""".stripMargin
+
+  private lazy val sketchQuantilesOracleSql: String =
+    s"""$sketchReplayCtes
       |SELECT event_type, n AS n_sample,
       |       sv[CAST((50 * (n - 1)) // 100 AS INT) + 1] AS p50_est,
       |       sv[CAST((90 * (n - 1)) // 100 AS INT) + 1] AS p90_est,
@@ -1544,18 +1551,7 @@ object SparkEntry {
     // rank error of the sketch estimates: replay the sketch, then count
     // the exact rank legs per (type, p) — integers end to end
     "q_sketch_error" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |         ((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296) AS h,
-        |         CAST(value AS DOUBLE) AS v
-        |  FROM events WHERE value IS NOT NULL),
-        |d AS (SELECT DISTINCT event_type, h, v FROM b),
-        |r AS (SELECT event_type, v,
-        |        row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
-        |      FROM d),
-        |s AS (SELECT event_type, list(v ORDER BY v) AS sv,
-        |        CAST(count(*) AS BIGINT) AS n
-        |      FROM r WHERE rn <= 256 GROUP BY event_type),
+      s"""$sketchReplayCtes,
         |est AS (
         |  SELECT event_type, CAST(p AS INT) AS p,
         |         sv[CAST((p * (n - 1)) // 100 AS INT) + 1] AS est
@@ -3454,9 +3450,14 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY vec_id
          |                ORDER BY score DESC, clabel) AS rn
          |    FROM sc WHERE clabel <> actual) WHERE rn = 1)
-         |SELECT o.vec_id, o.label, o.own_micro, a.alt_label, a.alt_micro,
-         |       a.alt_micro > o.own_micro AS suspect
-         |FROM own o JOIN alt a USING (vec_id) ORDER BY o.vec_id""".stripMargin,
+         |-- LEFT join + the Spark fold's seed values: with a single
+         |-- distinct label there IS no impostor, and the engine emits
+         |-- (alt_label=-1, alt_micro=-3000000, suspect=false)
+         |SELECT o.vec_id, o.label, o.own_micro,
+         |       coalesce(a.alt_label, -1) AS alt_label,
+         |       CAST(coalesce(a.alt_micro, -3000000) AS BIGINT) AS alt_micro,
+         |       coalesce(a.alt_micro > o.own_micro, false) AS suspect
+         |FROM own o LEFT JOIN alt a USING (vec_id) ORDER BY o.vec_id""".stripMargin,
     "q_embed_stats" ->
       s"""WITH n AS (
          |  SELECT label,

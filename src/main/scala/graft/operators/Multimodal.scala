@@ -483,7 +483,21 @@ object Multimodal {
     * chunk relation shuffles once on its natural key.
     */
   def imageNearDupPairs(spark: SparkSession, sfDir: String,
-                        maxDist: Int = 3): DataFrame = {
+                        maxDist: Int = 3): DataFrame =
+    imageNearDupPairsRelation(spark, sfDir, maxDist)
+      .orderBy("asset_a", "asset_b")
+
+  /** The unordered pair relation — the CC loop's input. Like
+    * [[imagePhashRelation]], the presentation sort stays OUT of internal
+    * consumers: [[graft.operators.Dedup.dupClustersFromPairs]]
+    * checkpoints its edge build, and EliminateSorts cannot reach across
+    * a checkpoint boundary, so a sorted input would execute a useless
+    * pair-graph range exchange + global sort (twice — both unionAll
+    * legs). The text twin's `sorted = false` pairs variant is the same
+    * discipline.
+    */
+  private def imageNearDupPairsRelation(spark: SparkSession, sfDir: String,
+                                        maxDist: Int): DataFrame = {
     val nChunks = maxDist + 1
     val bounds = (0 to nChunks).map(i => i * 63 / nChunks)
     val sig = imagePhashRelation(spark, sfDir)
@@ -500,7 +514,6 @@ object Multimodal {
           .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .orderBy("asset_a", "asset_b")
   }
 
   /** q_image_dup_clusters: the dedup DECISION over the pair evidence —
@@ -514,7 +527,7 @@ object Multimodal {
   def imageDupClusters(spark: SparkSession, sfDir: String,
                        maxDist: Int = 3): DataFrame =
     Dedup.dupClustersFromPairs(spark,
-        imageNearDupPairs(spark, sfDir, maxDist)
+        imageNearDupPairsRelation(spark, sfDir, maxDist)
           .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
       .select(col("doc_id").as("asset_id"), col("cluster_id"),
         col("cluster_size"),

@@ -84,24 +84,34 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** The ONE brute-force scoring scaffold every exact/ablated tier rides:
+    * fixed query budget (`vec_id < nQueries`) broadcast against a single
+    * scan of `rel(vec_id, <vcol>)`, the native codegen'd cosine
+    * (bit-identical to VectorFunctions.cosine but a zero-allocation
+    * primitive loop), the shared conventions in ONE place — 6dp rounding,
+    * −2.0 zero-norm floor (NULL here vs NaN in the oracle), ties by
+    * vec_id via [[topKPerQuery]]. A convention fix lands here once, not
+    * once per tier.
+    */
+  private def bruteTopK(rel: DataFrame, vcol: String,
+                        nQueries: Int, k: Int): DataFrame = {
+    val q = rel.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col(vcol).as("q_emb"))
+    val scored = rel.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        coalesce(round(cosineNative(col("q_emb"), col(vcol)), 6), lit(-2.0)))
+      .select("query_id", "vec_id", "cosine")
+    topKPerQuery(scored, k)
+  }
+
   /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries),
     * excluding self-matches.
     */
   def cosineTopK(spark: SparkSession, sfDir: String,
-                 nQueries: Int, k: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("query_id"))
-      // native codegen'd Expression — bit-identical to VectorFunctions.cosine
-      // (same double arithmetic) but a zero-allocation primitive loop;
-      // -2.0 zero-norm floor mirrored in the oracle (NULL here vs NaN there)
-      .withColumn("cosine",
-        coalesce(round(cosineNative(col("q_emb"), col("embedding")), 6), lit(-2.0)))
-      .select("query_id", "vec_id", "cosine")
-    topKPerQuery(scored, k)
-  }
+                 nQueries: Int, k: Int): DataFrame =
+    bruteTopK(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      "embedding", nQueries, k)
 
   // Deterministic random hyperplanes (seeded) for multi-table LSH:
   // NumTables independent tables of BitsPerTable sign bits each. Recall
@@ -1234,18 +1244,10 @@ object Similarity {
     * layout that stores leading dims first reads only `dims` floats.
     */
   private def truncatedTopK(spark: SparkSession, sfDir: String,
-                            nQueries: Int, k: Int, dims: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), slice(col("embedding"), 1, dims).as("t_emb"))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("t_emb").as("q_emb"))
-    val scored = emb.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        coalesce(round(cosineNative(col("q_emb"), col("t_emb")), 6), lit(-2.0)))
-      .select("query_id", "vec_id", "cosine")
-    topKPerQuery(scored, k)
-  }
+                            nQueries: Int, k: Int, dims: Int): DataFrame =
+    bruteTopK(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), slice(col("embedding"), 1, dims).as("t_emb")),
+      "t_emb", nQueries, k)
 
   /** q_dim_ablation: recall@k of truncated-dimension retrieval (first
     * 16 and first 32 of the stored dims) against the full-dimension
@@ -1293,14 +1295,7 @@ object Similarity {
         transform(col("xd"),
           v => floor(v / col("scale") + lit(0.5)).cast("double"))
           .as("q_vec"))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q_vec").as("q_emb"))
-    val scored = emb.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        coalesce(round(cosineNative(col("q_emb"), col("q_vec")), 6), lit(-2.0)))
-      .select("query_id", "vec_id", "cosine")
     recallPerQuery(cosineTopK(spark, sfDir, nQueries, k),
-      topKPerQuery(scored, k))
+      bruteTopK(emb, "q_vec", nQueries, k))
   }
 }
