@@ -419,6 +419,7 @@ object SparkEntry {
     "q_ivfpq_refresh"  -> ((s, d) => Similarity.ivfPqRefresh(s, d)),
     // — index/compression fidelity: measured recall@k per lossy tier —
     "q_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d, 10, 10)),
+    "q_recall_curve"   -> ((s, d) => Similarity.recallCurve(s, d, 10, 10)),
     "q_dim_ablation"   -> ((s, d) => Similarity.dimAblation(s, d, 10, 10)),
     "q_quantize_recall" -> ((s, d) => Similarity.quantizeRecall(s, d, 10, 10)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
@@ -2999,6 +3000,24 @@ object SparkEntry {
          |ivc AS (SELECT query_id, vec_id FROM r WHERE rnk <= 10)
          |${recallSelectSql("x", "ivc")}
          |ORDER BY x.query_id""".stripMargin,
+    // the tuning curve off the same two ranked tables: hits@k = pairs
+    // where BOTH ranks ≤ k, for k in (1, 5, 10)
+    "q_recall_curve" ->
+      s"""${ivfPqCtes("")},
+         |${exactTopKCtes("x")}
+         |SELECT k.k, e.query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN c.rnk <= k.k THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hits,
+         |       round(CAST(sum(CASE WHEN c.rnk <= k.k THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM (SELECT query_id, vec_id, rnk FROM xr WHERE rnk <= 10) e
+         |LEFT JOIN (SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 10) c
+         |  ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+         |CROSS JOIN (SELECT unnest([1, 5, 10]) AS k) k
+         |WHERE e.rnk <= k.k
+         |GROUP BY k.k, e.query_id
+         |ORDER BY k.k, e.query_id""".stripMargin,
     // Matryoshka ablation: top-10 from the FIRST 16/32 dims vs the
     // full-dim reference — list slicing keeps float elements on both
     // engines, so the truncated cosines are the same bits as Spark's

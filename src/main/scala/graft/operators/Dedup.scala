@@ -468,8 +468,26 @@ object Dedup {
   private[graft] val lastCcRounds =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Spec observability: whether the last CC run took the driver-local
+    * small-graph path instead of the distributed loop.
+    */
+  private[graft] val lastCcLocal =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** `localEdgeThreshold`: when the MEASURED symmetric edge count is at
+    * or below it, the components are solved by a driver-side union-find
+    * on the collected (tiny) graph instead of L propagation rounds —
+    * each round is a full Spark job whose cost on a few-hundred-edge
+    * graph is pure job setup (the GraphFrames small-graph shortcut).
+    * Labels are identical by construction: min member id per component
+    * (spec-pinned against the distributed path). Default 0 = always
+    * distributed; call sites opt in with the bound they can afford to
+    * collect — the decision is made from the MEASURED count, so a
+    * production-scale graph at the same call site still takes the loop.
+    */
   private[graft] def dupClustersFromPairs(spark: SparkSession,
-                                          pairs: DataFrame): DataFrame = {
+                                          pairs: DataFrame,
+                                          localEdgeThreshold: Long = 0L): DataFrame = {
     // symmetric edge list, materialized once — reused every round; the
     // edge count rides the checkpoint job as an observe metric (no
     // separate count action)
@@ -481,6 +499,28 @@ object Dedup {
     val nEdges = obsEdges.get.get("n") match {
       case Some(n: Number) => n.longValue()
       case _ => 0L
+    }
+    lastCcLocal.set(nEdges > 0 && nEdges <= localEdgeThreshold)
+    if (lastCcLocal.get()) {
+      import spark.implicits._
+      val es = edges0.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val byRoot = parent.keys.toSeq.groupBy(find)
+      val rows = byRoot.toSeq.flatMap { case (_, vs) =>
+        val label = vs.min
+        vs.map(v => (v, label, vs.size.toLong))
+      }
+      lastCcRounds.set(0)
+      return rows.toDF("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
     }
     // size the LOOP's partitioning to the pair graph, not the session
     // default: the graph is the dedup OUTPUT (pairs ≪ corpus), and every

@@ -528,7 +528,12 @@ object Multimodal {
                        maxDist: Int = 3): DataFrame =
     Dedup.dupClustersFromPairs(spark,
         imageNearDupPairsRelation(spark, sfDir, maxDist)
-          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
+          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")),
+        // measured-count shortcut: a Hamming≤3 phash graph is sparse —
+        // when it lands under 100k symmetric edges the driver union-find
+        // replaces O(log d) full Spark jobs of pure setup cost; a larger
+        // measured graph still takes the distributed loop
+        localEdgeThreshold = 100000L)
       .select(col("doc_id").as("asset_id"), col("cluster_id"),
         col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))

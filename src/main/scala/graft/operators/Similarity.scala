@@ -1237,6 +1237,32 @@ object Similarity {
     recallPerQuery(cosineTopK(spark, sfDir, nQueries, k),
       ivfPqTopK(spark, sfDir, nQueries, k))
 
+  /** q_recall_curve: recall@k for k ∈ {1, 5, 10} of the SAME two top-10
+    * tables [[annRecall]] compares — the tuning CURVE, not a point: a
+    * tier that is fine at k=10 but poor at k=1 mis-ranks its head, which
+    * rerank can fix; poor everywhere means the probes miss cells, which
+    * only nprobe can fix. Reading both diagnoses off one artifact costs
+    * two already-computed k·nQueries tables joined once (hits@k = pairs
+    * where BOTH ranks ≤ k) — no extra corpus work at any scale.
+    */
+  def recallCurve(spark: SparkSession, sfDir: String,
+                  nQueries: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val ref = cosineTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("ref_rnk"))
+    val cand = ivfPqTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("cand_rnk"))
+    ref.join(cand, Seq("query_id", "vec_id"), "left")
+      .crossJoin(Seq(1, 5, 10).toDF("k"))
+      .filter(col("ref_rnk") <= col("k"))
+      .groupBy(col("k"), col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("cand_rnk") <= col("k"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6))
+      .orderBy("k", "query_id")
+  }
+
   /** Exact cosine top-k over only the FIRST `dims` dimensions — the
     * Matryoshka-truncation candidate generator. Same plan shape as
     * [[cosineTopK]] (broadcast queries, one corpus scan, partial top-k);

@@ -173,6 +173,26 @@ class DedupSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("dupClusters: driver-local small-graph path ≡ distributed labels") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val dist = Dedup.dupClustersFromPairs(spark, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!Dedup.lastCcLocal.get(), "default threshold must stay distributed")
+    val local = Dedup.dupClustersFromPairs(spark, pairs, localEdgeThreshold = 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Dedup.lastCcLocal.get(), "under-threshold graph must go local")
+    assert(local === dist)
+    // a measured count ABOVE the threshold keeps the distributed loop
+    // (22 symmetric edges > 10)
+    val over = Dedup.dupClustersFromPairs(spark, pairs, localEdgeThreshold = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!Dedup.lastCcLocal.get(), "over-threshold graph must stay distributed")
+    assert(over === dist)
+  }
+
   test("dupClusters: pointer doubling converges a long chain in O(log d) rounds") {
     // 65-vertex path graph: one-hop propagation alone needs 64 rounds to
     // carry the min to the far end; the l(l(v)) shortcut leg squares hop

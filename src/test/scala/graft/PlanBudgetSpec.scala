@@ -304,6 +304,7 @@ class PlanBudgetSpec extends SparkTestBase {
     // top-k aggs moves only k·nQueries rows (the recall join is
     // output-sized at any corpus scale)
     "q_ann_recall" -> 6, // exact topk (2) + ivfpq topk (2) + recall join/agg + order
+    "q_recall_curve" -> 6, // same two topk pipelines as q_ann_recall; the k fan-out joins/aggs ride output-sized exchanges
     "q_dim_ablation" -> 11, // 3 topk pipelines (2 each) + 2 recall joins/aggs + union order
     "q_quantize_recall" -> 6, // exact topk (2) + int8 topk (2) + recall join/agg + order
     "q_ewma_anomaly" -> 2, // hour-count agg + the (hours-sized) lag window/order

@@ -30,6 +30,23 @@ class RecallSuiteSpec extends SparkTestBase {
     assert(mean > 0.05, s"IVF-PQ mean recall@10 collapsed to $mean")
   }
 
+  test("recallCurve: k=10 leg equals annRecall; counts bounded by k") {
+    val curve = Similarity.recallCurve(spark, sf, 5, 10)
+      .select("k", "query_id", "n_exact", "n_hits", "recall")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(curve.map(_._1).toSet == Set(1, 5, 10))
+    curve.foreach { case (k, q, nExact, nHits, _) =>
+      assert(nExact == k, s"(k=$k, q=$q) reference size")
+      assert(nHits >= 0 && nHits <= nExact, s"(k=$k, q=$q) hits")
+    }
+    val at10 = curve.filter(_._1 == 10)
+      .map(r => (r._2, r._3, r._4, r._5)).sortBy(_._1).toSeq
+    val ann = Similarity.annRecall(spark, sf, 5, 10)
+      .select("query_id", "n_exact", "n_hits", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(at10 == ann, "k=10 leg must equal the headline recall table")
+  }
+
   test("dimAblation: 32-dim recall dominates 16-dim recall on average") {
     val byDims = Similarity.dimAblation(spark, sf, 5, 10)
       .select("dims", "query_id", "n_exact", "n_hits", "recall")
