@@ -505,9 +505,17 @@ object Dedup {
       import spark.implicits._
       val es = edges0.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // ITERATIVE find + full path compression: adversarial edge order
+      // (a descending-id chain) can grow a parent chain to ~component
+      // size, and a recursive walk would overflow the thread stack well
+      // inside the 100k-edge opt-in bound
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root)
+          root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -1252,8 +1252,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rnk").as("ref_rnk"))
     val cand = ivfPqTopK(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("vec_id"), col("rnk").as("cand_rnk"))
+    // curve points clamped to the computed depth: a k below a point
+    // would otherwise emit rows LABELED with that point but measured on
+    // a shallower table — silently wrong numbers, not an error
+    val points = Seq(1, 5, 10).filter(_ <= k)
     ref.join(cand, Seq("query_id", "vec_id"), "left")
-      .crossJoin(Seq(1, 5, 10).toDF("k"))
+      .crossJoin(points.toDF("k"))
       .filter(col("ref_rnk") <= col("k"))
       .groupBy(col("k"), col("query_id"))
       .agg(count(lit(1)).as("n_exact"),
