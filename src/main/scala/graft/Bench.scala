@@ -127,7 +127,9 @@ object Bench {
       "token_grams_materialize" ->
         (() => { graft.operators.TextAnalysis.ensureTokenGrams(spark, sfDir); () }),
       "scrub_counts_materialize" ->
-        (() => { graft.operators.TextAnalysis.ensureScrubCounts(spark, sfDir); () }))
+        (() => { graft.operators.TextAnalysis.ensureScrubCounts(spark, sfDir); () }),
+      "nb_model_materialize" ->
+        (() => { graft.operators.NaiveBayes.ensureModelGrid(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

@@ -46,6 +46,23 @@ object SparkEntry {
       .unionAll(Indexer.lookupInIndex(spark, indexPath, "the"))
   }
 
+  /** Shared ANN-recall evaluation geometry: every recall-family
+    * REGISTRATION (ann_recall / recall_curve / dim_ablation /
+    * quantize_recall / ivfpq_topk / filtered_ann) and every recall-family
+    * ORACLE CTE (exactTopKCtes, ivfPqCtes, the per-query recall SQL)
+    * derive their query-set bound and depth from these two constants, so
+    * changing the registered call cannot silently desynchronize the
+    * oracle from the engine — the r15-advice drift hazard.
+    */
+  private val RecallNQueries = 10
+  private val RecallK = 10
+
+  /** The recall-curve points, mirroring Similarity.recallCurve's
+    * `Seq(1, 5, 10).filter(_ <= k)` clamp exactly.
+    */
+  private def recallCurvePointsSql: String =
+    Seq(1, 5, 10).filter(_ <= RecallK).mkString(", ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — inverted index (reference parity) —
     "q_index_build"    -> ((s, d) => Indexer.indexBuild(s, d)),
@@ -410,18 +427,18 @@ object SparkEntry {
     "q_ivf_cell_stats" -> ((s, d) => Similarity.ivfCellStats(s, d)),
     // the composed production shape: IVF probes bound candidates, ADC
     // over materialized codes ranks them, exact cosine reranks the top 30
-    "q_ivfpq_topk"     -> ((s, d) => Similarity.ivfPqTopK(s, d, 10, 10)),
+    "q_ivfpq_topk"     -> ((s, d) => Similarity.ivfPqTopK(s, d, RecallNQueries, RecallK)),
     // predicate + ANN: nearest among label<=4, predicate pushed to the
     // codes scan BEFORE ADC scoring (plan-asserted in FilteredAnnSpec)
-    "q_filtered_ann"   -> ((s, d) => Similarity.filteredAnnTopK(s, d, 10, 10)),
+    "q_filtered_ann"   -> ((s, d) => Similarity.filteredAnnTopK(s, d, RecallNQueries, RecallK)),
     // incremental ANN-index maintenance: append a batch, delta-encode
     // ONLY the new file, serve the per-cell fingerprint — delta ≡ rebuild
     "q_ivfpq_refresh"  -> ((s, d) => Similarity.ivfPqRefresh(s, d)),
     // — index/compression fidelity: measured recall@k per lossy tier —
-    "q_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d, 10, 10)),
-    "q_recall_curve"   -> ((s, d) => Similarity.recallCurve(s, d, 10, 10)),
-    "q_dim_ablation"   -> ((s, d) => Similarity.dimAblation(s, d, 10, 10)),
-    "q_quantize_recall" -> ((s, d) => Similarity.quantizeRecall(s, d, 10, 10)),
+    "q_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d, RecallNQueries, RecallK)),
+    "q_recall_curve"   -> ((s, d) => Similarity.recallCurve(s, d, RecallNQueries, RecallK)),
+    "q_dim_ablation"   -> ((s, d) => Similarity.dimAblation(s, d, RecallNQueries, RecallK)),
+    "q_quantize_recall" -> ((s, d) => Similarity.quantizeRecall(s, d, RecallNQueries, RecallK)),
     "q_embed_stats"    -> ((s, d) => Similarity.embedStats(s, d)),
     // per-class mean embedding (prototypes) from exact integer moments
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -1172,7 +1189,7 @@ object SparkEntry {
          |    SELECT vec_id, cent_id,
          |           row_number() OVER (PARTITION BY vec_id
          |                ORDER BY s DESC, cent_id) AS rn
-         |    FROM sim WHERE vec_id < 10) WHERE rn <= 3),
+         |    FROM sim WHERE vec_id < $RecallNQueries) WHERE rn <= 3),
          |cand0 AS (
          |  SELECT p.query_id, a.vec_id
          |  FROM assign a JOIN probes p USING (cent_id)
@@ -1230,7 +1247,7 @@ object SparkEntry {
     */
   private def exactTopKCtes(p: String): String =
     s"""${p}q AS (SELECT vec_id AS query_id, embedding AS q_emb
-       |          FROM embeddings WHERE vec_id < 10),
+       |          FROM embeddings WHERE vec_id < $RecallNQueries),
        |${p}j AS (
        |  SELECT query_id, vec_id,
        |         CASE WHEN cosine IS NULL OR isnan(cosine)
@@ -1243,7 +1260,7 @@ object SparkEntry {
        |               row_number() OVER (PARTITION BY query_id
        |                    ORDER BY cosine DESC, vec_id) AS rnk
        |        FROM ${p}j),
-       |${p}ref AS (SELECT query_id, vec_id FROM ${p}r WHERE rnk <= 10)""".stripMargin
+       |${p}ref AS (SELECT query_id, vec_id FROM ${p}r WHERE rnk <= $RecallK)""".stripMargin
 
   /** recall@k aggregation over `<p>ref` (reference ids) vs a candidate
     * CTE holding the lossy tier's (query_id, vec_id) top k.
@@ -2997,7 +3014,7 @@ object SparkEntry {
     "q_ann_recall" ->
       s"""${ivfPqCtes("")},
          |${exactTopKCtes("x")},
-         |ivc AS (SELECT query_id, vec_id FROM r WHERE rnk <= 10)
+         |ivc AS (SELECT query_id, vec_id FROM r WHERE rnk <= $RecallK)
          |${recallSelectSql("x", "ivc")}
          |ORDER BY x.query_id""".stripMargin,
     // the tuning curve off the same two ranked tables: hits@k = pairs
@@ -3011,10 +3028,10 @@ object SparkEntry {
          |         AS n_hits,
          |       round(CAST(sum(CASE WHEN c.rnk <= k.k THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6) AS recall
-         |FROM (SELECT query_id, vec_id, rnk FROM xr WHERE rnk <= 10) e
-         |LEFT JOIN (SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 10) c
+         |FROM (SELECT query_id, vec_id, rnk FROM xr WHERE rnk <= $RecallK) e
+         |LEFT JOIN (SELECT query_id, vec_id, rnk FROM r WHERE rnk <= $RecallK) c
          |  ON c.query_id = e.query_id AND c.vec_id = e.vec_id
-         |CROSS JOIN (SELECT unnest([1, 5, 10]) AS k) k
+         |CROSS JOIN (SELECT unnest([$recallCurvePointsSql]) AS k) k
          |WHERE e.rnk <= k.k
          |GROUP BY k.k, e.query_id
          |ORDER BY k.k, e.query_id""".stripMargin,
@@ -3027,7 +3044,7 @@ object SparkEntry {
          |${Seq(16, 32).map { d =>
              s"""t${d}e AS (SELECT vec_id, embedding[1:$d] AS t_emb FROM embeddings),
                 |t${d}q AS (SELECT vec_id AS query_id, t_emb AS q_emb
-                |           FROM t${d}e WHERE vec_id < 10),
+                |           FROM t${d}e WHERE vec_id < $RecallNQueries),
                 |t${d}j AS (
                 |  SELECT query_id, vec_id,
                 |         CASE WHEN cosine IS NULL OR isnan(cosine)
@@ -3041,7 +3058,7 @@ object SparkEntry {
                 |                row_number() OVER (PARTITION BY query_id
                 |                     ORDER BY cosine DESC, vec_id) AS rnk
                 |         FROM t${d}j),
-                |t${d}c AS (SELECT query_id, vec_id FROM t${d}r WHERE rnk <= 10),
+                |t${d}c AS (SELECT query_id, vec_id FROM t${d}r WHERE rnk <= $RecallK),
                 |rec$d AS (
                 |  SELECT CAST($d AS INT) AS dims, q.* FROM (
                 |    ${recallSelectSql("f", s"t${d}c")}) q)""".stripMargin
@@ -3073,7 +3090,7 @@ object SparkEntry {
          |         list_transform(xd, v -> floor(v / scale + 0.5)) AS q_vec
          |  FROM sc2),
          |qq AS (SELECT vec_id AS query_id, q_vec AS q_emb
-         |       FROM qv WHERE vec_id < 10),
+         |       FROM qv WHERE vec_id < $RecallNQueries),
          |qj AS (
          |  SELECT query_id, vec_id,
          |         CASE WHEN cosine IS NULL OR isnan(cosine)
@@ -3086,7 +3103,7 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY query_id
          |                  ORDER BY cosine DESC, vec_id) AS rnk
          |      FROM qj),
-         |qc AS (SELECT query_id, vec_id FROM qr WHERE rnk <= 10),
+         |qc AS (SELECT query_id, vec_id FROM qr WHERE rnk <= $RecallK),
          |${exactTopKCtes("f")}
          |${recallSelectSql("f", "qc")}
          |ORDER BY x.query_id""".stripMargin,

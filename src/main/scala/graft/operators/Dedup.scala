@@ -500,8 +500,12 @@ object Dedup {
       case Some(n: Number) => n.longValue()
       case _ => 0L
     }
-    lastCcLocal.set(nEdges > 0 && nEdges <= localEdgeThreshold)
-    if (lastCcLocal.get()) {
+    // branch on a LOCAL decision; lastCcLocal only RECORDS it — two
+    // concurrent calls interleaving set/get on the shared flag could
+    // otherwise route an over-threshold graph to the driver collect
+    val useLocal = nEdges > 0 && nEdges <= localEdgeThreshold
+    lastCcLocal.set(useLocal)
+    if (useLocal) {
       import spark.implicits._
       val es = edges0.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()

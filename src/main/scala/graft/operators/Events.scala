@@ -91,6 +91,19 @@ object Events {
     * corpus scale (a year is 8,760 rows) — so the single ordered window
     * the 16 lags share is the right plan; the corpus-sized work is the
     * one groupBy(hour) count, identical to [[hourlyAnomalies]].
+    *
+    * Gap semantics (DELIBERATE divergence from
+    * [[robustHourlyAnomalies]]'s calendar-ranged window): the lags are
+    * over ROWS of the non-empty-hour series, so a calendar gap is
+    * compressed — the first hour after a quiet stretch is forecast from
+    * pre-gap traffic and judged against it. For an EWMA that is often
+    * the wanted behavior (an idle system's "expected rate" is its last
+    * active rate, and densifying with n=0 hours would drag every
+    * post-gap forecast toward zero and flag the RESUMPTION instead);
+    * callers needing calendar semantics should densify hour_id before
+    * the window, as the robust twin's rangeBetween does implicitly.
+    * The oracle replays the same row-lag rule, so the divergence is
+    * pinned, not accidental.
     */
   def ewmaAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val byHour = Window.orderBy(col("hour_id"))

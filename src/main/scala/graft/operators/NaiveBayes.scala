@@ -83,23 +83,37 @@ object NaiveBayes {
         .write.mode("overwrite").parquet(path)
     }
 
-  /** The model: Laplace-smoothed quantized log-likelihoods on the FULL
-    * vocab × class grid (zeros filled in, so unseen-in-class terms carry
-    * their smoothed penalty). Class totals and the vocab size are one-row
-    * aggregates of the counts table, broadcast onto the grid.
+  /** Materialize the model GRID — Laplace-smoothed quantized
+    * log-likelihoods on the full vocab × class grid (zeros filled in, so
+    * unseen-in-class terms carry their smoothed penalty) — once per corpus
+    * state, same memo key as the counts it derives from. The grid is the
+    * dimension side of every scoring join, and that join routes through
+    * [[JoinPlanner.measuredSide]], whose `count()` pre-pass would otherwise
+    * EXECUTE the grid plan once for the measurement and once for the join
+    * (the r15 NB serve regression): off a parquet artifact the pre-pass is
+    * a footer-count scan that reads zero columns, and the join reads the
+    * files once.
     */
-  private[graft] def modelGrid(spark: SparkSession, sfDir: String): DataFrame = {
-    val cnt = spark.read.parquet(ensureTrainCounts(spark, sfDir))
-    val tot = cnt.groupBy("lang").agg(sum("n").as("tot"))
-    val vn = cnt.select("term").distinct().agg(count(lit(1)).as("v"))
-    cnt.select("term").distinct()
-      .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(vn))
-      .join(cnt, Seq("term", "lang"), "left")
-      .select(col("lang"), col("term"), coalesce(col("n"), lit(0L)).as("n"),
-        col("tot"), col("v"))
-      .select(col("lang"), col("term"), col("n"), expr(llqExpr).as("llq"))
-  }
+  private[graft] def ensureModelGrid(spark: SparkSession, sfDir: String): String =
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_nb_grid_" + graft.util.Scratch.valueToken(sfDir),
+      Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
+      val cnt = spark.read.parquet(ensureTrainCounts(spark, sfDir))
+      val tot = cnt.groupBy("lang").agg(sum("n").as("tot"))
+      val vn = cnt.select("term").distinct().agg(count(lit(1)).as("v"))
+      cnt.select("term").distinct()
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(vn))
+        .join(cnt, Seq("term", "lang"), "left")
+        .select(col("lang"), col("term"), coalesce(col("n"), lit(0L)).as("n"),
+          col("tot"), col("v"))
+        .select(col("lang"), col("term"), col("n"), expr(llqExpr).as("llq"))
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** The trained model relation, served from the materialized grid. */
+  private[graft] def modelGrid(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(ensureModelGrid(spark, sfDir))
 
   /** Quantized class priors from train DOC counts (a metadata-sized
     * aggregate — the text column is never read).
