@@ -129,7 +129,11 @@ object Bench {
       "scrub_counts_materialize" ->
         (() => { graft.operators.TextAnalysis.ensureScrubCounts(spark, sfDir); () }),
       "nb_model_materialize" ->
-        (() => { graft.operators.NaiveBayes.ensureModelGrid(spark, sfDir); () }))
+        (() => { graft.operators.NaiveBayes.ensureModelGrid(spark, sfDir); () }),
+      "luma_grid_materialize" ->
+        (() => { graft.operators.Multimodal.ensureLumaGrid(spark, sfDir); () }),
+      "audio_sig_materialize" ->
+        (() => { graft.operators.Multimodal.ensureAudioSig(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

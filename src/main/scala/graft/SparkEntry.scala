@@ -409,6 +409,11 @@ object SparkEntry {
     // then Manku chunk-banded candidate join + exact Hamming verify
     "q_image_phash"    -> ((s, d) => Multimodal.imagePhash(s, d)),
     "q_image_neardup"  -> ((s, d) => Multimodal.imageNearDupPairs(s, d, 3)),
+    // audio twin: real WAV decode → 63-frame energy profile → banded
+    // Hamming pairs → CC labels
+    "q_audio_sig"      -> ((s, d) => Multimodal.audioSig(s, d)),
+    "q_audio_neardup"  -> ((s, d) => Multimodal.audioNearDupPairs(s, d, 3)),
+    "q_audio_dup_clusters" -> ((s, d) => Multimodal.audioDupClusters(s, d, 3)),
     // the dedup decision: CC labels over the pair graph, min-id keeper
     "q_image_dup_clusters" -> ((s, d) => Multimodal.imageDupClusters(s, d, 3)),
     "q_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d, 10, 10)),
@@ -1053,32 +1058,84 @@ object SparkEntry {
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** 63-bit blockhash signatures of the image assets (doc_id ≡ 0 mod 3),
-    * replayed from the text bytes: block j = byte positions ≡ j (mod 63),
-    * bit j set iff 63·blocksum_j > totalsum — mirrors the native
-    * [[graft.functions.BlockHashExpr]] integer-for-integer. A left join
-    * back to the asset list pins phash 0 for empty payloads (no byte
-    * rows) exactly as the expression's empty loop does.
+    * replayed from the DECODED-PIXEL formula: the engine renders each
+    * fixture asset as a real PNG, decodes it with javax.imageio, and
+    * folds a 63×8 luma grid (Multimodal.lumaAt — flat grayscale columns:
+    * bright/dark by a Knuth-mix bit of the asset's GROUP, with group
+    * member m inverting columns 0..m−1); the oracle replays the same
+    * integer formula directly, so a hash match proves the whole
+    * encode→decode→grid→blockhash path. Grid columns are flat (all 8
+    * rows equal), so blocksum_j = 8·luma_j and the blockhash mean test
+    * 63·blocksum_j > total reduces to 63·luma_j > Σluma.
     */
   private val imagePhashCte =
-    """img AS (SELECT doc_id AS asset_id, text FROM documents
+    """img AS (SELECT doc_id AS asset_id FROM documents
       |        WHERE doc_id % 3 = 0),
-      |byp AS (
-      |  SELECT asset_id, (i - 1) % 63 AS j,
-      |         CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS b
-      |  FROM img, unnest(range(1, length(text) + 1)) t(i)),
-      |blocks AS (SELECT asset_id, j, CAST(sum(b) AS BIGINT) AS bs
-      |           FROM byp GROUP BY 1, 2),
-      |tot AS (SELECT asset_id, CAST(sum(bs) AS BIGINT) AS ts
-      |        FROM blocks GROUP BY 1),
-      |sig0 AS (
-      |  SELECT b.asset_id,
-      |         CAST(sum(CASE WHEN b.bs * 63 > t.ts
-      |              THEN (CAST(1 AS BIGINT) << CAST(b.j AS INTEGER))
-      |              ELSE 0 END) AS BIGINT) AS phash
-      |  FROM blocks b JOIN tot t USING (asset_id) GROUP BY 1),
+      |cols AS (
+      |  SELECT asset_id, CAST(x AS INTEGER) AS x,
+      |         CASE WHEN x < (asset_id % 12) // 3
+      |              THEN 250 - base ELSE base END AS luma
+      |  FROM (
+      |    SELECT asset_id, x,
+      |           CASE WHEN xor(h2, h2 >> 16) >= 2147483648
+      |                THEN 190 ELSE 60 END AS base
+      |    FROM (
+      |      SELECT asset_id, x,
+      |             (xor(h1, h1 >> 15) * 1655765949) % 4294967296 AS h2
+      |      FROM (
+      |        SELECT asset_id, x,
+      |               (xor(h0, h0 >> 16) * 2146121005) % 4294967296 AS h1
+      |        FROM (
+      |          SELECT asset_id, x,
+      |                 (asset_id // 12) * 63 + x + 1 AS h0
+      |          FROM img, unnest(range(0, 63)) t(x)))))),
+      |tot AS (SELECT asset_id, CAST(sum(luma) AS BIGINT) AS ts
+      |        FROM cols GROUP BY 1),
       |sig AS (
-      |  SELECT i.asset_id, coalesce(s.phash, 0) AS phash
-      |  FROM img i LEFT JOIN sig0 s USING (asset_id))""".stripMargin
+      |  SELECT c.asset_id,
+      |         CAST(sum(CASE WHEN c.luma * 63 > t.ts
+      |              THEN (CAST(1 AS BIGINT) << c.x) ELSE 0 END) AS BIGINT)
+      |           AS phash
+      |  FROM cols c JOIN tot t USING (asset_id) GROUP BY 1)""".stripMargin
+
+  /** 63-bit frame-energy signatures of the audio assets (doc_id ≡ 1
+    * mod 3), replayed from the fixture formula: the engine renders each
+    * asset as a real RIFF/WAVE PCM payload, decodes it with javax.sound,
+    * and folds 63 per-frame mean-|amplitude| bytes
+    * (Multimodal.ampAt >> 7 — loud 18000→140, quiet 3000→23, group
+    * member m inverting frames 0..m−1 via 163−b); the oracle replays the
+    * integers directly. Same avalanche mix as the image fixtures under a
+    * domain-separation salt.
+    */
+  private val audioSigCte =
+    """aud AS (SELECT doc_id AS asset_id FROM documents
+      |        WHERE doc_id % 3 = 1),
+      |acols AS (
+      |  SELECT asset_id, CAST(x AS INTEGER) AS x,
+      |         CASE WHEN x < (asset_id % 12) // 3
+      |              THEN 163 - b ELSE b END AS b
+      |  FROM (
+      |    SELECT asset_id, x,
+      |           CASE WHEN xor(h2, h2 >> 16) >= 2147483648
+      |                THEN 140 ELSE 23 END AS b
+      |    FROM (
+      |      SELECT asset_id, x,
+      |             (xor(h1, h1 >> 15) * 1655765949) % 4294967296 AS h2
+      |      FROM (
+      |        SELECT asset_id, x,
+      |               (xor(h0, h0 >> 16) * 2146121005) % 4294967296 AS h1
+      |        FROM (
+      |          SELECT asset_id, x,
+      |                 (asset_id // 12) * 63 + x + 1 + 15485863 AS h0
+      |          FROM aud, unnest(range(0, 63)) t(x)))))),
+      |atot AS (SELECT asset_id, CAST(sum(b) AS BIGINT) AS ts
+      |         FROM acols GROUP BY 1),
+      |asig AS (
+      |  SELECT c.asset_id,
+      |         CAST(sum(CASE WHEN c.b * 63 > t.ts
+      |              THEN (CAST(1 AS BIGINT) << c.x) ELSE 0 END) AS BIGINT)
+      |           AS ahash
+      |  FROM acols c JOIN atot t USING (asset_id) GROUP BY 1)""".stripMargin
 
   private val postingsCte =
     s"""WITH $toksCte, flat AS (
@@ -3295,10 +3352,11 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // — multimodal —
-    // perceptual blockhash: bit j = 63·blocksum_j > totalsum, pure integer
-    // arithmetic over the payload bytes (ASCII corpus: byte == ord(char)),
-    // packed into bits 0..62 — DuckDB raises on 1::BIGINT << 63, so the
-    // signature is 63-bit by construction on both engines
+    // perceptual blockhash over DECODED PIXELS: the engine round-trips
+    // each fixture through a real PNG encode→javax.imageio decode→63×8
+    // luma grid, the oracle replays the grid's integer formula; bit j =
+    // 63·blocksum_j > totalsum, packed into bits 0..62 — DuckDB raises on
+    // 1::BIGINT << 63, so the signature is 63-bit on both engines
     "q_image_phash" ->
       s"""WITH $imagePhashCte
          |SELECT asset_id, phash FROM sig ORDER BY asset_id""".stripMargin,
@@ -3332,6 +3390,39 @@ object SparkEntry {
          |       v = cluster_id AS is_keeper
          |FROM labels
          |JOIN (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY 1) t
+         |  USING (cluster_id)
+         |ORDER BY asset_id""".stripMargin,
+    // audio dedup family: same construction over the WAV-decoded frame
+    // energy profiles (oracle replays the fixture integers; the engine
+    // result went through a real RIFF encode → javax.sound decode)
+    "q_audio_sig" ->
+      s"""WITH $audioSigCte
+         |SELECT asset_id, ahash FROM asig ORDER BY asset_id""".stripMargin,
+    "q_audio_neardup" ->
+      s"""WITH $audioSigCte
+         |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |FROM asig a JOIN asig b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+         |ORDER BY asset_a, asset_b""".stripMargin,
+    "q_audio_dup_clusters" ->
+      s"""WITH RECURSIVE $audioSigCte,
+         |apairs AS (
+         |  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b
+         |  FROM asig a JOIN asig b ON a.asset_id < b.asset_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+         |aedges AS (
+         |  SELECT asset_a AS src, asset_b AS dst FROM apairs
+         |  UNION ALL SELECT asset_b, asset_a FROM apairs),
+         |areach AS (
+         |  SELECT src AS v, src AS l FROM aedges
+         |  UNION
+         |  SELECT e.dst, r.l FROM areach r JOIN aedges e ON e.src = r.v),
+         |alabels AS (SELECT v, MIN(l) AS cluster_id FROM areach GROUP BY v)
+         |SELECT v AS asset_id, cluster_id, CAST(cnt AS BIGINT) AS cluster_size,
+         |       v = cluster_id AS is_keeper
+         |FROM alabels
+         |JOIN (SELECT cluster_id, count(*) AS cnt FROM alabels GROUP BY 1) t
          |  USING (cluster_id)
          |ORDER BY asset_id""".stripMargin,
     // The payload is the utf-8 text bytes (ASCII corpus: byte == ord(char)),

@@ -694,7 +694,7 @@ object Similarity {
   private[graft] val lastPqRefreshMode =
     new java.util.concurrent.atomic.AtomicReference[String]("none")
 
-  private def encodePq(df: DataFrame, dim: Int): DataFrame =
+  private[graft] def encodePq(df: DataFrame, dim: Int): DataFrame =
     df.select(col("vec_id"), col("label"),
       argmaxCell(serveCellScores(col("embedding"), dim)).as("cent_id"),
       pqEncode(col("embedding"), dim).as("codes"))
@@ -746,7 +746,7 @@ object Similarity {
     * the checksum an order-free integer fold over every (subspace, code)
     * pair, so ANY divergent code in any vector changes it.
     */
-  private def pqArtifactFingerprint(art: DataFrame): DataFrame =
+  private[graft] def pqArtifactFingerprint(art: DataFrame): DataFrame =
     art.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("vec_id")).as("sum_ids"),

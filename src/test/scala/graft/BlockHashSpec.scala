@@ -20,15 +20,16 @@ class BlockHashSpec extends SparkTestBase {
     (0 until 63).map(j => if (acc(j) * 63 > total) 1L << j else 0L).sum
   }
 
-  test("native block_hash63 ≡ driver-side recompute on real payloads") {
+  test("native block_hash63 ≡ driver-side recompute on decoded luma grids") {
     val rows = Multimodal.imagePhash(spark, sf)
-      .join(Multimodal.assets(spark, sf).select(col("asset_id"), col("payload")),
+      .join(spark.read.parquet(Multimodal.ensureLumaGrid(spark, sf)),
         "asset_id")
-      .select("asset_id", "phash", "payload")
+      .select("asset_id", "phash", "luma")
       .as[(Long, Long, Array[Byte])].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (id, got, payload) =>
-      assert(got == blockHashRef(payload), s"asset $id")
+    rows.foreach { case (id, got, luma) =>
+      assert(luma.length == Multimodal.GridW * Multimodal.GridH, s"asset $id")
+      assert(got == blockHashRef(luma), s"asset $id")
       assert(got >= 0L, s"asset $id: 63-bit signature must be non-negative")
     }
   }
