@@ -439,6 +439,10 @@ object SparkEntry {
     // incremental ANN-index maintenance: append a batch, delta-encode
     // ONLY the new file, serve the per-cell fingerprint — delta ≡ rebuild
     "q_ivfpq_refresh"  -> ((s, d) => Similarity.ivfPqRefresh(s, d)),
+    // per-micro-batch delta encode into copy-on-write code generations,
+    // two-incarnation checkpoint resume; fingerprint ≡ the batch refresh
+    "q_streaming_ann"  -> ((s, d) =>
+      graft.streaming.StreamingAnn.annCodesAvailableNow(s, d)),
     // — index/compression fidelity: measured recall@k per lossy tier —
     "q_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d, RecallNQueries, RecallK)),
     "q_recall_curve"   -> ((s, d) => Similarity.recallCurve(s, d, RecallNQueries, RecallK)),
@@ -1214,6 +1218,53 @@ object SparkEntry {
     * predicate (empty for q_ivfpq_topk; the metadata filter for
     * q_filtered_ann) — one pipeline, two declared queries.
     */
+  /** Shared by q_ivfpq_refresh and q_streaming_ann: recompute cells +
+    * codes over base ∪ the appended batch directly from the embedded
+    * literals, so a hash match proves a delta-encoded (or streamed
+    * copy-on-write) artifact equals a full rebuild.
+    */
+  private def pqRefreshOracleSql: String =
+    s"""WITH cents(cent_id, c) AS (VALUES
+         |  $ivfCentroidValues),
+         |cb(m, c, w) AS (VALUES
+         |  $pqCodebookValues),
+         |emb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+         |sim AS (
+         |  SELECT vec_id, cent_id,
+         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
+         |  FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           ${cosSql("e.embedding", "c.c")} AS s
+         |    FROM emb e CROSS JOIN cents c)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cent_id) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |dists AS (
+         |  SELECT e.vec_id, cb.m, cb.c,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i])
+         |              * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i]))) AS d
+         |  FROM emb e CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |cks AS (SELECT vec_id, CAST(sum((c + 1) * (m + 1)) AS BIGINT) AS k
+         |        FROM codes GROUP BY vec_id)
+         |SELECT a.cent_id,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(a.vec_id) AS BIGINT) AS sum_ids,
+         |       CAST(sum(k) AS BIGINT) AS code_cks
+         |FROM assign a JOIN cks USING (vec_id)
+         |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin
+
   private def ivfPqOracleSql(candFilter: String): String =
     s"""${ivfPqCtes(candFilter)}
        |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
@@ -3167,47 +3218,10 @@ object SparkEntry {
     // incremental codes refresh: the oracle recomputes cells + codes over
     // base ∪ the appended batch directly from the embedded literals, so a
     // hash match proves the delta-encoded artifact equals a full rebuild
-    "q_ivfpq_refresh" ->
-      s"""WITH cents(cent_id, c) AS (VALUES
-         |  $ivfCentroidValues),
-         |cb(m, c, w) AS (VALUES
-         |  $pqCodebookValues),
-         |emb AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
-         |sim AS (
-         |  SELECT vec_id, cent_id,
-         |         CASE WHEN s IS NULL OR isnan(s) THEN -2.0 ELSE s END AS s
-         |  FROM (
-         |    SELECT e.vec_id, c.cent_id,
-         |           ${cosSql("e.embedding", "c.c")} AS s
-         |    FROM emb e CROSS JOIN cents c)),
-         |assign AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                ORDER BY s DESC, cent_id) AS rn
-         |    FROM sim) WHERE rn = 1),
-         |dists AS (
-         |  SELECT e.vec_id, cb.m, cb.c,
-         |         list_sum(list_transform(range(1, 9),
-         |           i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i])
-         |              * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.w[i]))) AS d
-         |  FROM emb e CROSS JOIN cb),
-         |codes AS (
-         |  SELECT vec_id, m, c FROM (
-         |    SELECT vec_id, m, c,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
-         |    FROM dists) WHERE rn = 1),
-         |cks AS (SELECT vec_id, CAST(sum((c + 1) * (m + 1)) AS BIGINT) AS k
-         |        FROM codes GROUP BY vec_id)
-         |SELECT a.cent_id,
-         |       CAST(count(*) AS BIGINT) AS n_vecs,
-         |       CAST(sum(a.vec_id) AS BIGINT) AS sum_ids,
-         |       CAST(sum(k) AS BIGINT) AS code_cks
-         |FROM assign a JOIN cks USING (vec_id)
-         |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin,
+    "q_ivfpq_refresh" -> pqRefreshOracleSql,
+    // streamed per-micro-batch maintenance answers to the SAME
+    // oracle: drained codes ≡ batch-refreshed artifact ≡ full rebuild
+    "q_streaming_ann" -> pqRefreshOracleSql,
     // q_pq_topk: codebooks are embedded literals, sub-distances are exact
     // products + sequential sums, the ADC fold runs in subspace order on
     // both engines (list(pd ORDER BY m)), and the argmin/top-k tie rules
