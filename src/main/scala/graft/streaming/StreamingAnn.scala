@@ -16,14 +16,15 @@ import graft.sources.Tables
   * then read v(n+1) next batch — a failed batch never corrupts the
   * served generation, and in-flight readers of v(n) are untouched.
   *
-  * The feed is staged as two batches through two query incarnations
-  * sharing one checkpoint (the [[StreamingScd2]] resume pattern): the
-  * base corpus, then the q_ivfpq_refresh append batch (the 100 lowest
-  * vec_ids re-inserted under vec_id+10000). The drained artifact serves
-  * the same per-cell fingerprint and answers to the IDENTICAL oracle as
-  * the batch refresh — streamed maintenance ≡ full rebuild, proven, and
-  * the checkpoint resume proves a restarted maintainer continues from
-  * its generation instead of re-encoding the corpus.
+  * The feed is staged as two batches — the base corpus, then the
+  * q_ivfpq_refresh append batch (the 100 lowest vec_ids re-inserted
+  * under vec_id+10000) — and drained through
+  * [[StreamingIndexer.drainSplitFeed]]: one incarnation with per-file
+  * micro-batches for the declared query, two incarnations over one
+  * checkpoint under `resumeProof` (spec-pinned identical, plus the
+  * restarted-maintainer claim). The drained artifact serves the same
+  * per-cell fingerprint and answers to the IDENTICAL oracle as the
+  * batch refresh — streamed maintenance ≡ full rebuild, proven.
   */
 object StreamingAnn {
 
@@ -40,12 +41,11 @@ object StreamingAnn {
   private[graft] val lastBatchRows =
     new java.util.concurrent.atomic.AtomicReference[List[Long]](Nil)
 
-  def annCodesAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+  def annCodesAvailableNow(spark: SparkSession, sfDir: String,
+                           resumeProof: Boolean = false): DataFrame = {
     import java.nio.file.Files
     scratch.retire()
     val root = Files.createTempDirectory("graft_stream_ann_")
-    val watch = root.resolve("watch")
-    val cp = root.resolve("cp")
     val codesRoot = root.resolve("codes")
     val staged = StreamingIndexer.ensureSplitFeed(spark,
       "graft_ann_feed_" + graft.util.Scratch.valueToken(sfDir),
@@ -56,10 +56,8 @@ object StreamingAnn {
         .filter(col("vec_id") < 100)
         .withColumn("vec_id", col("vec_id") + 10000)
         .coalesce(1).write.parquet(b))
-    graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
 
     val ss = StreamingIndexer.drainSession(spark)
-    val schema = ss.read.parquet(watch.resolve("a").toString).schema
     val dim = Similarity.embeddingDim(spark, sfDir)
     lastNumBatches.set(0)
     lastBatchRows.set(Nil)
@@ -84,18 +82,11 @@ object StreamingAnn {
       lastNumBatches.incrementAndGet()
       ()
     }
-    def drain(): Unit =
-      ss.readStream.schema(schema).parquet(watch.toString + "/*")
-        .writeStream
-        .foreachBatch(writeBatch)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-
-    drain() // incarnation 1: base corpus → full encode into v1
-    graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
-    drain() // incarnation 2 resumes the checkpoint: delta encode only
+    // code generations are append-only per batch (order-insensitive) →
+    // one-incarnation drain for the declared query; the spec pins the
+    // two-incarnation resume shape
+    StreamingIndexer.drainSplitFeed(ss, staged, root.resolve("watch"),
+      root.resolve("cp"), resumeProof)(writeBatch)
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     Similarity.pqArtifactFingerprint(
       spark.read.parquet(codesRoot.resolve(s"v$gen").toString))

@@ -32,12 +32,11 @@ object StreamingCovariance {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def covarianceGridAvailableNow(spark: SparkSession, sfDir: String,
-                                 splitAt: Long = 250L): DataFrame = {
+                                 splitAt: Long = 250L,
+                                 resumeProof: Boolean = false): DataFrame = {
     import java.nio.file.Files
     scratch.retire()
     val root = Files.createTempDirectory("graft_stream_cov_")
-    val watch = root.resolve("watch")
-    val cp = root.resolve("cp")
     val stateRoot = root.resolve("state")
     // the two vec_id-split batch files are a pure function of the corpus
     // — memoized once per corpus state; each execution hardlink-assembles
@@ -51,10 +50,8 @@ object StreamingCovariance {
       b => Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") >= splitAt).coalesce(1).write.parquet(b))
-    graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
 
     val ss = StreamingIndexer.drainSession(spark)
-    val schema = ss.read.parquet(watch.resolve("a").toString).schema
     lastNumBatches.set(0)
     @volatile var gen = 0
     val writeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
@@ -83,18 +80,11 @@ object StreamingCovariance {
       lastNumBatches.incrementAndGet()
       ()
     }
-    def drain(): Unit =
-      ss.readStream.schema(schema).parquet(watch.toString + "/*")
-        .writeStream
-        .foreachBatch(writeBatch)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-
-    drain() // incarnation 1: the base history
-    graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
-    drain() // incarnation 2 resumes the checkpoint: the delta only
+    // cell merges are commutative sums, so the declared query takes the
+    // one-incarnation (per-file micro-batch) drain; the spec pins the
+    // two-incarnation resume shape against it
+    StreamingIndexer.drainSplitFeed(ss, staged, root.resolve("watch"),
+      root.resolve("cp"), resumeProof)(writeBatch)
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     // the count n must come back as BIGINT after the sum-merge roundtrip
     val pairState = spark.read

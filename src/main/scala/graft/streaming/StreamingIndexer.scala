@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -106,6 +106,52 @@ object StreamingIndexer {
       Files.copy(src, watch.resolve(file), StandardCopyOption.REPLACE_EXISTING)
       ()
     })
+  }
+
+  /** Drain a staged two-batch feed (the `a/`+`b/` layout of
+    * [[ensureSplitFeed]]) through `writeBatch`, hardlink-assembling the
+    * per-execution watch dir.
+    *
+    * `resumeProof = true` is the two-incarnation shape — drain batch a,
+    * STOP, add batch b, resume the SAME checkpoint — the proof that a
+    * restarted maintainer continues from its state instead of
+    * reprocessing (spec-pinned per module). The declared queries run ONE
+    * incarnation with `maxFilesPerTrigger = 1` instead: both staged
+    * files land upfront and the source still delivers them as SEPARATE
+    * micro-batches, so the cross-batch state merge is exercised
+    * identically and the drained result is the same (each module's spec
+    * asserts the two shapes agree) — for one streaming-query setup
+    * instead of two, the fixed cost that dominated the bench's streaming
+    * family. ONLY order-insensitive (commutative-merge) feeds may take
+    * the one-incarnation path: within one incarnation the file source
+    * orders same-mtime files arbitrarily, so an order-dependent merge
+    * (SCD2's "every delta follows every stored run") must keep its two
+    * incarnations.
+    */
+  private[streaming] def drainSplitFeed(
+      ss: SparkSession, staged: String,
+      watch: java.nio.file.Path, cp: java.nio.file.Path,
+      resumeProof: Boolean)(writeBatch: (Dataset[Row], Long) => Unit): Unit = {
+    graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
+    val schema = ss.read.parquet(watch.resolve("a").toString).schema
+    if (!resumeProof)
+      graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
+    def drain(oneFilePerBatch: Boolean): Unit = {
+      val rs = ss.readStream.schema(schema)
+      (if (oneFilePerBatch) rs.option("maxFilesPerTrigger", 1) else rs)
+        .parquet(watch.toString + "/*")
+        .writeStream
+        .foreachBatch(writeBatch)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    if (resumeProof) {
+      drain(oneFilePerBatch = false) // incarnation 1: the base history
+      graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
+      drain(oneFilePerBatch = false) // incarnation 2 resumes the checkpoint
+    } else drain(oneFilePerBatch = true)
   }
 
   /** Stage one parquet file into a memoized watched directory, drain

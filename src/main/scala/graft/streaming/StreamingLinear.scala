@@ -33,21 +33,27 @@ object StreamingLinear {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def linearFitAvailableNow(spark: SparkSession, sfDir: String,
-                            splitAt: String = "1997-07-01"): DataFrame = {
+                            splitAt: String = "1997-07-01",
+                            resumeProof: Boolean = false): DataFrame = {
     import java.nio.file.Files
     scratch.retire()
     val root = Files.createTempDirectory("graft_stream_linear_")
-    val watch = root.resolve("watch")
-    val cp = root.resolve("cp")
     val stateRoot = root.resolve("state")
-    val split = lit(splitAt).cast("timestamp")
-    val orders = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderdate"))
-    orders.filter(col("o_orderdate") < split).coalesce(1)
-      .write.parquet(watch.resolve("a").toString)
+    // feed staging memoized per corpus state (was a per-invocation write)
+    val staged = StreamingIndexer.ensureSplitFeed(spark,
+      s"graft_linear_feed_${graft.util.Scratch.valueToken(splitAt)}_" +
+        graft.util.Scratch.valueToken(sfDir),
+      graft.sources.Tables.listingSig(Tables.orders(spark, sfDir)))(
+      a => Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .filter(col("o_orderdate") < lit(splitAt).cast("timestamp"))
+        .coalesce(1).write.parquet(a),
+      b => Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .filter(col("o_orderdate") >= lit(splitAt).cast("timestamp"))
+        .coalesce(1).write.parquet(b))
 
     val ss = StreamingIndexer.drainSession(spark)
-    val schema = ss.read.parquet(watch.resolve("a").toString).schema
     val lineitem = Tables.lineitem(ss, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
     lastNumBatches.set(0)
@@ -76,19 +82,10 @@ object StreamingLinear {
       lastNumBatches.incrementAndGet()
       ()
     }
-    def drain(): Unit =
-      ss.readStream.schema(schema).parquet(watch.toString + "/*")
-        .writeStream
-        .foreachBatch(writeBatch)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-
-    drain() // incarnation 1: the base history
-    orders.filter(col("o_orderdate") >= split).coalesce(1)
-      .write.parquet(watch.resolve("b").toString)
-    drain() // incarnation 2 resumes the checkpoint: the delta only
+    // moment merges are commutative sums → one-incarnation drain for the
+    // declared query; the spec pins the two-incarnation resume shape
+    StreamingIndexer.drainSplitFeed(ss, staged, root.resolve("watch"),
+      root.resolve("cp"), resumeProof)(writeBatch)
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     LinearModel.solve(
       spark.read.parquet(stateRoot.resolve(s"v$gen").toString))

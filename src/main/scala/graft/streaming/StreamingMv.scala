@@ -49,21 +49,27 @@ object StreamingMv {
     * optimizer registration outlives this invocation's temp dirs).
     */
   private[graft] def maintainedViewPath(spark: SparkSession, sfDir: String,
-                                        splitAt: String = "2024-01-16"): String = {
+                                        splitAt: String = "2024-01-16",
+                                        resumeProof: Boolean = false): String = {
     import java.nio.file.Files
     scratch.retire()
     val root = Files.createTempDirectory("graft_stream_mv_")
-    val watch = root.resolve("watch")
-    val cp = root.resolve("cp")
     val stateRoot = root.resolve("state")
-    val split = lit(splitAt).cast("timestamp")
-    val events = Tables.events(spark, sfDir)
-      .select(col("ts"), col("event_type"), col("value"))
-    events.filter(col("ts") < split).coalesce(1)
-      .write.parquet(watch.resolve("a").toString)
+    // feed staging memoized per corpus state (was a per-invocation write)
+    val staged = StreamingIndexer.ensureSplitFeed(spark,
+      s"graft_mv_feed_${graft.util.Scratch.valueToken(splitAt)}_" +
+        graft.util.Scratch.valueToken(sfDir),
+      graft.sources.Tables.listingSig(Tables.events(spark, sfDir)))(
+      a => Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("value"))
+        .filter(col("ts") < lit(splitAt).cast("timestamp"))
+        .coalesce(1).write.parquet(a),
+      b => Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("value"))
+        .filter(col("ts") >= lit(splitAt).cast("timestamp"))
+        .coalesce(1).write.parquet(b))
 
     val ss = StreamingIndexer.drainSession(spark)
-    val schema = ss.read.parquet(watch.resolve("a").toString).schema
     lastNumBatches.set(0)
     @volatile var gen = 0
     val writeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
@@ -83,19 +89,11 @@ object StreamingMv {
       lastNumBatches.incrementAndGet()
       ()
     }
-    def drain(): Unit =
-      ss.readStream.schema(schema).parquet(watch.toString + "/*")
-        .writeStream
-        .foreachBatch(writeBatch)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-
-    drain() // incarnation 1: the base history
-    events.filter(col("ts") >= split).coalesce(1)
-      .write.parquet(watch.resolve("b").toString)
-    drain() // incarnation 2 resumes the checkpoint: the delta only
+    // cell merges are commutative (sum/min/max re-aggregation) → the
+    // declared query drains one incarnation; the spec pins the
+    // two-incarnation resume shape
+    StreamingIndexer.drainSplitFeed(ss, staged, root.resolve("watch"),
+      root.resolve("cp"), resumeProof)(writeBatch)
     // durable copy (group-count-sized) so the rewrite registration never
     // points at this invocation's retired temp dirs
     val out = graft.util.Scratch.dir(spark,

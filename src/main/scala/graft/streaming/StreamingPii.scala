@@ -32,12 +32,11 @@ object StreamingPii {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def piiCensusAvailableNow(spark: SparkSession, sfDir: String,
-                            splitAt: Long = 250L): DataFrame = {
+                            splitAt: Long = 250L,
+                            resumeProof: Boolean = false): DataFrame = {
     import java.nio.file.Files
     scratch.retire()
     val root = Files.createTempDirectory("graft_stream_pii_")
-    val watch = root.resolve("watch")
-    val cp = root.resolve("cp")
     val stateRoot = root.resolve("state")
     val staged = StreamingIndexer.ensureSplitFeed(spark,
       s"graft_pii_feed_${splitAt}_" + graft.util.Scratch.valueToken(sfDir),
@@ -48,10 +47,8 @@ object StreamingPii {
       b => Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .filter(col("doc_id") >= splitAt).coalesce(1).write.parquet(b))
-    graft.util.Scratch.hardlinkTree(s"$staged/a", watch.resolve("a").toString)
 
     val ss = StreamingIndexer.drainSession(spark)
-    val schema = ss.read.parquet(watch.resolve("a").toString).schema
     lastNumBatches.set(0)
     @volatile var gen = 0
     val writeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
@@ -72,18 +69,10 @@ object StreamingPii {
       lastNumBatches.incrementAndGet()
       ()
     }
-    def drain(): Unit =
-      ss.readStream.schema(schema).parquet(watch.toString + "/*")
-        .writeStream
-        .foreachBatch(writeBatch)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-
-    drain() // incarnation 1: the base history
-    graft.util.Scratch.hardlinkTree(s"$staged/b", watch.resolve("b").toString)
-    drain() // incarnation 2 resumes the checkpoint: the delta only
+    // census merges are commutative integer sums → one-incarnation drain
+    // for the declared query; the spec pins the two-incarnation resume
+    StreamingIndexer.drainSplitFeed(ss, staged, root.resolve("watch"),
+      root.resolve("cp"), resumeProof)(writeBatch)
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     // counts must come back as BIGINT after the sum-merge roundtrip
     spark.read.parquet(stateRoot.resolve(s"v$gen").toString)

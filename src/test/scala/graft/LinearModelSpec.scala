@@ -63,13 +63,18 @@ class LinearModelSpec extends SparkTestBase {
     assert(orders.filter(col("o_orderdate") >= split).count() > 0)
   }
 
-  test("streaming retrain: >=2 incarnations, drained betas == batch fit") {
+  test("streaming retrain: >=2 micro-batches, drained betas == batch fit") {
     val batch = LinearModel.linearFit(spark, sf).collect().toSeq
     val streamed = graft.streaming.StreamingLinear
       .linearFitAvailableNow(spark, sf).collect().toSeq
     assert(graft.streaming.StreamingLinear.lastNumBatches.get >= 2,
-      "the drain must run one batch per staged incarnation")
+      "the drain must deliver one micro-batch per staged file")
     assert(streamed == batch)
+    // two-incarnation checkpoint resume agrees with the declared drain
+    val resumed = graft.streaming.StreamingLinear
+      .linearFitAvailableNow(spark, sf, resumeProof = true).collect().toSeq
+    assert(graft.streaming.StreamingLinear.lastNumBatches.get >= 2)
+    assert(resumed == streamed)
   }
 
   test("outliers: scored by the fitted betas, ranked by |residual|") {

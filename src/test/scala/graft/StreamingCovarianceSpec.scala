@@ -13,11 +13,18 @@ class StreamingCovarianceSpec extends SparkTestBase {
   test("drained streaming moment state equals the batch grid bit-for-bit") {
     val got = StreamingCovariance
       .covarianceGridAvailableNow(spark, sf).collect().toSeq
-    // two incarnations over one checkpoint: the resume actually happened
+    // one incarnation, per-file micro-batches: the merge still ran
     assert(StreamingCovariance.lastNumBatches.get() >= 2,
       s"expected >=2 micro-batches, got ${StreamingCovariance.lastNumBatches.get()}")
     val batch = Covariance.covarianceGrid(spark, sf).collect().toSeq
     assert(got === batch)
     assert(got.nonEmpty)
+    // the two-incarnation checkpoint-resume shape agrees with the
+    // one-incarnation drain — the resume proof the declared query dropped
+    val resumed = StreamingCovariance
+      .covarianceGridAvailableNow(spark, sf, resumeProof = true)
+      .collect().toSeq
+    assert(StreamingCovariance.lastNumBatches.get() >= 2)
+    assert(resumed === got)
   }
 }

@@ -43,4 +43,15 @@ class StreamingMvSpec extends SparkTestBase {
 
     assert(df.collect().nonEmpty)
   }
+
+  test("checkpoint-resumed maintenance equals the one-incarnation state") {
+    def rows(path: String) = spark.read.parquet(path)
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    val fast = rows(StreamingMv.maintainedViewPath(spark, sf))
+    assert(StreamingMv.lastNumBatches.get() >= 2)
+    val resumed = rows(StreamingMv.maintainedViewPath(spark, sf,
+      resumeProof = true))
+    assert(StreamingMv.lastNumBatches.get() >= 2)
+    assert(resumed == fast)
+  }
 }

@@ -5,8 +5,8 @@ import graft.streaming.StreamingPii
 
 /** Streaming PII census: drained state must equal the batch census
   * bit-for-bit (the census is mergeable integer sums), with the corpus
-  * arriving as two batches through two query incarnations sharing one
-  * checkpoint — the resume proof.
+  * arriving as two micro-batches; the two-incarnation checkpoint-resume
+  * shape is pinned equal to the declared one-incarnation drain.
   */
 class StreamingPiiSpec extends SparkTestBase {
 
@@ -19,5 +19,11 @@ class StreamingPiiSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(streamed == batch,
       "stream-maintained census must equal the batch census")
+    // the two-incarnation checkpoint-resume shape agrees
+    val resumed = StreamingPii
+      .piiCensusAvailableNow(spark, sf, resumeProof = true)
+      .collect().map(_.toString).toSeq
+    assert(StreamingPii.lastNumBatches.get >= 2)
+    assert(resumed == streamed)
   }
 }
