@@ -142,6 +142,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> exec(n)).toMap
     val warm = names.map(n => n -> exec(n)).toMap
+    // VARIANCE GUARD (the r15 lesson: one IO-contended pass put six
+    // entries 8-20x over and decided the gate): any query whose two
+    // passes disagree by >1.5x with the slower one above 1s gets a THIRD
+    // pass, so a single contended window cannot own its number. The
+    // re-passed names are disclosed in bench_detail.json.
+    val repassed = names.filter { n =>
+      (cold(n), warm(n)) match {
+        case (Right(a), Right(b)) =>
+          math.max(a, b) > 1.0 && math.max(a, b) > 1.5 * math.min(a, b)
+        case _ => false
+      }
+    }
+    val third: Map[String, Either[String, Double]] =
+      repassed.map(n => n -> exec(n)).toMap
     // a near-zero build or warm pass that reused a cached artifact must
     // say so — report FLAGS in their own top-level "cache_hits" object (a
     // consumer summing/averaging the queries map must never read one as a
@@ -158,12 +172,10 @@ object Bench {
       cacheHits.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val best = names.map { n =>
-      n -> ((cold(n), warm(n)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (_, Right(b))        => Right(b)
-        case (Right(a), _)        => Right(a)
-        case (Left(_), l)         => l
-      })
+      val passes = Seq(cold(n), warm(n)) ++ third.get(n)
+      val ok = passes.collect { case Right(d) => d }
+      n -> (if (ok.nonEmpty) Right(ok.min)
+            else passes.last: Either[String, Double])
     }
     val failed = best.collect { case (n, Left(_)) => n }
     // The driver captures only the LAST ~2000 chars of stdout and parses the
@@ -204,7 +216,8 @@ object Bench {
     val spillJson = spillMb.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val repassedJson = repassed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"repassed":$repassedJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (full + "\n").getBytes("UTF-8"))
     println(full) // early line: complete detail for anyone reading full stdout

@@ -444,7 +444,15 @@ object Dedup {
       graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       dupClustersFromPairs(spark,
         ngramJaccardPairsImpl(spark, sfDir, threshold, sorted = false)
-          .select("doc_a", "doc_b"))
+          .select("doc_a", "doc_b"),
+        // same measured small-graph bound as the image/audio cluster
+        // paths: a J≥0.8 text near-dup graph is the dedup OUTPUT (pairs
+        // ≪ corpus) — under 100k symmetric edges the driver union-find
+        // replaces O(log d) checkpointed Spark rounds of pure job-setup
+        // and checkpoint IO; the MEASURED count keeps a genuinely large
+        // graph on the distributed loop (DedupSpec pins label identity
+        // across both paths and the over-threshold negative)
+        localEdgeThreshold = 100000L)
         .write.mode("overwrite").parquet(path)
     }
 
