@@ -159,6 +159,8 @@ object SparkEntry {
     // query-many — the reference's actual operating mode); same oracles as
     // the corpus-scan forms prove the index is a lossless materialization
     "q_index_serve_lookup" -> ((s, d) => MaterializedIndex.termLookup(s, d, "window")),
+    // typeahead: one pruned letter partition + pushed StartsWith
+    "q_prefix_search" -> ((s, d) => MaterializedIndex.prefixSearch(s, d, "s")),
     "q_index_serve_and" -> ((s, d) => MaterializedIndex.multiTermAnd(s, d, Seq("scan", "join", "filter"))),
     "q_index_serve_phrase" -> ((s, d) => MaterializedIndex.servePhrase(s, d, "key order")),
     "q_bm25_topk"      -> ((s, d) => IndexQueries.bm25TopK(s, d, Seq("scan", "join", "filter"), 10)),
@@ -1532,6 +1534,15 @@ object SparkEntry {
       s"""$postingsCte
          |SELECT term, doc_id, tf FROM postings WHERE term = 'window'
          |ORDER BY tf DESC, doc_id""".stripMargin,
+    // prefix (typeahead) aggregate over the postings — the engine side
+    // serves it from the letter-partitioned index with ONE pruned
+    // partition (spec-asserted) and a pushed StartsWith
+    "q_prefix_search" ->
+      s"""$postingsCte
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM postings WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY term""".stripMargin,
     "q_index_serve_and" ->
       s"""$postingsCte
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf

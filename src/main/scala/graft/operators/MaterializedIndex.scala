@@ -171,6 +171,26 @@ object MaterializedIndex {
       .orderBy(desc("total_tf"), col("doc_id"))
   }
 
+  /** Prefix (typeahead) lookup SERVED from the letter-partitioned index —
+    * the query class the reference's per-letter layout
+    * (`helper_reduce.c:238-257`) exists for: a prefix fixes the first
+    * letter, so the scan prunes to ONE partition, and the StartsWith
+    * predicate pushes into the parquet scan where the
+    * sortWithinPartitions(term) layout turns it into row-group skips.
+    * Output: per matching term, document frequency and total tf — work
+    * proportional to the prefix's postings, never the index.
+    */
+  def prefixSearch(spark: SparkSession, sfDir: String,
+                   prefix: String): DataFrame =
+    spark.read.parquet(ensure(spark, sfDir))
+      .filter(col("first_letter") === prefix.take(1) &&
+        col("term").startsWith(prefix))
+      // postings are unique per (term, doc_id) by construction, so the
+      // document frequency is a plain count
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy("term")
+
   private val posBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** POSITIONAL index: postings extended with the sorted in-document

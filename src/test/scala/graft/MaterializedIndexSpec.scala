@@ -23,6 +23,31 @@ class MaterializedIndexSpec extends SparkTestBase {
     assert(served === scanned)
   }
 
+  test("prefix search: one pruned letter partition, pushed StartsWith, exact") {
+    import org.apache.spark.sql.functions._
+    val q = MaterializedIndex.prefixSearch(spark, sf, "sc")
+    val got = q.as[(String, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._1.startsWith("sc")))
+    // ground truth from an independent corpus scan
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term").startsWith("sc"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+      .orderBy("term")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === truth)
+    // the serve plan prunes to the ONE letter partition and pushes the
+    // prefix predicate into the scan (string probe: AQE wraps the scan)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("first_letter"),
+      s"letter partition filter missing:\n$plan")
+    assert(plan.contains("StringStartsWith"),
+      s"StartsWith not pushed:\n$plan")
+  }
+
   test("served phrase search == corpus-scan bigram search; n-word phrases exact") {
     import org.apache.spark.sql.functions._
     val served = MaterializedIndex.servePhrase(spark, sf, "key order")
