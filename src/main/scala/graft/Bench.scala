@@ -133,7 +133,11 @@ object Bench {
       "luma_grid_materialize" ->
         (() => { graft.operators.Multimodal.ensureLumaGrid(spark, sfDir); () }),
       "audio_sig_materialize" ->
-        (() => { graft.operators.Multimodal.ensureAudioSig(spark, sfDir); () }))
+        (() => { graft.operators.Multimodal.ensureAudioSig(spark, sfDir); () }),
+      "winnow_sel_materialize" ->
+        (() => { graft.operators.TextAnalysis.ensureWinnowSelection(spark, sfDir); () }),
+      "emb_moments_materialize" ->
+        (() => { graft.operators.Covariance.ensureMomentCells(spark, sfDir); () }))
     val buildSecs: Seq[(String, Double)] = builds.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

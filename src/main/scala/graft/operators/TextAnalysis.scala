@@ -829,12 +829,30 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  /** The winnowing SELECTION (doc_id, n_grams, minkey) — shared by the
-    * per-doc fingerprint stats ([[winnowing]]) and the candidate-pair
-    * consumer ([[winnowPairs]]).
+  /** Materialize the winnowing selection once per (corpus state, k, w):
+    * both consumers ([[winnowing]] stats and [[winnowPairs]] candidates)
+    * read the selection-sized parquet instead of re-running the
+    * tokenize + rolling-hash + window plan — the scrub-counts/token-gram
+    * artifact economics applied to the fingerprint family.
+    */
+  private[graft] def ensureWinnowSelection(spark: SparkSession, sfDir: String,
+                                           k: Int = 4, w: Int = 5): String =
+    graft.util.Scratch.memoizedDir(spark,
+      s"graft_winnowsel_${k}_${w}_" + graft.util.Scratch.valueToken(sfDir),
+      graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
+      winnowSelectedImpl(spark, sfDir, k, w)
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** The winnowing SELECTION (doc_id, n_grams, minkey), served from the
+    * materialized artifact.
     */
   private def winnowSelected(spark: SparkSession, sfDir: String,
-                             k: Int, w: Int): DataFrame = {
+                             k: Int, w: Int): DataFrame =
+    spark.read.parquet(ensureWinnowSelection(spark, sfDir, k, w))
+
+  private def winnowSelectedImpl(spark: SparkSession, sfDir: String,
+                                 k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = 1000000007L
     val pow = Array.iterate(1L, k)(_ * 31).reverse // 31^(k-1) … 31^0
