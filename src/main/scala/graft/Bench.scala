@@ -106,6 +106,8 @@ object Bench {
         (() => { graft.operators.MaterializedIndex.ensurePositional(spark, sfDir); () }),
       "shingles_materialize" ->
         (() => { graft.operators.Dedup.ensureShingles(spark, sfDir); () }),
+      "jaccard_pairs_materialize" ->
+        (() => { graft.operators.Dedup.ensureJaccardPairs(spark, sfDir, 0.8); () }),
       "dup_clusters_materialize" ->
         (() => { graft.operators.Dedup.ensureClusters(spark, sfDir, 0.8); () }),
       "bucketed_tables_materialize" ->

@@ -120,7 +120,24 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
                         threshold: Double): DataFrame =
-    ngramJaccardPairsImpl(spark, sfDir, threshold, sorted = true)
+    spark.read.parquet(ensureJaccardPairs(spark, sfDir, threshold))
+      .orderBy("doc_a", "doc_b")
+
+  /** Materialize the verified pair relation once per (corpus state,
+    * threshold): the PPJoin prefix+positional candidate join plus the
+    * exact verify is the most expensive dedup plan, and BOTH the
+    * declared pair query and the cluster labeling consume exactly this
+    * set — one build, two consumers, each later read pair-table-sized.
+    */
+  private[graft] def ensureJaccardPairs(spark: SparkSession, sfDir: String,
+                                        threshold: Double): String =
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_jacpairs_" + graft.util.Scratch.valueToken(sfDir) +
+        "_" + (threshold * 100).toInt,
+      graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
+      ngramJaccardPairsImpl(spark, sfDir, threshold, sorted = false)
+        .write.mode("overwrite").parquet(path)
+    }
 
   /** The cluster build consumes the pair SET only — same exact pairs,
     * minus the presentation sort.
@@ -443,7 +460,7 @@ object Dedup {
         "_" + (threshold * 100).toInt,
       graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       dupClustersFromPairs(spark,
-        ngramJaccardPairsImpl(spark, sfDir, threshold, sorted = false)
+        spark.read.parquet(ensureJaccardPairs(spark, sfDir, threshold))
           .select("doc_a", "doc_b"),
         // same measured small-graph bound as the image/audio cluster
         // paths: a J≥0.8 text near-dup graph is the dedup OUTPUT (pairs
