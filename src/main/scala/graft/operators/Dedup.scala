@@ -513,26 +513,27 @@ object Dedup {
   private[graft] def dupClustersFromPairs(spark: SparkSession,
                                           pairs: DataFrame,
                                           localEdgeThreshold: Long = 0L): DataFrame = {
-    // symmetric edge list, materialized once — reused every round; the
-    // edge count rides the checkpoint job as an observe metric (no
-    // separate count action)
-    val obsEdges = new org.apache.spark.sql.Observation("graft_cc_edges")
-    val edges0 = roundCheckpoint(spark, pairs
+    val edgesPlan = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .observe(obsEdges, count(lit(1)).as("n")))
-    val nEdges = obsEdges.get.get("n") match {
-      case Some(n: Number) => n.longValue()
-      case _ => 0L
-    }
-    // branch on a LOCAL decision; lastCcLocal only RECORDS it — two
+    // The measured routing decision is a bare count() — a cheap
+    // aggregate action, NOT a checkpoint: the local path must not pay an
+    // eager block materialization it never reads again (its edge plan is
+    // typically a pair-artifact read, re-executed once more by the
+    // collect below for less than a checkpoint costs). Only the opted-in
+    // call sites pay the count at all; the default threshold 0 skips
+    // straight to the distributed loop.
+    // Branch on a LOCAL decision; lastCcLocal only RECORDS it — two
     // concurrent calls interleaving set/get on the shared flag could
-    // otherwise route an over-threshold graph to the driver collect
-    val useLocal = nEdges > 0 && nEdges <= localEdgeThreshold
+    // otherwise route an over-threshold graph to the driver collect.
+    val useLocal = localEdgeThreshold > 0 && {
+      val n = edgesPlan.count()
+      n > 0 && n <= localEdgeThreshold
+    }
     lastCcLocal.set(useLocal)
     if (useLocal) {
       import spark.implicits._
-      val es = edges0.as[(Long, Long)].collect()
+      val es = edgesPlan.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()
       // ITERATIVE find + full path compression: adversarial edge order
       // (a descending-id chain) can grow a parent chain to ~component
@@ -558,6 +559,17 @@ object Dedup {
       lastCcRounds.set(0)
       return rows.toDF("doc_id", "cluster_id", "cluster_size")
         .orderBy("doc_id")
+    }
+    // Distributed path: the symmetric edge list is checkpointed once —
+    // reused every round — with the edge count riding the checkpoint job
+    // as an observe metric (no separate count action on this path when
+    // the threshold was 0).
+    val obsEdges = new org.apache.spark.sql.Observation("graft_cc_edges")
+    val edges0 = roundCheckpoint(spark,
+      edgesPlan.observe(obsEdges, count(lit(1)).as("n")))
+    val nEdges = obsEdges.get.get("n") match {
+      case Some(n: Number) => n.longValue()
+      case _ => 0L
     }
     // size the LOOP's partitioning to the pair graph, not the session
     // default: the graph is the dedup OUTPUT (pairs ≪ corpus), and every

@@ -99,7 +99,11 @@ class PairProductsExprSpec extends SparkTestBase {
     // holding pair_products has to land inside a WholeStageCodegen span
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = graft.operators.Covariance.covarianceGrid(spark, sf)
+      // the declared query serves from the memoized moment artifact, so
+      // the hot stage to probe is the artifact BUILD plan itself
+      val plan = graft.operators.Covariance.pairCells(
+          graft.operators.Covariance.quantized(
+            graft.sources.Tables.embeddings(spark, sf)))
         .queryExecution.executedPlan
       val inCodegen = plan.collect {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w

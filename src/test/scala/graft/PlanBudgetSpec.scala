@@ -76,7 +76,7 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_partition_checksums" -> 2, // letter agg over the letter-partitioned scan + order
     "q_novelty"         -> 3, // first-teller agg + per-doc rollup + order; shingle join rides
     "q_quota_cap"       -> 2, // ONE source exchange (count + rank windows + rollup) + order
-    "q_winnow_pairs"    -> 4, // selection (1 doc exchange) + fp df agg + pair agg + order; rare set broadcasts
+    "q_winnow_pairs"    -> 5, // artifact-read + fp distinct + df agg + pair agg + order (all pair/selection-sized — the corpus pass moved to winnow_sel_materialize); rare set broadcasts
     "q_postings_delta"  -> 1, // ONE term exchange (lag window + rollup ride it); top-100 via TakeOrdered
     "q_json_extract"    -> 2,  // map-side parse + type agg + order
     // round-9 sketch/packing/tokenizer queries: the only FULL-data
