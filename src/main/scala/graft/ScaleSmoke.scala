@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** SCALE SMOKE — the missing evidence tier between the sf0.1 bench and
   * the 100 TB design claims: replicate the benchmark corpus N× (default
   * 10×, ~6M lineitem rows — "sf1") with per-replica key offsets, run the
-  * heaviest relational + dedup queries at both scales, and report the
-  * wall-time ratio per query. A query whose ratio blows past the data
+  * heaviest relational + dedup + ANN queries at both scales, and report
+  * the wall-time ratio per query. A query whose ratio blows past the data
   * ratio hides superlinear work (an accidental quadratic candidate set,
   * a broadcast flipped to a shuffle that thrashes) that sf0.1 alone
   * cannot expose.
@@ -19,15 +19,31 @@ import org.apache.spark.sql.functions._
   *  - document text in replicas > 0 has every 4th word swapped for a
   *    replica token, so w-shingle sets are disjoint from the original
   *    (and from other replicas) and the near-dup workload scales ~N×
-  *    instead of exploding quadratically on byte-identical copies.
+  *    instead of exploding quadratically on byte-identical copies. The
+  *    token is LETTERS-ONLY ("zzb", "zzc", …): the tokenizer strips
+  *    digits, so a digit-suffixed token ("zz1", "zz2") would collapse to
+  *    the same token "zz" in every replica and silently make all N
+  *    replicas of a document TOKEN-identical — exactly the quadratic
+  *    dup-corpus this perturbation exists to avoid (the r16 smoke's 12×
+  *    q_minhash_lsh ratio was this artifact, not engine work).
+  *
+  * ONE-SHOT ARTIFACT BUILDS (shingle relation, PPJoin pair relation,
+  * cluster labels, oriented graph edges, PQ codes) are timed explicitly
+  * at each scale BEFORE the query passes: the queries then measure pure
+  * serve cost, and build scaling — which min-of-2 timing structurally
+  * hides once the memo is warm — gets its own ratio rows.
   *
   * Output: ONE JSON line {"metric":"scale_smoke",...} with per-query
   * base/big seconds (min of 2 passes each), the ratio, and the physical
-  * join mix at each scale (a broadcast→shuffle flip is visible even when
-  * the ratio still passes). Exits nonzero if any query fails or any
-  * ratio exceeds `maxRatio` (default 3× the data factor — generous slack
-  * for fixed costs and AQE variance at this JVM-local size, tight enough
-  * to catch quadratics, which land at ~N·factor×).
+  * join mix at each scale, captured from the EXECUTED plan via a
+  * QueryExecutionListener — so AQE's runtime replans (a broadcast
+  * demoted after runtime stats) are what gets classified, not the
+  * planning-time guess. Exits nonzero if any query fails or any ratio
+  * exceeds `maxRatio` (default 3× the data factor — generous slack for
+  * fixed costs and AQE variance at this JVM-local size, tight enough to
+  * catch quadratics, which land at ~N·factor×). Build rows are reported
+  * but not gated: one-shot builds on local disk inherit the host's
+  * documented 2–4× IO swings.
   */
 object ScaleSmoke {
 
@@ -60,13 +76,38 @@ object ScaleSmoke {
       rep("orders", Seq("o_orderkey", "o_custkey"))()
       rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
       rep("events", Seq("event_id", "user_id"))()
+      // embeddings replicate with offset ids and unchanged vectors: the
+      // ANN rows below time candidate-bounded serving against an N×
+      // corpus; duplicate vectors only add ties, which cost nothing extra
+      rep("embeddings", Seq("vec_id"))()
       rep("documents", Seq("doc_id")) { (df, r) =>
+        // letters-only per-replica token (see the header comment): 'a' is
+        // skipped so replica tokens never equal a plain English word at
+        // r=0, and two letters cover factors up to 26² without digits
+        val tok = s"zz${('a' + 1 + r % 25).toChar}${('a' + r / 25 % 26).toChar}"
         if (r == 0) df
         else df.withColumn("text",
           array_join(transform(split(col("text"), " "),
-            (w, i) => when(i % 4 === 3, lit(s"zz$r")).otherwise(w)), " "))
+            (w, i) => when(i % 4 === 3, lit(tok)).otherwise(w)), " "))
       }
     }
+
+  /** One-shot artifact builds, timed per scale in dependency order: the
+    * shingle relation feeds the PPJoin pair build, which feeds the
+    * cluster labeling — each gets charged its OWN cost, and the query
+    * passes below then measure pure serve.
+    */
+  private val SmokeBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "shingles_build" ->
+      ((s, d) => { graft.operators.Dedup.ensureShingles(s, d); () }),
+    "jaccard_pairs_build" ->
+      ((s, d) => { graft.operators.Dedup.ensureJaccardPairs(s, d, 0.8); () }),
+    "dup_clusters_build" ->
+      ((s, d) => { graft.operators.Dedup.ensureClusters(s, d, 0.8); () }),
+    "graph_edges_build" ->
+      ((s, d) => { graft.operators.Graph.ensureEdges(s, d); () }),
+    "pq_codes_build" ->
+      ((s, d) => { graft.operators.Similarity.ensurePqCodes(s, d); () }))
 
   private val SmokeQueries = Seq(
     "q1_pricing",            // the scan-agg baseline
@@ -76,16 +117,10 @@ object ScaleSmoke {
     "q_basket_rules",        // events self-join via baskets
     "q_copurchase_triangles",// triangle enumeration
     "q_minhash_lsh",         // banded near-dup candidates + verify
-    "q_dup_clusters")        // LSH pairs + connected components
-
-  private def joinMix(df: DataFrame): String = {
-    val plan = df.queryExecution.executedPlan.toString
-    Seq("BroadcastHashJoin" -> "bhj", "SortMergeJoin" -> "smj",
-      "ShuffledHashJoin" -> "shj", "BroadcastNestedLoopJoin" -> "bnlj")
-      .map { case (op, tag) =>
-        s"$tag:${op.r.findAllIn(plan).length}"
-      }.mkString(",")
-  }
+    "q_dup_clusters",        // LSH pairs + connected components
+    "q_ivfpq_topk",          // probe-bounded ADC over the codes tier
+    "q_filtered_ann",        // predicate-pushdown ANN over the same codes
+    "q_knn_classify")        // brute-force kNN (the ANN baseline)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,9 +139,56 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The EXECUTED plan of the most recent action (AQE-final: captured
+    // after runtime replans, not at planning time). The listener bus is
+    // async — drained before each read.
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          lastPlan.set(qe.executedPlan.toString); ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    def executedJoinMix(): String = {
+      org.apache.spark.graftshim.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext)
+      val plan = lastPlan.get()
+      Seq("BroadcastHashJoin" -> "bhj", "SortMergeJoin" -> "smj",
+        "ShuffledHashJoin" -> "shj", "BroadcastNestedLoopJoin" -> "bnlj")
+        .map { case (op, tag) =>
+          s"$tag:${op.r.findAllIn(plan).length}"
+        }.mkString(",")
+    }
+
     val t0 = System.nanoTime()
     val big = ensureReplica(spark, base, factor)
     val buildSecs = (System.nanoTime() - t0) / 1e9
+
+    var failed = List.empty[String]
+
+    // one-shot artifact builds, base then big, each timed once
+    val buildRows = SmokeBuilds.map { case (name, run) =>
+      try {
+        def timed(dir: String): Double = {
+          val t = System.nanoTime()
+          run(spark, dir)
+          (System.nanoTime() - t) / 1e9
+        }
+        val baseSec = timed(base)
+        val bigSec = timed(big)
+        val ratio = bigSec / math.max(baseSec, 1e-9)
+        f""""$name":{"base":$baseSec%.2f,"big":$bigSec%.2f,"ratio":$ratio%.2f,"one_shot":true}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale-smoke] $name failed: ${e.getMessage}")
+        failed ::= name
+        s""""$name":{"err":true}"""
+      }
+    }
 
     def time(name: String, dir: String): (Double, String) = {
       def once(): Double = {
@@ -116,11 +198,10 @@ object ScaleSmoke {
         (System.nanoTime() - t) / 1e9
       }
       val best = math.min(once(), once())
-      val mix = joinMix(SparkEntry.queries(name)(spark, dir))
-      (best, mix)
+      // the listener now holds the second pass's EXECUTED (AQE-final) plan
+      (best, executedJoinMix())
     }
 
-    var failed = List.empty[String]
     val rows = SmokeQueries.map { q =>
       try {
         val (baseSec, baseMix) = time(q, base)
@@ -135,7 +216,7 @@ object ScaleSmoke {
       }
     }
     println(s"""{"metric":"scale_smoke","factor":$factor,"build_sec":${
-      f"$buildSecs%.1f"},"max_ratio":$maxRatio,"queries":{${rows.mkString(",")}},"failed":[${
+      f"$buildSecs%.1f"},"max_ratio":$maxRatio,"queries":{${(buildRows ++ rows).mkString(",")}},"failed":[${
       failed.map("\"" + _ + "\"").mkString(",")}]}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -1093,7 +1093,7 @@ object SparkEntry {
       |               (xor(h0, h0 >> 16) * 2146121005) % 4294967296 AS h1
       |        FROM (
       |          SELECT asset_id, x,
-      |                 (asset_id // 12) * 63 + x + 1 AS h0
+      |                 ((asset_id // 12) * 63 + x + 1) % 4294967296 AS h0
       |          FROM img, unnest(range(0, 63)) t(x)))))),
       |tot AS (SELECT asset_id, CAST(sum(luma) AS BIGINT) AS ts
       |        FROM cols GROUP BY 1),
@@ -1132,7 +1132,7 @@ object SparkEntry {
       |               (xor(h0, h0 >> 16) * 2146121005) % 4294967296 AS h1
       |        FROM (
       |          SELECT asset_id, x,
-      |                 (asset_id // 12) * 63 + x + 1 + 15485863 AS h0
+      |                 ((asset_id // 12) * 63 + x + 1 + 15485863) % 4294967296 AS h0
       |          FROM aud, unnest(range(0, 63)) t(x)))))),
       |atot AS (SELECT asset_id, CAST(sum(b) AS BIGINT) AS ts
       |         FROM acols GROUP BY 1),

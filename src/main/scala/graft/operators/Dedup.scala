@@ -133,7 +133,7 @@ object Dedup {
                                         threshold: Double): String =
     graft.util.Scratch.memoizedDir(spark,
       "graft_jacpairs_" + graft.util.Scratch.valueToken(sfDir) +
-        "_" + (threshold * 100).toInt,
+        "_" + graft.util.Scratch.valueToken(threshold.toString),
       graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       ngramJaccardPairsImpl(spark, sfDir, threshold, sorted = false)
         .write.mode("overwrite").parquet(path)
@@ -318,19 +318,123 @@ object Dedup {
       .toDF("doc_id", "band_idx", "band_hash")
   }
 
+  /** All within-group ordered (doc_a < doc_b) pairs of `idCol`, grouped by
+    * `keyCols` — the guarded pair-emission primitive behind the LSH bucket
+    * join and the identical-set group expansion. Two regimes:
+    *
+    *  - groups ≤ `cap`: ROW-LOCAL emission from the group's sorted member
+    *    array (the [[Graph.triangleCounts]] adjacency trick) — one shuffle
+    *    to group, no join, `a < b` built in by the sort.
+    *  - groups > `cap`: the pairs are still genuine output (B members must
+    *    produce B·(B−1)/2 candidates), but neither a giant collected array
+    *    (one task emits the whole B² and the collect risks task OOM) nor a
+    *    naive bucket self-join (one SMJ partition owns the hot key) is
+    *    acceptable — oversized groups go through a SALTED self-join (the
+    *    [[Skew.saltedJoin]] shape): probe rows hash-salted into 16
+    *    sub-keys, build side replicated 16×, so the quadratic work of a
+    *    heavy group spreads over 16 partitions instead of one.
+    *
+    * Output is identical across regimes (spec-pinned with a forced tiny
+    * cap); only the physical routing differs.
+    */
+  private[graft] def groupedPairs(df: DataFrame, keyCols: Seq[String],
+                                  idCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val annotated = df.select(keyCols.map(col) :+ col(idCol).as("__id"): _*)
+      .withColumn("__gsz", count(lit(1)).over(w))
+      .where(col("__gsz") >= 2) // singleton groups pair nothing
+    val small = annotated.where(col("__gsz") <= cap)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__id"))).as("__ms"))
+      .select(col("__ms"), posexplode(col("__ms")))
+      .select(col("col").as("doc_a"),
+        // element at 0-based pos pairs with every LATER element of the
+        // sorted member array: slice is 1-based, start pos+2, length
+        // n−pos−1 (0 at the last element → empty array → explode drops)
+        explode(slice(col("__ms"), col("pos") + lit(2),
+          size(col("__ms")) - col("pos") - lit(1))).as("doc_b"))
+    val salts = 16
+    val big = annotated.where(col("__gsz") > cap)
+    val probe = big.withColumn("__salt", pmod(xxhash64(col("__id")), lit(salts)))
+    val build = big.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    val bigPairs = probe.as("p").join(build.as("b"),
+        keyCols.map(k => col(s"p.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("p.__salt") === col("b.__salt") && col("p.__id") < col("b.__id"))
+      .select(col("p.__id").as("doc_a"), col("b.__id").as("doc_b"))
+    small.unionAll(bigPairs)
+  }
+
+  /** Per-doc fingerprint of the DISTINCT SHINGLE SET (sha-256 over the
+    * sorted set, NUL-joined — shingles are tokenized words + spaces, so
+    * NUL cannot occur and the encoding is injective). Docs with equal
+    * fingerprints have equal shingle sets: identical MinHash signatures,
+    * pairwise Jaccard exactly 1, and identical Jaccard against every
+    * third document. Only docs PRESENT in the shingle relation get a row
+    * (a shingle-less doc has no signature and can never pair — same as
+    * the un-collapsed path).
+    */
+  private def shingleSetFp(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      sha2(concat_ws("\u0000", sort_array(collect_list(col("sh")))), 256)
+        .as("fp"))
+
   /** MinHash + LSH near-dup pairs: band the signatures, bucket-join, then
     * verify candidates with EXACT Jaccard (so no false positives; false
     * negatives bounded by the banding probability). Same output schema as
     * [[ngramJaccardPairs]].
+    *
+    * GUARDED against duplication-heavy corpora — the NORMAL case for a
+    * crawl, where naive banding is quadratic in the duplicate-group size
+    * (B copies of one page share every band bucket → B²/2 candidate rows
+    * per band, then B²/2 exact verifications):
+    *
+    *  1. IDENTICAL-SET COLLAPSE: docs are grouped by their shingle-set
+    *     fingerprint ([[shingleSetFp]]); only one REPRESENTATIVE per
+    *     group (min doc_id) is signed, banded, bucket-joined, and
+    *     exact-verified. Signatures and Jaccard are functions of the
+    *     shingle set alone, so this changes NOTHING semantically: a
+    *     member pair collides in a band iff its rep pair does, within-
+    *     group pairs always collide (equal signatures) and have J = 1
+    *     exactly, and a cross-group member pair's Jaccard equals its rep
+    *     pair's. Verification cost drops from O(member pairs) to O(rep
+    *     pairs) — the whole quadratic factor.
+    *  2. BUCKET-SIZE-CAPPED PAIR EMISSION ([[groupedPairs]]): band
+    *     buckets of near-identical-but-not-identical docs emit their
+    *     pairs row-locally from a sorted member array when small, and
+    *     through a salted self-join when oversized — never through an
+    *     unguarded hot-key bucket join.
+    *
+    * Verified rep pairs are expanded back to member pairs (Θ(output))
+    * and within-group pairs are emitted at J = 1.0 directly — output is
+    * IDENTICAL to the unguarded plan (spec-pinned), including against
+    * the exact all-pairs oracle.
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String,
-                      threshold: Double): DataFrame = {
-    val banded = bandedOf(minhashSignatures(spark, sfDir))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band_idx", "band_hash"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+                      threshold: Double, bucketCap: Int = 256): DataFrame = {
+    val sh = shingleIndex(spark, sfDir)
+    val fp = shingleSetFp(sh)
+    val reps = fp.groupBy("fp").agg(min(col("doc_id")).as("rep"))
+    val members = fp.join(reps, "fp").select(col("doc_id"), col("rep"))
+    val shReps = sh.join(members.where(col("doc_id") === col("rep"))
+      .select("doc_id"), "doc_id")
+    val banded = bandedOf(signaturesOf(shReps))
+    val candReps = groupedPairs(banded, Seq("band_idx", "band_hash"),
+        "doc_id", bucketCap)
       .distinct()
-    verifyPairs(shingleIndex(spark, sfDir), cand, threshold)
+    val repPairs = verifyPairs(shReps,
+      candReps.select(col("doc_a"), col("doc_b")), threshold, sorted = false)
+    // expand verified rep pairs to member pairs: Θ(output) joins against
+    // the member map; members of distinct groups interleave in id order,
+    // so the pair orientation is re-derived per member pair
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("a"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("b"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val within = groupedPairs(members, Seq("rep"), "doc_id", bucketCap)
+      .withColumn("jaccard", lit(1.0))
+    cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
   /** INCREMENTAL near-dup: dedup an arriving batch against the existing
@@ -457,7 +561,7 @@ object Dedup {
                                     threshold: Double): String =
     graft.util.Scratch.memoizedDir(spark,
       "graft_dupclusters_" + graft.util.Scratch.valueToken(sfDir) +
-        "_" + (threshold * 100).toInt,
+        "_" + graft.util.Scratch.valueToken(threshold.toString),
       graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       dupClustersFromPairs(spark,
         spark.read.parquet(ensureJaccardPairs(spark, sfDir, threshold))
@@ -516,24 +620,31 @@ object Dedup {
     val edgesPlan = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // The measured routing decision is a bare count() — a cheap
-    // aggregate action, NOT a checkpoint: the local path must not pay an
-    // eager block materialization it never reads again (its edge plan is
-    // typically a pair-artifact read, re-executed once more by the
-    // collect below for less than a checkpoint costs). Only the opted-in
-    // call sites pay the count at all; the default threshold 0 skips
-    // straight to the distributed loop.
-    // Branch on a LOCAL decision; lastCcLocal only RECORDS it — two
+    // The measured routing decision is a limit(threshold+1) PROBE that
+    // doubles as the local path's input: ONE execution of the edge plan
+    // both decides the route and, when the graph is within bound, hands
+    // the local union-find its edges — the un-materialized banded-join
+    // call sites (image/audio dup clusters) no longer run their candidate
+    // join twice per invocation (count for routing + collect for solving).
+    // When the probe overflows, its rows are discarded and only the
+    // distributed loop re-executes the plan. Only the opted-in call sites
+    // pay the probe at all; the default threshold 0 skips straight to the
+    // distributed loop.
+    // Branch on a LOCAL value; lastCcLocal only RECORDS it — two
     // concurrent calls interleaving set/get on the shared flag could
     // otherwise route an over-threshold graph to the driver collect.
-    val useLocal = localEdgeThreshold > 0 && {
-      val n = edgesPlan.count()
-      n > 0 && n <= localEdgeThreshold
-    }
-    lastCcLocal.set(useLocal)
-    if (useLocal) {
+    val probed: Option[Array[(Long, Long)]] =
+      if (localEdgeThreshold <= 0) None
+      else {
+        import spark.implicits._
+        val cap = math.min(localEdgeThreshold, (Int.MaxValue - 1).toLong).toInt
+        val rows = edgesPlan.as[(Long, Long)].limit(cap + 1).collect()
+        if (rows.nonEmpty && rows.length <= cap) Some(rows) else None
+      }
+    lastCcLocal.set(probed.isDefined)
+    if (probed.isDefined) {
       import spark.implicits._
-      val es = edgesPlan.as[(Long, Long)].collect()
+      val es = probed.get
       val parent = scala.collection.mutable.Map[Long, Long]()
       // ITERATIVE find + full path compression: adversarial edge order
       // (a descending-id chain) can grow a parent chain to ~component

@@ -496,7 +496,11 @@ object Multimodal {
     // cross-group member distance 9 over 8,000 groups (19× the sf0.1
     // corpus), balanced popcounts.
     val base = {
-      var h = gid * 63L + x + 1
+      // reduced mod 2^32 BEFORE the first multiply: identity for every
+      // fixture id in use, and keeps (h^(h>>16))*c inside int64 for BOTH
+      // engines at ANY id scale (DuckDB raises on BIGINT overflow where
+      // Scala would wrap silently — a trap at replicated-corpus ids)
+      var h = (gid * 63L + x + 1) % 4294967296L
       h = ((h ^ (h >> 16)) * 2146121005L) % 4294967296L
       h = ((h ^ (h >> 15)) * 1655765949L) % 4294967296L
       h ^= h >> 16
@@ -728,7 +732,7 @@ object Multimodal {
     val gid = assetId / 12
     val m = ((assetId % 12) / 3).toInt
     val base = {
-      var h = gid * 63L + j + 1 + 15485863L
+      var h = (gid * 63L + j + 1 + 15485863L) % 4294967296L
       h = ((h ^ (h >> 16)) * 2146121005L) % 4294967296L
       h = ((h ^ (h >> 15)) * 1655765949L) % 4294967296L
       h ^= h >> 16

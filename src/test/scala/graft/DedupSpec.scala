@@ -31,6 +31,72 @@ class DedupSpec extends SparkTestBase {
     assert(exact === lsh, s"LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
   }
 
+  test("groupedPairs: array emission and salted oversize path emit identical ordered pairs") {
+    val df = (Seq.tabulate(10)(i => ("g1", i.toLong + 1)) ++
+      Seq(("g2", 100L), ("g2", 101L), ("g2", 102L)) ++
+      Seq(("solo", 999L)))
+      .toDF("k", "id")
+    val want = (for {
+      a <- 1L to 10L; b <- (a + 1) to 10L
+    } yield (a, b)).toSet ++ Set((100L, 101L), (100L, 102L), (101L, 102L))
+    // cap 64: every group goes through row-local sorted-array emission
+    val small = Dedup.groupedPairs(df, Seq("k"), "id", 64)
+      .as[(Long, Long)].collect()
+    assert(small.length === want.size, "array path emitted a duplicate pair")
+    assert(small.toSet === want)
+    // cap 2: the 10-member and 3-member groups exceed it → salted
+    // self-join path; output must be IDENTICAL
+    val salted = Dedup.groupedPairs(df, Seq("k"), "id", 2)
+      .as[(Long, Long)].collect()
+    assert(salted.length === want.size, "salted path emitted a duplicate pair")
+    assert(salted.toSet === want)
+    assert(want.forall { case (a, b) => a < b })
+  }
+
+  test("minhashLshPairs on a dup-heavy corpus: guarded plan == brute force, cap-invariant") {
+    // the NORMAL crawl shape: large groups of byte-identical docs plus
+    // near-identical variants — naive banding is quadratic in the group
+    // size here; the identical-set collapse + capped bucket emission must
+    // keep the OUTPUT identical while bounding the work
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "ant bee cat dog elk fox"
+    val nearDup = base.replace("fox", "gnu") // 30 tokens, 1 tail swap: J≈0.89
+    val docs = (
+      (1L to 12L).map(i => (i, base)) ++                  // 12 identical
+      (21L to 25L).map(i => (i, "one two three four five six seven eight nine ten")) ++
+      Seq((31L, nearDup)) ++                               // near-dup of group 1
+      Seq((41L, "totally different content about spark engines and parquet files"),
+          (42L, "another unrelated document body with its own words entirely"),
+          (51L, "tiny doc"), (52L, "tiny doc"))            // <3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupheavy").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shingles = Dedup.shingleIndex(spark, dir)
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val want = (for {
+      (a, sa) <- shingles.toSeq
+      (b, sb) <- shingles.toSeq if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.8
+    } yield (a, b, jr)).toSet
+    // the fixture must exercise every regime: a 12-group, a 5-group, a
+    // cross-group near-dup pair, and shingle-less docs that never pair
+    assert(want.size === (66 + 10 + 12), s"fixture drifted: ${want.size} pairs")
+    assert(want.exists { case (_, b, j) => b == 31L && j < 1.0 })
+    assert(!want.exists { case (a, b, _) => a == 51L || b == 52L })
+    val got = Dedup.minhashLshPairs(spark, dir, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // forcing EVERY group/bucket through the salted oversize path must
+    // not change a single pair
+    val gotCap1 = Dedup.minhashLshPairs(spark, dir, 0.8, bucketCap = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotCap1 === want)
+  }
+
   test("containmentPairs == brute-force asymmetric containment at 0.9") {
     // prefix filtering for containment is a theorem (pigeonhole over the
     // ⌊(1−t)·|A|⌋ misses), not a probabilistic recall bound — the output
