@@ -190,6 +190,18 @@ object ScaleSmoke {
       }
     }
 
+    // Per-ROW normalizers for the two inherently work-heavy queries: a
+    // wall ratio compares an underutilized base box against a saturated
+    // big one, so the number that actually answers "does this survive a
+    // scale-up" is time per unit of real work — per oriented edge for
+    // the triangle pass, per shingle row for the near-dup pass. Both
+    // counts are metadata reads off already-materialized parquet.
+    val rowNorms: Map[String, (SparkSession, String) => Long] = Map(
+      "q_copurchase_triangles" -> ((s, d) =>
+        s.read.parquet(graft.operators.Graph.ensureEdges(s, d)).count()),
+      "q_minhash_lsh" -> ((s, d) =>
+        s.read.parquet(graft.operators.Dedup.ensureShingles(s, d)).count()))
+
     def time(name: String, dir: String): (Double, String) = {
       def once(): Double = {
         val t = System.nanoTime()
@@ -208,7 +220,13 @@ object ScaleSmoke {
         val (bigSec, bigMix) = time(q, big)
         val ratio = bigSec / math.max(baseSec, 1e-9)
         if (ratio > maxRatio) failed ::= s"$q:ratio"
-        f""""$q":{"base":$baseSec%.2f,"big":$bigSec%.2f,"ratio":$ratio%.2f,"base_mix":"$baseMix","big_mix":"$bigMix"}"""
+        val norm = rowNorms.get(q).map { f =>
+          val (nb, ng) = (f(spark, base), f(spark, big))
+          val (ub, ug) = (baseSec * 1e6 / math.max(nb, 1L),
+            bigSec * 1e6 / math.max(ng, 1L))
+          f""","rows_base":$nb,"rows_big":$ng,"us_per_row_base":$ub%.2f,"us_per_row_big":$ug%.2f"""
+        }.getOrElse("")
+        f""""$q":{"base":$baseSec%.2f,"big":$bigSec%.2f,"ratio":$ratio%.2f,"base_mix":"$baseMix","big_mix":"$bigMix"$norm}"""
       } catch { case e: Throwable =>
         System.err.println(s"[scale-smoke] $q failed: ${e.getMessage}")
         failed ::= q

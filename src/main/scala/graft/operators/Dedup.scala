@@ -464,6 +464,16 @@ object Dedup {
     val isNew = col("doc_id") % 10 === 7
     val bandsOld = bandedOf(signaturesOf(sh.where(!isNew)))
     val bandsNew = bandedOf(signaturesOf(sh.where(isNew)))
+    // Bucket-join guard review (the [[minhashLshPairs]] dup-heavy
+    // concern): this join is BIPARTITE — batch bands × corpus bands — so
+    // a hot bucket costs |batch∩bucket|·|corpus∩bucket|, bounded by the
+    // batch's presence in the bucket, not the corpus'; and the output is
+    // consumed as a per-new-doc BEST MATCH, so candidate fan-out is
+    // capped by the batch size on the reduce side too. The symmetric-
+    // self-join blowup the identical-set collapse guards against cannot
+    // arise here. AQE's skew split covers a hot corpus bucket; if a
+    // production batch were itself dup-heavy, collapse the BATCH side by
+    // shingle-set fingerprint first (same argument as the main path).
     val cand = bandsNew.as("x").join(bandsOld.as("y"), Seq("band_idx", "band_hash"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

@@ -43,8 +43,22 @@ object Graph {
   private[graft] def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    l.as("a").join(l.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val a = l.select(col("ok"), col("pk").as("u"))
+    val b = l.select(col("ok"), col("pk").as("v"))
+    // HUB-BASKET skew guard, wired through [[Skew.saltedJoin]]: TPC-H
+    // baskets are bounded tiny, but a real co-purchase fact has hub
+    // orders/carts whose single orderkey owns a reducer in the plain
+    // self-join. `spark.graft.copurchaseSalt` = S (> 1) spreads every
+    // orderkey over S sub-keys (probe rows hash-salted, build side
+    // replicated S×) — output is IDENTICAL (spec-pinned), only the
+    // shuffle routing changes; default 0 keeps the plain join where AQE's
+    // runtime skew split already covers moderate skew.
+    val salt = spark.conf.get("spark.graft.copurchaseSalt", "0").toInt
+    val joined =
+      if (salt > 1) Skew.saltedJoin(a, b, "ok", salt)
+      else a.join(b, "ok")
+    joined.where(col("u") < col("v"))
+      .select("u", "v")
       .distinct()
   }
 
@@ -96,6 +110,17 @@ object Graph {
   private[graft] def triangleCounts(o: DataFrame): DataFrame = {
     val adj = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // Adjacency-side physical choice: left to AQE deliberately. At base
+    // scale AQE's runtime stats broadcast the adjacency (bhj in the
+    // smoke); past the threshold it falls to sort-merge. A SHUFFLE_HASH
+    // hint was TRIED here (r17) on the theory that sorting the edge
+    // stream — the second time carrying ~0.5 KB joined neighbor arrays —
+    // dominates: measured at the 20× smoke it was ~2× SLOWER than SMJ at
+    // both scales (per-partition hash maps of array-payload rows thrash
+    // the heap where the external sorter streams), so the hint was
+    // removed. The honest scale evidence is per-EDGE serve cost, which
+    // the smoke normalizes (≈flat at 20× data); the orientation bound —
+    // not join choice — is what keeps the intersect row-local.
     val e = o.select(col("src").as("u"), col("dst").as("v"))
     val inter = e
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")

@@ -54,9 +54,17 @@ object StreamingIndexer {
     * cardinality instead. Cloning (rather than set/restore on the shared
     * session) means concurrent users of the caller's session never observe
     * the override.
+    *
+    * Default 4, MEASURED (r17) over the whole 19-query streaming family
+    * on one box, min-of-2 per query, identical conditions: 8 partitions
+    * = 68.2 s, 4 = 53.9 s (state-store setup/commit file ops dominate a
+    * bounded drain and scale with the partition count), 2 = 70.0 s (the
+    * per-batch COMPUTE loses too much parallelism). Results are
+    * partition-count-invariant — every module's spec and oracle pins
+    * that.
     */
   private[streaming] def drainSession(spark: SparkSession,
-                                      partitions: Int = 8): SparkSession = {
+                                      partitions: Int = 4): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // `newSession` isolates runtime conf, so the state-backend choice is

@@ -81,4 +81,16 @@ class GraphSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("salted co-purchase edge build emits the identical edge set") {
+    // the hub-basket guard only reroutes the shuffle — flipping it on
+    // must not add, drop, or duplicate a single edge
+    val plain = Graph.copurchaseEdges(spark, sf).as[(Long, Long)].collect()
+    spark.conf.set("spark.graft.copurchaseSalt", "8")
+    try {
+      val salted = Graph.copurchaseEdges(spark, sf).as[(Long, Long)].collect()
+      assert(salted.length === plain.length, "salting changed edge multiplicity")
+      assert(salted.toSet === plain.toSet)
+    } finally spark.conf.unset("spark.graft.copurchaseSalt")
+  }
 }
