@@ -127,6 +127,13 @@ object ScaleSmoke {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val maxRatio = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_RATIO",
       (3 * factor).toString).toDouble
+    // SPARK_GRAFT_SMOKE_ONLY=q_a,q_b,build_x restricts the run to the
+    // named queries/builds — how a high-factor point (50×) measures just
+    // the watch-listed entries without paying the whole suite at that
+    // scale. Unset = everything.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -172,7 +179,7 @@ object ScaleSmoke {
     var failed = List.empty[String]
 
     // one-shot artifact builds, base then big, each timed once
-    val buildRows = SmokeBuilds.map { case (name, run) =>
+    val buildRows = SmokeBuilds.filter(b => selected(b._1)).map { case (name, run) =>
       try {
         def timed(dir: String): Double = {
           val t = System.nanoTime()
@@ -214,7 +221,7 @@ object ScaleSmoke {
       (best, executedJoinMix())
     }
 
-    val rows = SmokeQueries.map { q =>
+    val rows = SmokeQueries.filter(selected).map { q =>
       try {
         val (baseSec, baseMix) = time(q, base)
         val (bigSec, bigMix) = time(q, big)
