@@ -159,6 +159,8 @@ object Bench {
         (() => { graft.operators.Dedup.ensureShingles(spark, sfDir); () }),
       "jaccard_pairs_materialize" ->
         (() => { graft.operators.Dedup.ensureJaccardPairs(spark, sfDir, 0.8); () }),
+      "dup_groups_materialize" ->
+        (() => { graft.operators.Dedup.ensureDupGroups(spark, sfDir); () }),
       "dup_clusters_materialize" ->
         (() => { graft.operators.Dedup.ensureClusters(spark, sfDir, 0.8); () }),
       "bucketed_tables_materialize" ->

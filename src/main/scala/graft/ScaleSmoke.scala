@@ -102,6 +102,8 @@ object ScaleSmoke {
       ((s, d) => { graft.operators.Dedup.ensureShingles(s, d); () }),
     "jaccard_pairs_build" ->
       ((s, d) => { graft.operators.Dedup.ensureJaccardPairs(s, d, 0.8); () }),
+    "dup_groups_build" ->
+      ((s, d) => { graft.operators.Dedup.ensureDupGroups(s, d); () }),
     "dup_clusters_build" ->
       ((s, d) => { graft.operators.Dedup.ensureClusters(s, d, 0.8); () }),
     "graph_edges_build" ->

@@ -379,6 +379,24 @@ object Dedup {
       sha2(concat_ws("\u0000", sort_array(collect_list(col("sh")))), 256)
         .as("fp"))
 
+  /** The identical-set GROUP MAP (doc_id, rep) MATERIALIZED once per
+    * corpus state — the collapse artifact behind [[minhashLshPairs]]'
+    * dup-heavy guard. It is threshold-independent (a pure function of
+    * the shingle relation), so one build serves every LSH threshold,
+    * every bench pass, and an incremental batch run; the serve-side
+    * plans read a two-column parquet instead of re-running the
+    * collect-sort-hash collapse per invocation.
+    */
+  private[graft] def ensureDupGroups(spark: SparkSession, sfDir: String): String =
+    graft.util.Scratch.memoizedDir(spark,
+      "graft_dupgroups_" + graft.util.Scratch.valueToken(sfDir),
+      graft.sources.Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
+      val fp = shingleSetFp(shingleIndex(spark, sfDir))
+      val reps = fp.groupBy("fp").agg(min(col("doc_id")).as("rep"))
+      fp.join(reps, "fp").select(col("doc_id"), col("rep"))
+        .write.mode("overwrite").parquet(path)
+    }
+
   /** MinHash + LSH near-dup pairs: band the signatures, bucket-join, then
     * verify candidates with EXACT Jaccard (so no false positives; false
     * negatives bounded by the banding probability). Same output schema as
@@ -390,8 +408,9 @@ object Dedup {
     * per band, then B²/2 exact verifications):
     *
     *  1. IDENTICAL-SET COLLAPSE: docs are grouped by their shingle-set
-    *     fingerprint ([[shingleSetFp]]); only one REPRESENTATIVE per
-    *     group (min doc_id) is signed, banded, bucket-joined, and
+    *     fingerprint ([[shingleSetFp]], materialized once per corpus
+    *     state as the [[ensureDupGroups]] map); only one REPRESENTATIVE
+    *     per group (min doc_id) is signed, banded, bucket-joined, and
     *     exact-verified. Signatures and Jaccard are functions of the
     *     shingle set alone, so this changes NOTHING semantically: a
     *     member pair collides in a band iff its rep pair does, within-
@@ -413,9 +432,7 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, sfDir: String,
                       threshold: Double, bucketCap: Int = 256): DataFrame = {
     val sh = shingleIndex(spark, sfDir)
-    val fp = shingleSetFp(sh)
-    val reps = fp.groupBy("fp").agg(min(col("doc_id")).as("rep"))
-    val members = fp.join(reps, "fp").select(col("doc_id"), col("rep"))
+    val members = spark.read.parquet(ensureDupGroups(spark, sfDir))
     val shReps = sh.join(members.where(col("doc_id") === col("rep"))
       .select("doc_id"), "doc_id")
     val banded = bandedOf(signaturesOf(shReps))
