@@ -430,20 +430,27 @@ object Dedup {
     * the exact all-pairs oracle.
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String,
-                      threshold: Double, bucketCap: Int = 256): DataFrame = {
+                      threshold: Double, bucketCap: Int = 256,
+                      collapseMinPairs: Long = 10000L): DataFrame = {
     val sh = shingleIndex(spark, sfDir)
     val members = spark.read.parquet(ensureDupGroups(spark, sfDir))
-    // MEASURED routing (the [[JoinPlanner.measuredSide]] discipline): on
-    // a corpus with NO identical-set groups the collapse map is the
-    // identity, and the rep/member expansion joins are ~2 s of pure
-    // serve overhead at bench scale — so probe the (tiny, materialized)
-    // map once and take the DIRECT plan when it is the identity. Both
-    // branches keep the capped bucket emission; output is identical by
-    // construction (on a dup-free corpus rep == doc_id everywhere), and
-    // the dup-heavy spec fixture pins the collapsed branch against
-    // brute force.
-    val anyDups = !members.where(col("doc_id") =!= col("rep")).isEmpty
-    if (!anyDups) {
+    // MEASURED routing (the [[JoinPlanner.measuredSide]] discipline):
+    // what the collapse saves is the Σ gsz·(gsz−1)/2 same-set pairs it
+    // removes from banding + exact verify, and what it costs is a fixed
+    // handful of serve-side stages (the rep restriction and the two
+    // member-expansion joins — ~2 s at bench scale). A handful of
+    // duplicate pages (the sf0.1 corpus has 8) saves nothing, while a
+    // dup-heavy crawl saves quadratically — so aggregate group sizes
+    // off the (tiny, materialized) map and take the DIRECT plan below
+    // `collapseMinPairs`. Both branches keep the capped bucket
+    // emission; output is branch-invariant (spec-pinned: the dup-heavy
+    // fixture runs both routes against brute force).
+    val dupPairs = members.groupBy("rep").agg(count(lit(1)).as("gsz"))
+      .where(col("gsz") > 1)
+      .agg(coalesce(sum(col("gsz") * (col("gsz") - lit(1))), lit(0L))
+        .as("p"))
+      .head().getLong(0) / 2
+    if (dupPairs < collapseMinPairs) {
       val banded = bandedOf(signaturesOf(sh))
       val cand = groupedPairs(banded, Seq("band_idx", "band_hash"),
           "doc_id", bucketCap)

@@ -87,12 +87,21 @@ class DedupSpec extends SparkTestBase {
     assert(want.size === (66 + 10 + 12), s"fixture drifted: ${want.size} pairs")
     assert(want.exists { case (_, b, j) => b == 31L && j < 1.0 })
     assert(!want.exists { case (a, b, _) => a == 51L || b == 52L })
+    // default routing: 76 same-set pairs sit under the collapse
+    // threshold, so this exercises the DIRECT branch
     val got = Dedup.minhashLshPairs(spark, dir, 0.8)
       .as[(Long, Long, Double)].collect().toSet
     assert(got === want)
+    // force the COLLAPSED branch (representative banding + member
+    // expansion): identical output, route-invariant
+    val gotCollapsed = Dedup.minhashLshPairs(spark, dir, 0.8,
+        collapseMinPairs = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotCollapsed === want)
     // forcing EVERY group/bucket through the salted oversize path must
-    // not change a single pair
-    val gotCap1 = Dedup.minhashLshPairs(spark, dir, 0.8, bucketCap = 1)
+    // not change a single pair (collapsed route, tiny cap)
+    val gotCap1 = Dedup.minhashLshPairs(spark, dir, 0.8, bucketCap = 1,
+        collapseMinPairs = 1L)
       .as[(Long, Long, Double)].collect().toSet
     assert(gotCap1 === want)
   }
