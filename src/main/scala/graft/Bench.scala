@@ -94,6 +94,49 @@ object Bench {
       System.out.flush()
     }
 
+    // IO CANARY (the recurring bench-window problem: two rounds running,
+    // the driver's window was IO-degraded 50–110× on IO-heavy entries,
+    // and nothing IN the record let a reader separate host weather from
+    // a regression). A fixed 32 MiB write + fsync to the same local
+    // filesystem the shuffle/scratch traffic uses, timed at the start,
+    // after every ~25 completed entries, and at the end. The summary
+    // carries every (wall-offset, seconds) sample: a reader divides a
+    // window's canary by the run's minimum canary to get the measured
+    // IO inflation factor AT THAT POINT of the run, mechanically —
+    // no reference to a separately committed clean run needed.
+    val canaryBuf = {
+      val b = new Array[Byte](1 << 20)
+      new java.util.Random(7).nextBytes(b) // incompressible, fs-cache-proof
+      b
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def runCanary(): Unit = {
+      val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_canary_${java.lang.ProcessHandle.current().pid()}.bin")
+      try {
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var i = 0
+          while (i < 32) { ch.write(java.nio.ByteBuffer.wrap(canaryBuf)); i += 1 }
+          ch.force(true)
+        } finally ch.close()
+        val s = (System.nanoTime() - t0) / 1e9
+        canaries += ((elapsed(), s))
+        logEntry("io_canary", "canary", s)
+      } catch { case e: Throwable => // a failing canary must never kill the record
+        System.err.println(s"[bench] io canary failed: ${e.getMessage}")
+      } finally { java.nio.file.Files.deleteIfExists(p); () }
+    }
+    var entriesSinceCanary = 0
+    def canaryTick(): Unit = {
+      entriesSinceCanary += 1
+      if (entriesSinceCanary >= 25) { entriesSinceCanary = 0; runCanary() }
+    }
+
     // DATA-MOVEMENT accounting: total shuffle bytes WRITTEN while each
     // query executes (stage-completion metrics, bus drained before each
     // snapshot so attribution is exact for the sequential bench). The
@@ -147,6 +190,7 @@ object Bench {
 
     // warmup: smallest end-to-end plan, absorbs session/codegen startup
     exec("q_vocab_stats")
+    runCanary() // baseline IO sample before any timed entry
     // every build-once materialization, timed on its own BEFORE the query
     // passes; ordered so shared prerequisites (the shingle relation feeds
     // the cluster labeling) are charged to their own entry
@@ -201,6 +245,7 @@ object Bench {
         val s = (System.nanoTime() - t0) / 1e9
         buildSum += s
         logEntry(name, "build", s)
+        canaryTick()
         partialLine("build", i + 1, builds.length, buildSum, buildSum)
         name -> s
     }
@@ -214,6 +259,7 @@ object Bench {
       val r = exec(n)
       cold(n) = r
       r.foreach { s => coldSum += s; logEntry(n, "cold", s) }
+      canaryTick()
       partialLine("cold", i + 1, nQ, buildSum + coldSum, buildSum + coldSum)
     }
 
@@ -232,6 +278,7 @@ object Bench {
           val r = exec(n)
           warm(n) = r
           r.foreach(s => logEntry(n, "warm", s))
+          canaryTick()
           runningBest += ((cold(n), warm.get(n)) match {
             case (Right(a), Some(Right(b))) => math.min(a, b)
             case (Right(a), _) => a
@@ -277,6 +324,23 @@ object Bench {
       }
     }
     val repassed = repassCandidates.filter(third.contains)
+    runCanary() // closing IO sample
+
+    // (wall-offset, seconds) samples + min/max; inflation at any point
+    // of the run = value / min
+    val canaryJson = {
+      val secs = canaries.map(_._2)
+      if (secs.isEmpty) """{"n":0}"""
+      else s"""{"n":${secs.length},"min":${num(secs.min, 3)},"max":${
+        num(secs.max, 3)},"samples":[${canaries.map { case (t, s) =>
+          s"[${num(t, 1)},${num(s, 3)}]" }.mkString(",")}]}"""
+    }
+    val canaryCompact = {
+      val secs = canaries.map(_._2)
+      if (secs.isEmpty) """{"n":0}"""
+      else s"""{"n":${secs.length},"min":${num(secs.min, 2)},"max":${
+        num(secs.max, 2)}}"""
+    }
 
     // a near-zero build or warm pass that reused a cached artifact must
     // say so — report FLAGS in their own top-level "cache_hits" object (a
@@ -340,7 +404,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val repassedJson = repassed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"repassed":$repassedJson,"shed":$shedJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cold_total":${num(coldTotal, 3)},"queries":$fullQs,"cache_hits":$cacheHitsJson,"io_canary":$canaryJson,"cold":${fmt(cold.toSeq.sortBy(_._1), 3)},"repassed":$repassedJson,"shed":$shedJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (full + "\n").getBytes("UTF-8"))
     println(full) // early line: complete detail for anyone reading full stdout
@@ -354,7 +418,7 @@ object Bench {
       val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
       val sh = if (warmShedCount == 0 && thirdShed == 0) ""
                else s""","shed":$shedJson"""
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs,"cache_hits":$cacheHitsJson$sh$f,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs,"cache_hits":$cacheHitsJson,"canary":$canaryCompact$sh$f,"sf":"$sfDir"}"""
     }
     // sbt appends a ~75-char "[success] ..." line after us; stay well clear
     val line2 = compact(2)
@@ -376,7 +440,7 @@ object Bench {
         val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
         val sh = if (warmShedCount == 0 && thirdShed == 0) ""
                  else s""","shed":$shedJson"""
-        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs$om,"cache_hits":$cacheHitsJson$sh$f,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs$om,"cache_hits":$cacheHitsJson,"canary":$canaryCompact$sh$f,"sf":"$sfDir"}"""
       }
       // Line length grows monotonically with qn below sorted.length (each
       // entry adds ≥8 chars; the omitted-count digits shrink by at most

@@ -148,9 +148,24 @@ object Scratch {
     * populate/read (the reason the older ensure* memos used atomic
     * getOrElseUpdate).
     */
+  private def memoPath(spark: org.apache.spark.sql.SparkSession, name: String,
+                       sig: String): String =
+    dir(spark, s"${name}_g${sha256Hex(sig).take(12)}")
+
+  /** Whether the memoized dir for (name, sig) is already populated in
+    * THIS process — the probe behind derive-from-the-cheaper-source
+    * routing (e.g. cluster labels read off an already-materialized pair
+    * relation instead of re-running candidate verification). Never
+    * populates anything; false just means the caller should build from
+    * first principles.
+    */
+  def isMemoized(spark: org.apache.spark.sql.SparkSession, name: String,
+                 sig: String): Boolean =
+    memoPopulated.contains(memoPath(spark, name, sig))
+
   def memoizedDir(spark: org.apache.spark.sql.SparkSession, name: String,
                   sig: String)(populate: String => Unit): String = {
-    val path = dir(spark, s"${name}_g${sha256Hex(sig).take(12)}")
+    val path = memoPath(spark, name, sig)
     val lock = memoLocks.getOrElseUpdate(path, new Object)
     lock.synchronized {
       if (!memoPopulated.contains(path)) {

@@ -28,11 +28,15 @@ class QueriesSmokeSpec extends SparkTestBase {
   test("every declared query name appears in SURVEY.md (the coverage contract)") {
     // the survey's §2 tables are what each round's audit checks line by
     // line — a query shipped without a row is invisible to the contract
-    // (the r16 q_prefix_search lesson). Cheap textual containment is the
-    // right strength: rows cite query names verbatim.
+    // (the r16 q_prefix_search lesson). Matched as WHOLE TOKENS, not raw
+    // substring containment: q_funnel occurring only inside
+    // q_curation_funnel must NOT count as a row for q_funnel.
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val missing = SparkEntry.queries.keys.filterNot(survey.contains).toSeq.sorted
+    def hasToken(name: String): Boolean =
+      ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+        "(?![A-Za-z0-9_])").r.findFirstIn(survey).isDefined
+    val missing = SparkEntry.queries.keys.filterNot(hasToken).toSeq.sorted
     assert(missing.isEmpty,
       s"queries with no SURVEY.md row: ${missing.mkString(", ")}")
   }
