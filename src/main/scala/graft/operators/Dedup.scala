@@ -25,17 +25,21 @@ object Dedup {
 
   /** Exact dedup via sha256 content fingerprint: one survivor (min doc_id)
     * per distinct text; group_size counts the duplicates it absorbs.
+    *
+    * Physical shape: ONE partial-aggregated groupBy on the fingerprint —
+    * min(doc_id) IS the first row ordered by doc_id, so the former
+    * row_number window (exchange + sort + two WindowExec passes, no
+    * map-side combine) reduces to a hash aggregate whose partial phase
+    * collapses duplicate fingerprints before the exchange (guide §2.3,
+    * "aggregate before you shuffle"). Output is row-identical.
     */
-  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("rn") === 1)
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select("doc_id", "fp", "group_size")
       .orderBy("doc_id")
-  }
 
   /** Keeper ids only (min doc_id per distinct text) — the reduced form
     * [[Curate.curateCorpus]] consumes: a plain partial-aggregated groupBy,
@@ -337,16 +341,25 @@ object Dedup {
           col("n_sh_full") >= lit(threshold) * col("n_sh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val inter = sh.as("sa")
-      .join(cand, col("sa.doc_id") === col("doc_a"))
-      .join(sh.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sa.sh") === col("sb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_sh_full", "n_a"), "doc_a")
+    // VERIFY via packed-set intersection — the same physical upgrade the
+    // Jaccard path took ([[verifyPairsPacked]]'s header has the full
+    // argument, including the 64-bit-collision exactness bound): the old
+    // inverted-index verify joined the shingle relation onto BOTH
+    // endpoints of every candidate (sa.doc_id = doc_a, then sb.doc_id =
+    // doc_b ∧ sa.sh = sb.sh), exploding each candidate into |A| shuffled
+    // rows and re-aggregating — Σ_cand |A| rows across two exchanges.
+    // Packing each doc's shingle set once ([[packedShingleSets]], linear)
+    // turns it into two candidate-sized hash joins plus a ROW-LOCAL
+    // array_intersect; |A∩B|/|A| is computed from the same counts
+    // (packed n_sh ≡ n_sh_full: the shingle relation is distinct per doc
+    // by construction).
+    val packed = packedShingleSets(sh)
+    val pa = packed.toDF("doc_a", "ha", "na")
+    val pb = packed.toDF("doc_b", "hb", "nb")
+    cand.join(pa, "doc_a").join(pb, "doc_b")
       .withColumn("containment",
-        round(col("n_inter").cast("double") / col("n_a"), 6))
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          col("na"), 6))
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
       .orderBy("doc_a", "doc_b")

@@ -105,10 +105,15 @@ class PlanBudgetSpec extends SparkTestBase {
     // best-match window + order — the bucket join and the per-doc
     // reduction stay batch/candidate-sized
     "q_incremental_neardup" -> 7,
-    // df agg + ONE doc exchange (size + prefix windows ride it) + verify
-    // agg + order; the prefix-vs-index join and size gate broadcast at
-    // test scale and stay candidate-sized at 100 TB
-    "q_containment_pairs" -> 4,
+    // df agg + ONE doc exchange (size + prefix windows ride it) + the
+    // packed-set verify (r18): packed groupBy + two candidate-side join
+    // exchanges + order. Two MORE static exchanges than the old
+    // inverted-index verify (4), but they carry corpus-linear packed
+    // rows + candidate rows where the old plan shuffled Σ_cand |A|
+    // exploded shingle rows and re-aggregated them — measured 2.42 s →
+    // 1.64 s at sf0.1, and the per-candidate cost no longer scales with
+    // endpoint fan-out (the verifyPairsPacked argument)
+    "q_containment_pairs" -> 6,
     // broadcast queries; O(k)/query partial top-k agg + output order —
     // the encoded corpus never shuffles (same posture as q_cosine_topk)
     "q_pq_topk" -> 2,
