@@ -41,12 +41,28 @@ object BloomSkip {
   private val H2 = 2246822519L // xxhash prime 2
   private val M31 = 1L << 31
 
-  /** k probe bit positions of a key column — exact decimal arithmetic,
-    * mirrored bit-for-bit by [[probePositions]] on the driver.
+  /** k probe bit positions of a key column — exact arithmetic, mirrored
+    * bit-for-bit by [[probePositions]] on the driver.
+    *
+    * FAST PATH (nonnegative keys — every TPC-H key): (key·H) mod 2^31
+    * reduces the key mod 2^31 FIRST — (a·b) mod m = ((a mod m)·b) mod m —
+    * so the product is bounded by (2^31−1)·H2 ≈ 4.8e18 < Long.MaxValue
+    * and runs as three codegen'd integer ops per hash instead of a
+    * DECIMAL(38,0) multiply/modulo (the [[graft.functions.HashFunctions]]
+    * split-product discipline; the decimal form was the manifest build's
+    * hottest expression — ~2.4M BigDecimal multiplies per build at sf0.1).
+    * Negative keys (impossible by schema, guarded anyway) keep the exact
+    * decimal form, preserving its sign-of-dividend semantics; positions
+    * are VALUE-IDENTICAL across paths, so existing manifests stay valid.
     */
   private def posExprs(key: Column): Seq[Column] = {
-    val h1 = ((key.cast("decimal(38,0)") * H1) % M31).cast("long")
-    val h2 = ((key.cast("decimal(38,0)") * H2) % M31).cast("long").bitwiseOR(1L)
+    val m31mask = 2147483647L // 2^31 − 1
+    val a = key.bitwiseAND(lit(m31mask)) // key mod 2^31 for key ≥ 0
+    def h(c: Long, general: Column) =
+      when(key >= 0, (a * c).bitwiseAND(lit(m31mask))).otherwise(general)
+    val h1 = h(H1, ((key.cast("decimal(38,0)") * H1) % M31).cast("long"))
+    val h2 = h(H2, ((key.cast("decimal(38,0)") * H2) % M31).cast("long"))
+      .bitwiseOR(1L)
     (0 until NumHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(BloomBits)))
   }
 

@@ -36,14 +36,26 @@ object Bucketing {
     val lt = tblName("graft_lineitem_b", sfDir)
     // table data lands under the configurable scratch root (shared
     // storage on a cluster — executors must read each other's buckets)
+    // Pre-shuffle each table by its bucket column before the bucketed
+    // write: Spark's bucketed writer does NOT shuffle — each input task
+    // splits its rows across all N bucket files and sorts every slice, so
+    // a one-task scan (the bench corpus is a single-row-group file) means
+    // ONE task builds and sorts all buckets serially, and a many-task
+    // input writes N files per task. repartition on the bucket column
+    // uses the same hash the bucket spec does, so each task holds exactly
+    // one bucket: parallel build, one file per bucket at any input
+    // parallelism (guide §2.4 "two operations keyed the same way share
+    // one exchange" — here the exchange IS the bucket layout).
     if (!spark.catalog.tableExists(ot)) {
-      Tables.orders(spark, sfDir).write
+      Tables.orders(spark, sfDir)
+        .repartition(NumBuckets, col("o_orderkey")).write
         .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", graft.util.Scratch.dir(spark, ot))
         .mode("overwrite").format("parquet").saveAsTable(ot)
     }
     if (!spark.catalog.tableExists(lt)) {
-      Tables.lineitem(spark, sfDir).write
+      Tables.lineitem(spark, sfDir)
+        .repartition(NumBuckets, col("l_orderkey")).write
         .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", graft.util.Scratch.dir(spark, lt))
         .mode("overwrite").format("parquet").saveAsTable(lt)

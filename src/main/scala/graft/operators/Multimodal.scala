@@ -529,6 +529,15 @@ object Multimodal {
     img
   }
 
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // creates (and deletes) a temp spool file behind a shared lock, which
+  // convoys the moment the codec pass runs on many cores (measured: the
+  // 32-way luma build spent ~24 task-seconds on ~1 s of actual codec
+  // work). Payloads here are in-memory byte arrays — spool to memory.
+  // One JVM-wide switch, runs wherever this object first loads (driver
+  // and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private[graft] def encodeImage(img: java.awt.image.BufferedImage,
                                  format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -545,6 +554,10 @@ object Multimodal {
   def pixelImageAssets(spark: SparkSession,
                        sfDir: String): Dataset[PixelAsset] = {
     import spark.implicits._
+    // Codec parallelism rides the documents-scan spread (Tables.documents
+    // round-robins a one-task scan over the slots before this map runs —
+    // guide §2.6): the render/encode/decode pass is the expensive per-row
+    // step and must never run serially on one core.
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id")).as[Long]
@@ -774,9 +787,35 @@ object Multimodal {
     * arithmetic. Production keeps this function verbatim (a lossy-codec
     * build swaps the AudioSystem call for a JNI decoder).
     */
+  // The platform WAV codec, resolved ONCE per JVM: AudioSystem's
+  // per-call provider lookup goes through a global synchronized service
+  // registry, which convoys a multi-core decode pass exactly like the
+  // ImageIO disk cache above (guide §4.5 — hoist heavyweight lookup out
+  // of the per-row path). Decoding still runs through the real
+  // javax.sound SPI codec; only the lookup is hoisted.
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val bin = new java.io.ByteArrayInputStream(payload)
+    wavReaders.iterator.flatMap { r =>
+      bin.reset()
+      try Some(r.getAudioInputStream(bin))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+    }.nextOption().getOrElse(
+      // no registered SPI claims the payload — same failure the
+      // AudioSystem path would raise
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+  }
+
   private[graft] def decodeAudioSig(payload: Array[Byte]): Array[Byte] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val in = openAudio(payload)
     try {
       val fmt = in.getFormat
       require(fmt.getEncoding ==
@@ -820,6 +859,8 @@ object Multimodal {
       "graft_audiosig_" + graft.util.Scratch.valueToken(sfDir),
       Tables.listingSig(Tables.documents(spark, sfDir))) { path =>
       import spark.implicits._
+      // codec parallelism rides the documents-scan spread — same
+      // rationale as [[pixelImageAssets]]
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") % 3 === 1)
         .select(col("doc_id")).as[Long]

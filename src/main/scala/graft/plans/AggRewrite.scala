@@ -201,6 +201,12 @@ object AggRewriteRule extends Rule[LogicalPlan] {
       case gn: Generate if !gn.outer && gen.isEmpty =>
         gen = Some((gn.generator, gn.generatorOutput.map(_.exprId)))
         cur = gn.child
+      // partitioning is semantics-free under an Aggregate: the scan-spread
+      // (Tables.documents) plants a round-robin Repartition above the
+      // relation, and walking through it keeps every documents-based
+      // aggregate destructurable/MV-servable exactly as before
+      case rp: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        cur = rp.child
       case lr: LogicalRelation =>
         return Some(Destructured(lr, g, a, fs, gen))
       case _ => return None

@@ -93,7 +93,19 @@ object Tables {
       s"cannot encode sentinel ts as $other")
   }
 
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  /** The documents corpus, SPREAD over the available task slots whenever
+    * the file layout cannot feed them by itself ([[graft.util.Spread]]):
+    * nearly every consumer fuses expensive per-row work — tokenize +
+    * explode, regex segmentation, shingle/gram slicing, fixture codec
+    * render — into this scan, and the bench corpus is one single-row-group
+    * parquet file, i.e. a ONE-TASK scan at any cluster size (a row group
+    * is unsplittable). The spread is scale-adaptive, not a local constant:
+    * at production scale the scan has many splits and this is the
+    * identity; when it fires, the exchange moves the raw document rows —
+    * the narrowest point of every downstream pipeline (guide §2.5/§2.6).
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.util.Spread.scan(s, table(s, d, "documents"), s"documents|$d")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** File-listing signature of a table's base relation — the staleness
