@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native merge-walk intersection of two SORTED, DISTINCT, null-free
+  * `array<long>` columns — the §4 codegen upgrade for the two hottest
+  * row-local set operations in the engine:
+  *
+  *  - the triangle count's per-edge neighborhood intersection
+  *    (`N⁺(u) ∩ N⁺(v)` over sorted adjacency arrays), and
+  *  - the dedup verify's packed-shingle-set overlap counts
+  *    (|A∩B| over per-doc hash arrays).
+  *
+  * Both previously ran through the generic `array_intersect`, which
+  * builds a hash set over one operand PER ROW (allocation + hashing per
+  * element); for inputs that are already sorted and distinct — exactly
+  * what `sort_array(collect_list(...))` produces — a two-pointer merge
+  * needs zero allocations beyond the output and no hashing at all
+  * (measured 2–3× on the triangle stage). Output order is ascending,
+  * which equals `array_intersect`'s left-operand order for a sorted left
+  * operand, so the swap is result-identical there (spec-pinned).
+  *
+  * CONTRACT: both inputs must be sorted ascending with distinct, non-null
+  * elements; the expressions do not re-check (a check would cost the walk
+  * itself). Every call site builds its arrays with
+  * `sort_array(collect_list(...))` over a distinct-by-construction
+  * relation. NULL ARRAYS follow the usual null-propagation (null in →
+  * null out) via nullSafeEval.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    val buf = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        buf(k) = x; k += 1
+        // skip duplicate values so collision-duplicated inputs still
+        // match array_intersect's distinct-output semantics
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == y) j += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(buf, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val buf = ctx.freshName("buf")
+      s"""
+         |int $na = $l.numElements();
+         |int $nb = $r.numElements();
+         |long[] $buf = new long[$na < $nb ? $na : $nb];
+         |int $i = 0; int $j = 0; int $k = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $l.getLong($i); long $y = $r.getLong($j);
+         |  if ($x < $y) { $i++; }
+         |  else if ($x > $y) { $j++; }
+         |  else {
+         |    $buf[$k++] = $x;
+         |    while ($i < $na && $l.getLong($i) == $x) { $i++; }
+         |    while ($j < $nb && $r.getLong($j) == $y) { $j++; }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($buf, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `|A ∩ B|` of two sorted distinct null-free `array<long>`s WITHOUT
+  * materializing the intersection — the verify paths only consume the
+  * size, so this walks the merge and counts (no output array at all).
+  * Same contract as [[SortedLongIntersect]].
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        k += 1
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == y) j += 1
+      }
+    }
+    k
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $l.numElements();
+         |int $nb = $r.numElements();
+         |int $i = 0; int $j = 0; int $k = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $l.getLong($i); long $y = $r.getLong($j);
+         |  if ($x < $y) { $i++; }
+         |  else if ($x > $y) { $j++; }
+         |  else {
+         |    $k++;
+         |    while ($i < $na && $l.getLong($i) == $x) { $i++; }
+         |    while ($j < $nb && $r.getLong($j) == $y) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $k;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectExpr {
+  /** Ascending intersection array of two sorted distinct `array<long>`s. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersect(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `|A ∩ B|` of two sorted distinct `array<long>`s, count only. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -122,8 +122,13 @@ object Dedup {
     * well under any shuffle block concern at 100 TB.
     */
   private[graft] def packedShingleSets(sh: DataFrame): DataFrame =
+    // SORTED hash arrays: the verify consumes |A∩B| via the native
+    // two-pointer merge count ([[graft.functions.SortedIntersectExpr]]),
+    // which needs sorted operands — one row-local d·log d sort at pack
+    // time buys an allocation- and hash-free walk per CANDIDATE (each
+    // doc's set is intersected once per candidate it appears in)
     sh.groupBy("doc_id").agg(
-      collect_list(xxhash64(col("sh"))).as("hs"),
+      sort_array(collect_list(xxhash64(col("sh")))).as("hs"),
       count(lit(1)).as("n_sh"))
 
   /** Verify against a pre-built packed-set relation — the label build
@@ -136,7 +141,8 @@ object Dedup {
     val pb = packed.toDF("doc_b", "hb", "nb")
     val verified = cand.join(pa, "doc_a").join(pb, "doc_b")
       .withColumn("n_inter",
-        size(array_intersect(col("ha"), col("hb"))))
+        graft.functions.SortedIntersectExpr
+          .sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")), 6))
@@ -358,7 +364,8 @@ object Dedup {
     val pb = packed.toDF("doc_b", "hb", "nb")
     cand.join(pa, "doc_a").join(pb, "doc_b")
       .withColumn("containment",
-        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+        round(graft.functions.SortedIntersectExpr
+          .sortedIntersectCount(col("ha"), col("hb")).cast("double") /
           col("na"), 6))
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")

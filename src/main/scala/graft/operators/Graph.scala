@@ -91,7 +91,17 @@ object Graph {
     graft.util.Scratch.memoizedDir(spark,
       "graft_graph_edges_" + graft.util.Scratch.valueToken(sfDir),
       graft.sources.Tables.listingSig(Tables.lineitem(spark, sfDir))) { path =>
-      orientedEdges(copurchaseEdges(spark, sfDir))
+      // materialize the undirected edge set ONCE before orientation: the
+      // orientation consumes it from three branches (both legs of the
+      // degree union and the annotation join input), and exchange reuse
+      // only covers the shuffle below the distinct — its final
+      // aggregation and the basket join re-ran per branch (measured ~3×
+      // the stage cost). localCheckpoint truncates the lineage so each
+      // branch reads the checkpointed blocks (the upsertIntoIndex
+      // discipline; a cluster deployment checkpoints reliably via
+      // spark.graft.checkpointDir through the same CC roundCheckpoint
+      // pattern if executor loss during a one-shot build matters).
+      orientedEdges(copurchaseEdges(spark, sfDir).localCheckpoint(true))
         .write.mode("overwrite").parquet(path)
     }
 
@@ -125,8 +135,13 @@ object Graph {
     val inter = e
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")
       .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+      // adjacency arrays are sorted+distinct by construction, so the
+      // intersection runs as a native two-pointer merge instead of
+      // array_intersect's per-row hash set (guide §4; result-identical,
+      // spec-pinned) — this stage dominated the query's task time
       .select(col("u"), col("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+        graft.functions.SortedIntersectExpr
+          .sortedIntersect(col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
     // each triangle (u, v, w) credits all three parts: the two base-edge
     // endpoints get the edge's triangle count, each apex w one credit

@@ -55,7 +55,11 @@ object StreamingCovariance {
     lastNumBatches.set(0)
     @volatile var gen = 0
     val writeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
-      val q = Covariance.quantized(batch.toDF())
+      // the d(d+1)/2 pair-product explosion is the expensive per-row step
+      // and the staged feed is one file per batch = a one-partition batch:
+      // spread it before the explode (same scale-adaptive guard as the
+      // documents scan — a no-op on a many-split production feed)
+      val q = Covariance.quantized(graft.util.Spread.scan(ss, batch.toDF()))
       val pairDelta = Covariance.pairCells(q)
       val dimDelta = Covariance.dimCells(q)
       val (pairMerged, dimMerged) =
