@@ -51,10 +51,13 @@ object Explain {
         "q_scrub_report", "q_decontaminate", "q_ivf_cell_stats",
         "q_padding_report", "q_span_corruption", "q_dsir_select",
         "q_curation_funnel")
+    // honor the bench's core-count env so plan dumps reflect bench
+    // conditions (the scan-spread guard keys on the slot count)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("graft-explain")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // if the driver ships a ns-encoded events.parquet (it has, some rounds),
