@@ -58,28 +58,36 @@ object StreamingCovariance {
       // the d(d+1)/2 pair-product explosion is the expensive per-row step
       // and the staged feed is one file per batch = a one-partition batch:
       // spread it before the explode (same scale-adaptive guard as the
-      // documents scan — a no-op on a many-split production feed)
-      val q = Covariance.quantized(graft.util.Spread.scan(ss, batch.toDF()))
+      // documents scan — a no-op on a many-split production feed; the
+      // cache key pins the per-feed partition probe to one plan-to-RDD
+      // conversion per drain instead of one per batch)
+      val q = Covariance.quantized(graft.util.Spread.scan(ss, batch.toDF(),
+        cacheKey = s"cov_feed|$staged"))
+      // ONE state table per generation, pair and dim cells tagged by
+      // `kind` (dim cells ride (d = −1, idx = dim, sij = Σq)): the state
+      // is d(d+1)/2 + d TINY rows, and the split layout paid a second
+      // parquet write + read + their job-submission overhead per
+      // micro-batch for no compute benefit. Both cell families keep
+      // their exact componentwise-sum merges — same keys, same sums —
+      // so the maintained grid is still bit-identical to the batch pass.
       val pairDelta = Covariance.pairCells(q)
+        .select(lit("p").as("kind"), col("d"), col("idx"), col("n"), col("sij"))
       val dimDelta = Covariance.dimCells(q)
-      val (pairMerged, dimMerged) =
-        if (gen == 0) (pairDelta, dimDelta)
-        else (
-          ss.read.parquet(stateRoot.resolve(s"v$gen/pair").toString)
-            .unionByName(pairDelta)
-            // state cells are keyed (row width, position) like the batch
-            // pairCells, so mixed-width corpora merge correctly
-            .groupBy("d", "idx")
+        .select(lit("d").as("kind"), lit(-1L).as("d"), col("dim").as("idx"),
+          lit(0L).as("n"), col("s").as("sij"))
+      val delta = pairDelta.unionByName(dimDelta)
+      val merged =
+        if (gen == 0) delta
+        else
+          ss.read.parquet(stateRoot.resolve(s"v$gen").toString)
+            .unionByName(delta)
+            // state cells are keyed (kind, row width, position) like the
+            // batch pairCells, so mixed-width corpora merge correctly
+            .groupBy("kind", "d", "idx")
             .agg(sum("n").as("n"),
-              sum("sij").cast("decimal(38,0)").as("sij")),
-          ss.read.parquet(stateRoot.resolve(s"v$gen/dim").toString)
-            .unionByName(dimDelta)
-            .groupBy("dim")
-            .agg(sum("s").cast("decimal(38,0)").as("s")))
-      pairMerged.coalesce(1).write.mode("overwrite")
-        .parquet(stateRoot.resolve(s"v${gen + 1}/pair").toString)
-      dimMerged.coalesce(1).write.mode("overwrite")
-        .parquet(stateRoot.resolve(s"v${gen + 1}/dim").toString)
+              sum("sij").cast("decimal(38,0)").as("sij"))
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(stateRoot.resolve(s"v${gen + 1}").toString)
       gen += 1
       lastNumBatches.incrementAndGet()
       ()
@@ -90,12 +98,12 @@ object StreamingCovariance {
     StreamingIndexer.drainSplitFeed(ss, staged, root.resolve("watch"),
       root.resolve("cp"), resumeProof)(writeBatch)
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
+    val state = spark.read.parquet(stateRoot.resolve(s"v$gen").toString)
     // the count n must come back as BIGINT after the sum-merge roundtrip
-    val pairState = spark.read
-      .parquet(stateRoot.resolve(s"v$gen/pair").toString)
+    val pairState = state.where(col("kind") === "p")
       .select(col("d"), col("idx"), col("n").cast("long").as("n"), col("sij"))
-    val dimState = spark.read
-      .parquet(stateRoot.resolve(s"v$gen/dim").toString)
+    val dimState = state.where(col("kind") === "d")
+      .select(col("idx").cast("int").as("dim"), col("sij").as("s"))
     Covariance.gridOf(spark, pairState, dimState)
   }
 }

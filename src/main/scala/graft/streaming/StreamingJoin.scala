@@ -62,7 +62,6 @@ object StreamingJoin {
   }
 
   private val outerScratch = new graft.util.ScratchSlot
-  private val outerSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** LEFT OUTER stream-stream join — the semantically harder sibling of
     * [[purchaseViewsAvailableNow]]: a view-less purchase emits its
@@ -118,7 +117,6 @@ object StreamingJoin {
     outerScratch.retire()
     val watch = stageOuterFeed(spark, sfDir)
     val staged = watch.resolve("a_events")
-    val table = s"graft_stream_ssouter_${outerSeq.incrementAndGet()}"
     val ss = StreamingIndexer.drainSession(spark)
     val src = Tables.eventsStream(ss, staged.toString, watch.toString + "/*",
         maxFilesPerTrigger = Some(1))
@@ -130,22 +128,14 @@ object StreamingJoin {
       .select(col("event_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    purchases.join(views,
+    val drained = StreamingIndexer.drainToBlocks(
+      purchases.join(views,
         col("p_user") === col("v_user") &&
           col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("v_ts") <= col("p_ts"),
-        "left_outer")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    // the staged feed is memoized (shared, exit-deleted) — only the
-    // memory table is per-invocation scratch
-    outerScratch.defer(() => { ss.catalog.dropTempView(table); () })
-    ss.table(table)
+        "left_outer"),
+      "append", outerScratch)
+    drained
       .filter(col("p_user") >= 0) // drop the sentinel's own rows
       .groupBy(col("event_id"), col("p_user").as("user_id"),
         unix_millis(col("p_ts")).as("purchase_ms"))

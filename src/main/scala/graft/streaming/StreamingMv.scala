@@ -95,11 +95,14 @@ object StreamingMv {
     StreamingIndexer.drainSplitFeed(ss, staged, root.resolve("watch"),
       root.resolve("cp"), resumeProof)(writeBatch)
     // durable copy (group-count-sized) so the rewrite registration never
-    // points at this invocation's retired temp dirs
+    // points at this invocation's retired temp dirs. The state is already
+    // single-file parquet (every generation is written coalesce(1)), so
+    // the copy is a file-level hardlink clone — the old read+rewrite paid
+    // two Spark jobs per serve to re-encode bytes it then wrote unchanged.
     val out = graft.util.Scratch.dir(spark,
       "graft_mv_stream_" + graft.util.Scratch.valueToken(sfDir))
-    spark.read.parquet(stateRoot.resolve(s"v$gen").toString)
-      .coalesce(1).write.mode("overwrite").parquet(out)
+    graft.util.Scratch.deleteRecursively(out)
+    graft.util.Scratch.hardlinkTree(stateRoot.resolve(s"v$gen").toString, out)
     scratch.defer(() => graft.util.Scratch.deleteRecursively(root))
     out
   }

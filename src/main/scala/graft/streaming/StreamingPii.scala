@@ -52,7 +52,13 @@ object StreamingPii {
     lastNumBatches.set(0)
     @volatile var gen = 0
     val writeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
-      val delta = Privacy.censusOf(Privacy.piiPerDocOf(batch.toDF()))
+      // the PII regex pass is the expensive per-row step and the staged
+      // feed is one file per batch = a one-partition batch: spread it
+      // (same scale-adaptive guard as the documents scan — a no-op on a
+      // many-split production feed; cacheKey pins the partition probe to
+      // one plan-to-RDD conversion per drain)
+      val delta = Privacy.censusOf(Privacy.piiPerDocOf(
+        graft.util.Spread.scan(ss, batch.toDF(), cacheKey = s"pii_feed|$staged")))
       // the sum list derives from the census's own column roster: a new
       // pattern in Privacy.PiiPatterns flows through state generations
       // without a hand-edited list going stale

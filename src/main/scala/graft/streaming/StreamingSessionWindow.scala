@@ -30,7 +30,6 @@ object StreamingSessionWindow {
   import StreamingSessionize.GapMs
 
   private val drainScratch = new graft.util.ScratchSlot
-  private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The declarative session lifecycle as a bounded, oracle-checkable
     * drain. Append mode flushes a session when the watermark passes its
@@ -46,27 +45,18 @@ object StreamingSessionWindow {
     import org.apache.spark.sql.expressions.Window
     drainScratch.retire()
     val watch = StreamingSessionize.stageWithSentinel(spark, sfDir)
-    val table = s"graft_sessionwin_${drainSeq.incrementAndGet()}"
     val ss = StreamingIndexer.drainSession(spark)
-    ss.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(watch.toString + "/*")
-      .withWatermark("ts", "1 hour")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    // the staged feed is memoized (shared, exit-deleted) — only the
-    // memory table is per-invocation scratch
-    drainScratch.defer(() => { ss.catalog.dropTempView(table); () })
+    val drained = StreamingIndexer.drainToBlocks(
+      ss.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch.toString + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events")),
+      "append", drainScratch)
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms"))
-    ss.table(table)
+    drained
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"),

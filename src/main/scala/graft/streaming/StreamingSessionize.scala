@@ -96,7 +96,6 @@ object StreamingSessionize {
   }
 
   private val drainScratch = new graft.util.ScratchSlot
-  private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The streaming sessionization lifecycle as a BOUNDED, oracle-checkable
     * query — the append-mode counterpart of
@@ -175,27 +174,18 @@ object StreamingSessionize {
     import org.apache.spark.sql.expressions.Window
     drainScratch.retire()
     val watch = stageWithSentinel(spark, sfDir)
-    val table = s"graft_stream_sessions_${drainSeq.incrementAndGet()}"
     // narrow the drain's state partitioning like StreamingIndexer
     // .drainToTable — on a cloned session so the caller's conf is untouched
     val ss = StreamingIndexer.drainSession(spark)
-    sessionStreamFrom(ss,
+    val drained = StreamingIndexer.drainToBlocks(
+      sessionStreamFrom(ss,
         ss.readStream
           .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
           .option("maxFilesPerTrigger", "1")
-          .parquet(watch.toString + "/*"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    // the staged feed is memoized (shared, exit-deleted) — only the
-    // memory table is per-invocation scratch
-    drainScratch.defer(() => { ss.catalog.dropTempView(table); () })
+          .parquet(watch.toString + "/*")).toDF(),
+      "append", drainScratch)
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms"))
-    ss.table(table)
+    drained
       .filter(col("user_id") >= 0)
       .withColumn("session_no", row_number().over(w).cast("long"))
       .select("user_id", "session_no", "session_start_ms", "session_end_ms",

@@ -43,7 +43,11 @@ object Spread {
     // than it gains in parallelism (measured: 32-way tokenize stages cost
     // 15× the serial CPU at bench scale); /4 keeps per-task work above
     // that floor while still engaging multiple cores.
-    val divisor = spark.conf.get("spark.graft.scanSpreadDivisor", "4").toInt
+    // parse defensively: a malformed divisor must degrade to the default,
+    // not throw inside a micro-batch function
+    val divisor = scala.util.Try(
+      spark.conf.get("spark.graft.scanSpreadDivisor", "4").trim.toInt)
+      .getOrElse(4)
     if (divisor <= 0) return df
     val target = math.max(2, slots / divisor)
     val parts =
