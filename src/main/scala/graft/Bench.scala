@@ -46,6 +46,97 @@ import org.apache.spark.sql.SparkSession
   *    record. Everything shed is disclosed in the output ("shed").
   */
 object Bench {
+
+  private[graft] def num(d: Double, dp: Int): String = {
+    val s = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+  }
+
+  private[graft] val shortKey = Map(
+    "index_materialize" -> "b_index", "positional_materialize" -> "b_pos",
+    "shingles_materialize" -> "b_shingles",
+    "dup_clusters_materialize" -> "b_clusters",
+    "bucketed_tables_materialize" -> "b_bucketed",
+    "clustered_layout_materialize" -> "b_zorder",
+    "bloom_manifest_materialize" -> "b_bloom")
+
+  private[graft] def fmt(xs: Seq[(String, Either[String, Double])], dp: Int): String =
+    xs.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold(_ => "-1", num(_, dp))
+    }.mkString("{", ",", "}")
+
+  /** The driver's stdout tail keeps only ~2000 chars; this line is the
+    * round's machine-readable record, so its length bound is a CONTRACT
+    * (the r17 round lost its per-query prev to a tail-truncated line).
+    * [[MaxFinalLineChars]] leaves headroom for sbt's trailing
+    * "[success] ..." line; `BenchSummaryLineSpec` pins the bound for
+    * suites far larger than today's.
+    */
+  private[graft] val MaxFinalLineChars = 1850
+
+  /** Build the guaranteed-to-fit final summary line: full compact map at
+    * 2dp, then 1dp, then builds + the slowest queries that fit with an
+    * explicit "omitted" count. Never exceeds [[MaxFinalLineChars]].
+    */
+  private[graft] def finalSummaryLine(
+      best: Seq[(String, Either[String, Double])],
+      buildSecs: Seq[(String, Double)],
+      total: Double, coldTotal: Double,
+      cacheHitsJson: String, canaryCompact: String,
+      shedJson: String, warmShedCount: Int, thirdShed: Int,
+      failed: Seq[String], sfDir: String): String = {
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def compact(dp: Int): String = {
+      // compact keys drop the uniform "q_" prefix — ~230 chars across the
+      // suite, which is the difference between per-query numbers fitting
+      // the driver's stdout tail and the no-map fallback below
+      val qs = fmt(best.map { case (n, v) => n.stripPrefix("q_") -> v } ++
+        buildSecs.map { case (n, s) =>
+          shortKey.getOrElse(n, n) -> Right(s) }, dp)
+      val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+      val sh = if (warmShedCount == 0 && thirdShed == 0) ""
+               else s""","shed":$shedJson"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs,"cache_hits":$cacheHitsJson,"canary":$canaryCompact$sh$f,"sf":"$sfDir"}"""
+    }
+    // the suite can outgrow the tail window: even 1-dp entries for every
+    // query overflow the bound. Degrade by INFORMATION VALUE, not to
+    // nothing — keep builds + the slowest queries that fit, and say how
+    // many were cut ("omitted") so truncation is explicit. The full map
+    // is always in bench_detail.json and the early stdout line.
+    def slowestThatFit: String = {
+      val sorted = best.sortBy { case (_, v) =>
+        -v.fold(_ => Double.MaxValue, identity) } // failures (-1) first
+      val buildPart = buildSecs.map { case (n, s) =>
+        shortKey.getOrElse(n, n) -> (Right(s): Either[String, Double]) }
+      def lineWith(qn: Int): String = {
+        val qs = fmt(sorted.take(qn).map { case (n, v) =>
+          n.stripPrefix("q_") -> v } ++ buildPart, 1)
+        val om = if (qn < sorted.length) s""","omitted":${sorted.length - qn}""" else ""
+        val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+        val sh = if (warmShedCount == 0 && thirdShed == 0) ""
+                 else s""","shed":$shedJson"""
+        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs$om,"cache_hits":$cacheHitsJson,"canary":$canaryCompact$sh$f,"sf":"$sfDir"}"""
+      }
+      // Line length grows monotonically with qn below sorted.length (each
+      // entry adds ≥8 chars; the omitted-count digits shrink by at most
+      // one), so binary-search the largest count that fits instead of
+      // rebuilding the line once per candidate count.
+      if (lineWith(sorted.length).length <= MaxFinalLineChars) lineWith(sorted.length)
+      else {
+        var lo = 0; var hi = sorted.length - 1; var ans = 0
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (lineWith(mid).length <= MaxFinalLineChars) { ans = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        lineWith(ans)
+      }
+    }
+    val line2 = compact(2)
+    val line1 = if (line2.length <= MaxFinalLineChars) line2 else compact(1)
+    if (line1.length <= MaxFinalLineChars) line1 else slowestThatFit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,11 +155,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def num(d: Double, dp: Int): String = {
-      val s = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    }
 
     // Per-entry forensic stream: one JSONL row per completed entry, written
     // as it finishes — a killed run leaves a complete record of everything
@@ -374,12 +460,9 @@ object Bench {
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // final JSON line from it. The full per-query dump (with the cold pass)
     // is ~4 KB, so it goes to bench_detail.json + an early stdout line, and
-    // the FINAL line is a compact variant guaranteed to fit the tail window:
-    // trailing-zero-stripped values and short keys for the build entries.
-    def fmt(xs: Seq[(String, Either[String, Double])], dp: Int): String =
-      xs.map { case (k, v) =>
-        "\"" + k + "\":" + v.fold(_ => "-1", num(_, dp))
-      }.mkString("{", ",", "}")
+    // the FINAL line is the bounded compact variant ([[finalSummaryLine]],
+    // length pinned by BenchSummaryLineSpec): trailing-zero-stripped values
+    // and short keys for the build entries.
     // total = every one-time build + min-of-2 of every query: the full
     // build-plus-serve TCO of one pass over the suite. cold_total is the
     // same sum over the FIRST pass — emitted on every output line so
@@ -387,13 +470,6 @@ object Bench {
     // driver's stdout tail happened to keep the full detail line
     val total = best.collect { case (_, Right(d)) => d }.sum + buildSum
     val coldTotal = coldSum + buildSum
-    val shortKey = Map(
-      "index_materialize" -> "b_index", "positional_materialize" -> "b_pos",
-      "shingles_materialize" -> "b_shingles",
-      "dup_clusters_materialize" -> "b_clusters",
-      "bucketed_tables_materialize" -> "b_bucketed",
-      "clustered_layout_materialize" -> "b_zorder",
-      "bloom_manifest_materialize" -> "b_bloom")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = fmt(best ++ buildSecs.map {
       case (n, s) => n -> Right(s) }, 3)
@@ -408,56 +484,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (full + "\n").getBytes("UTF-8"))
     println(full) // early line: complete detail for anyone reading full stdout
-    def compact(dp: Int): String = {
-      // compact keys drop the uniform "q_" prefix — ~230 chars across the
-      // suite, which is the difference between per-query numbers fitting
-      // the driver's stdout tail and the no-map fallback below
-      val qs = fmt(best.map { case (n, v) => n.stripPrefix("q_") -> v } ++
-        buildSecs.map { case (n, s) =>
-          shortKey.getOrElse(n, n) -> Right(s) }, dp)
-      val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-      val sh = if (warmShedCount == 0 && thirdShed == 0) ""
-               else s""","shed":$shedJson"""
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs,"cache_hits":$cacheHitsJson,"canary":$canaryCompact$sh$f,"sf":"$sfDir"}"""
-    }
     // sbt appends a ~75-char "[success] ..." line after us; stay well clear
-    val line2 = compact(2)
-    val line1 = if (line2.length <= 1850) line2 else compact(1)
-    // the suite has outgrown the tail window: even 1-dp entries for every
-    // query overflow ~1850 chars. Degrade by INFORMATION VALUE, not to
-    // nothing — keep builds + the slowest queries that fit, and say how
-    // many were cut ("omitted") so truncation is explicit. The full map
-    // is always in bench_detail.json and the early stdout line.
-    def slowestThatFit: String = {
-      val sorted = best.sortBy { case (_, v) =>
-        -v.fold(_ => Double.MaxValue, identity) } // failures (-1) first
-      val buildPart = buildSecs.map { case (n, s) =>
-        shortKey.getOrElse(n, n) -> (Right(s): Either[String, Double]) }
-      def lineWith(qn: Int): String = {
-        val qs = fmt(sorted.take(qn).map { case (n, v) =>
-          n.stripPrefix("q_") -> v } ++ buildPart, 1)
-        val om = if (qn < sorted.length) s""","omitted":${sorted.length - qn}""" else ""
-        val f = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-        val sh = if (warmShedCount == 0 && thirdShed == 0) ""
-                 else s""","shed":$shedJson"""
-        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","cold_total":${num(coldTotal, 2)},"queries":$qs$om,"cache_hits":$cacheHitsJson,"canary":$canaryCompact$sh$f,"sf":"$sfDir"}"""
-      }
-      // Line length grows monotonically with qn below sorted.length (each
-      // entry adds ≥8 chars; the omitted-count digits shrink by at most
-      // one), so binary-search the largest count that fits instead of
-      // rebuilding the line once per candidate count.
-      if (lineWith(sorted.length).length <= 1850) lineWith(sorted.length)
-      else {
-        var lo = 0; var hi = sorted.length - 1; var ans = 0
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (lineWith(mid).length <= 1850) { ans = mid; lo = mid + 1 }
-          else hi = mid - 1
-        }
-        lineWith(ans)
-      }
-    }
-    println(if (line1.length <= 1850) line1 else slowestThatFit)
+    println(finalSummaryLine(best, buildSecs, total, coldTotal,
+      cacheHitsJson, canaryCompact, shedJson, warmShedCount, thirdShed,
+      failed, sfDir))
     System.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

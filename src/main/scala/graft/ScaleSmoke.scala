@@ -218,6 +218,16 @@ object ScaleSmoke {
 
     var failed = List.empty[String]
 
+    // Per-ROW normalizer for the one build whose FIXTURE grows faster
+    // than the corpus (the replicated audio-asset set): the wall ratio of
+    // `audio_sig_build` reported 10× at the 20× point purely from decoded-
+    // asset growth, which made the row meaningless as a gate. Normalizing
+    // by the artifact's row count (= assets decoded) gates what the build
+    // actually does — per-asset decode+profile cost.
+    val buildRowNorms: Map[String, (SparkSession, String) => Long] = Map(
+      "audio_sig_build" -> ((s, d) =>
+        s.read.parquet(graft.operators.Multimodal.ensureAudioSig(s, d)).count()))
+
     // one-shot artifact builds, base then big, each timed once
     val buildRows = SmokeBuilds.filter(b => selected(b._1)).map { case (name, run) =>
       try {
@@ -229,7 +239,17 @@ object ScaleSmoke {
         val baseSec = timed(base)
         val bigSec = timed(big)
         val ratio = bigSec / math.max(baseSec, 1e-9)
-        f""""$name":{"base":$baseSec%.2f,"big":$bigSec%.2f,"ratio":$ratio%.2f,"one_shot":true}"""
+        val norm = buildRowNorms.get(name).map { f =>
+          val (nb, ng) = (f(spark, base), f(spark, big))
+          val (ub, ug) = (baseSec * 1e6 / math.max(nb, 1L),
+            bigSec * 1e6 / math.max(ng, 1L))
+          // same 4× per-row slack as the query normalizers, doubled for
+          // builds: one-shot local-disk builds inherit the host's
+          // documented 2–4× IO swings on top of genuine per-row growth
+          if (ug > 8.0 * math.max(ub, 1e-9)) failed ::= s"$name:us_per_row"
+          f""","rows_base":$nb,"rows_big":$ng,"us_per_row_base":$ub%.2f,"us_per_row_big":$ug%.2f"""
+        }.getOrElse("")
+        f""""$name":{"base":$baseSec%.2f,"big":$bigSec%.2f,"ratio":$ratio%.2f,"one_shot":true$norm}"""
       } catch { case e: Throwable =>
         System.err.println(s"[scale-smoke] $name failed: ${e.getMessage}")
         failed ::= name
@@ -282,6 +302,12 @@ object ScaleSmoke {
           // rounds; 4 separates the two with margin and is still ~8×
           // stricter than the wall gate it replaces for these entries.
           if (ug > 4.0 * math.max(ub, 1e-9)) failed ::= s"$q:us_per_row"
+          // LOOSENED wall backstop (2× the wall gate): the per-row gate
+          // alone would silently pass a large CONSTANT-FACTOR big-run
+          // regression (new spill, codegen fallback at scale) that
+          // inflates per-row cost under 4× while the wall blows out —
+          // both failure modes must trip something.
+          if (ratio > 2.0 * maxRatio) failed ::= s"$q:wall_backstop"
           f""","rows_base":$nb,"rows_big":$ng,"us_per_row_base":$ub%.2f,"us_per_row_big":$ug%.2f"""
         }.getOrElse {
           if (ratio > maxRatio) failed ::= s"$q:ratio"

@@ -24,9 +24,15 @@ object Time {
       .config("spark.ui.enabled", "false")
     // A/B experimentation hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" lets a
     // measurement run flip session confs without a recompile.
+    // segments without '=' (including the empty string, which split(';')
+    // yields as Array("")) are skipped with a warning instead of crashing
+    // the harness with an opaque MatchError
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k.trim, v.trim)
+        case _ => if (kv.trim.nonEmpty)
+          System.err.println(s"[time] ignoring malformed extra conf '$kv'")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,13 +40,7 @@ case class SortedLongIntersect(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<bigint>, array<bigint>), got " +
-          s"(${l.simpleString}, ${r.simpleString})")
-    }
+    SortedIntersectExpr.checkSortedLongInputs(prettyName, left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -113,13 +107,7 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<bigint>, array<bigint>), got " +
-          s"(${l.simpleString}, ${r.simpleString})")
-    }
+    SortedIntersectExpr.checkSortedLongInputs(prettyName, left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -169,6 +157,26 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectExpr {
+  /** Both operands must be `array<bigint>` with `containsNull = false`:
+    * the merge walks call `getLong` unconditionally, so a null slot would
+    * read as garbage and silently corrupt counts. Every intended producer
+    * (`sort_array(collect_list(...))` over non-null expressions) types as
+    * null-free; a parquet-roundtripped array (containsNull = true by
+    * schema) now fails analysis loudly instead — wrap it in a null-free
+    * projection (e.g. `filter(x -> x IS NOT NULL)` + cast) if the data is
+    * provably null-free.
+    */
+  private[functions] def checkSortedLongInputs(
+      name: String, left: Expression, right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires (array<bigint>, array<bigint>) with " +
+          "containsNull = false (the merge walk reads elements " +
+          s"unconditionally), got (${l.simpleString}, ${r.simpleString})")
+    }
+
   /** Ascending intersection array of two sorted distinct `array<long>`s. */
   def sortedIntersect(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersect(

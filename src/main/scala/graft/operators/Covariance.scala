@@ -138,16 +138,33 @@ object Covariance {
     graft.util.Scratch.memoizedDir(spark,
       "graft_embmoments_" + graft.util.Scratch.valueToken(sfDir),
       Tables.listingSig(Tables.embeddings(spark, sfDir))) { path =>
-      val q = quantized(Tables.embeddings(spark, sfDir))
-      pairCells(q).write.mode("overwrite").parquet(s"$path/pair")
-      dimCells(q).write.mode("overwrite").parquet(s"$path/dim")
+      // the d(d+1)/2 pair-product explosion is the expensive per-row step
+      // and the bench embeddings table is single-row-group parquet = a
+      // ONE-TASK scan at any core count: spread it before the explode
+      // (the documents-scan guard — a no-op on a many-split production
+      // table). Streaming covariance applies the same spread per batch.
+      val q = quantized(graft.util.Spread.scan(spark,
+        Tables.embeddings(spark, sfDir), s"embeddings|$sfDir"))
+      // ONE tagged cell table (dim cells ride d = −1, idx = dim) — the
+      // split pair/dim layout paid a second write job + commit + read per
+      // build/serve for two tiny tables; same tagging as the streaming
+      // twin's state. Both cell families keep their exact sums.
+      pairCells(q)
+        .select(lit("p").as("kind"), col("d"), col("idx"), col("n"), col("sij"))
+        .unionByName(dimCells(q)
+          .select(lit("d").as("kind"), lit(-1).as("d"), col("dim").as("idx"),
+            lit(0L).as("n"), col("s").as("sij")))
+        .write.mode("overwrite").parquet(path)
     }
 
   private def storedPairCells(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensureMomentCells(spark, sfDir)}/pair")
+    spark.read.parquet(ensureMomentCells(spark, sfDir))
+      .where(col("kind") === "p").select("d", "idx", "n", "sij")
 
   private def storedDimCells(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensureMomentCells(spark, sfDir)}/dim")
+    spark.read.parquet(ensureMomentCells(spark, sfDir))
+      .where(col("kind") === "d")
+      .select(col("idx").cast("int").as("dim"), col("sij").as("s"))
 
   /** The upper-triangle covariance grid: exact integer moments per dim
     * pair plus the derived population covariance (one double division of

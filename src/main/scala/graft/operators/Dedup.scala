@@ -271,10 +271,24 @@ object Dedup {
 
   /** The shingle relation a route verifies against: the full corpus, or
     * (collapsed route) shingle-set representatives only.
+    *
+    * Shingles ride as their xxhash64 (guide §2.3, narrower types): the
+    * string shingle (~15–25 bytes) crossed FIVE exchanges of the PPJoin
+    * pipeline (the df aggregation, its join back, the rarity window sort,
+    * and both legs of the prefix self-join) where 8 bytes carry the same
+    * information. Everything downstream needs only equality and a total
+    * order: df counts are per-shingle-identity, the rarity order
+    * (df, sh) stays a consistent global total order under hashing (ties
+    * among equal-df shingles break differently, which can only perturb
+    * WHICH candidates the prefix filter emits — the exact verify keeps
+    * the verified output identical), and the packed-set verify already
+    * counted hash identity (same ~|A|·|B|/2⁶⁴ per-pair collision bound
+    * disclosed at [[verifyPairs]]).
     */
   private[graft] def jaccardShingleSide(spark: SparkSession, sfDir: String,
                                  overReps: Boolean): DataFrame = {
     val sh = shingleIndex(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     if (!overReps) sh
     else sh.join(
       spark.read.parquet(ensureDupGroups(spark, sfDir))
@@ -944,21 +958,12 @@ object Dedup {
     }
   }
 
-  /** Per-round lineage truncation for the CC loop. `localCheckpoint`
-    * stores blocks on executors — fast, but an executor loss on a real
-    * cluster means recompute-from-nothing mid-loop. When
-    * `spark.graft.checkpointDir` is set (shared storage on a cluster),
-    * rounds checkpoint RELIABLY there instead; the first caller wins the
-    * SparkContext-wide checkpoint dir, as that is a context-level knob.
+  /** Per-round lineage truncation for the CC loop — the shared
+    * local-or-reliable policy ([[graft.util.Checkpoints.truncate]],
+    * keyed on `spark.graft.checkpointDir`).
     */
   private def roundCheckpoint(spark: SparkSession, df: DataFrame): DataFrame =
-    spark.conf.getOption("spark.graft.checkpointDir") match {
-      case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(true)
-      case None => df.localCheckpoint(true)
-    }
+    graft.util.Checkpoints.truncate(spark, df)
 
   /** Spec observability: rounds the last CC run took to converge. */
   private[graft] val lastCcRounds =

@@ -96,12 +96,14 @@ object Graph {
       // degree union and the annotation join input), and exchange reuse
       // only covers the shuffle below the distinct — its final
       // aggregation and the basket join re-ran per branch (measured ~3×
-      // the stage cost). localCheckpoint truncates the lineage so each
-      // branch reads the checkpointed blocks (the upsertIntoIndex
-      // discipline; a cluster deployment checkpoints reliably via
-      // spark.graft.checkpointDir through the same CC roundCheckpoint
-      // pattern if executor loss during a one-shot build matters).
-      orientedEdges(copurchaseEdges(spark, sfDir).localCheckpoint(true))
+      // the stage cost). Checkpoints.truncate stores executor-local
+      // blocks by default and RELIABLE checkpoints into
+      // spark.graft.checkpointDir when set — the cluster posture where an
+      // executor loss during the one-shot build recomputes from the
+      // checkpoint instead of failing the job (CheckpointsSpec exercises
+      // the reliable path).
+      orientedEdges(graft.util.Checkpoints.truncate(spark,
+          copurchaseEdges(spark, sfDir)))
         .write.mode("overwrite").parquet(path)
     }
 

@@ -564,16 +564,28 @@ object IndexQueries {
     val p = MaterializedIndex.postings(spark, sfDir).select("term", "doc_id")
     val docDeg = p.groupBy("doc_id").agg(count(lit(1)).as("d_deg"))
     val termDeg = p.groupBy("term").agg(count(lit(1)).as("t_deg"))
-    val tRank1 = p.join(docDeg, "doc_id")
+    // annotate the edge relation with BOTH endpoint degrees ONCE and
+    // truncate lineage: the unrolled form consumed the postings scan from
+    // SIX subtrees (two degree aggregations plus one edge leg per
+    // propagation step), each re-scanning and re-joining degrees —
+    // measured 6 postings scans per execution. Off the annotated edges,
+    // each step is one broadcast-or-shuffle join of a rank table (term-/
+    // doc-count-sized) plus its aggregation; the integer mass arithmetic
+    // (floor div per edge, summed per key) is expression-identical, so
+    // the ranks are bit-for-bit the old plan's.
+    val pAnn = graft.util.Checkpoints.truncate(spark,
+      p.join(docDeg, "doc_id").join(termDeg, "term")
+        .select(col("term"), col("doc_id"), col("d_deg"), col("t_deg")))
+    val tRank1 = pAnn
       .groupBy("term")
       .agg(sum(expr("1000000 div d_deg")).as("t_rank"))
-    val dRank1 = p.join(termDeg, "term").join(tRank1, "term")
+    val dRank1 = pAnn.join(tRank1, "term")
       .groupBy("doc_id")
       .agg(sum(expr("t_rank div t_deg")).as("d_rank"))
-    val tRank2 = p.join(docDeg, "doc_id").join(dRank1, "doc_id")
+    val tRank2 = pAnn.join(dRank1, "doc_id")
       .groupBy("term")
       .agg(sum(expr("d_rank div d_deg")).as("t_rank2"))
-    p.join(termDeg, "term").join(tRank2, "term")
+    pAnn.join(tRank2, "term")
       .groupBy("doc_id")
       .agg(sum(expr("t_rank2 div t_deg")).as("rank_uu"))
       .orderBy(desc("rank_uu"), col("doc_id"))

@@ -84,10 +84,12 @@ object Indexer {
     * updated docs' old or new terms are rewritten (dynamic partition
     * overwrite); untouched letters keep their files byte-for-byte.
     *
-    * `localCheckpoint` materializes the merged result before the write so
-    * the plan no longer scans the path it is about to overwrite (Spark
-    * refuses read+overwrite of the same location in one lineage). On a
-    * real cluster, checkpoint to reliable storage instead.
+    * [[graft.util.Checkpoints.truncate]] materializes the merged result
+    * before the write so the plan no longer scans the path it is about
+    * to overwrite (Spark refuses read+overwrite of the same location in
+    * one lineage) — executor-local blocks by default, RELIABLE
+    * checkpoint when `spark.graft.checkpointDir` points at cluster
+    * storage.
     */
   def upsertIntoIndex(spark: SparkSession, indexPath: String,
                       updatedDocs: DataFrame): Unit = {
@@ -107,10 +109,10 @@ object Indexer {
       .join(affectedLetters, Seq("first_letter"), "left_semi")
       .join(docIds, Seq("doc_id"), "left_anti")
       .select("first_letter", "term", "doc_id", "tf")
-    val merged = kept.union(newPostings)
-      .repartition(letterShardKeys: _*)
-      .sortWithinPartitions("term", "doc_id")
-      .localCheckpoint(true)
+    val merged = graft.util.Checkpoints.truncate(spark,
+      kept.union(newPostings)
+        .repartition(letterShardKeys: _*)
+        .sortWithinPartitions("term", "doc_id"))
     // materialize BEFORE the overwrite — both derive from a scan of
     // indexPath, which is about to be rewritten under this lineage
     val affected = affectedLetters.collect().map(_.getString(0)).toSet
