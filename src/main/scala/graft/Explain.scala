@@ -66,9 +66,37 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // internal BUILD plans (the expensive one-shot materializations whose
+    // serve-side declared queries read back a parquet artifact): named
+    // `plan:<x>` so a round's before/after evidence can cover the builds
+    // the bench times as *_materialize entries
+    val buildPlans: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "plan:jaccard_pairs" -> ((s, d) =>
+        graft.operators.Dedup.jaccardPairsPlan(s, d, 0.8, collapse = false,
+          sorted = false)),
+      // the r18 artifact shape (two separate writes, unspread scan) —
+      // kept dumpable so a before/after pair can be produced from any
+      // tree state
+      "plan:emb_moments_pair_r18" -> ((s, d) =>
+        graft.operators.Covariance.pairCells(graft.operators.Covariance
+          .quantized(graft.sources.Tables.embeddings(s, d)))),
+      "plan:emb_moments_dim_r18" -> ((s, d) =>
+        graft.operators.Covariance.dimCells(graft.operators.Covariance
+          .quantized(graft.sources.Tables.embeddings(s, d)))),
+      "plan:emb_moments" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val q = graft.operators.Covariance.quantized(graft.util.Spread.scan(s,
+          graft.sources.Tables.embeddings(s, d), s"embeddings|$d"))
+        graft.operators.Covariance.pairCells(q)
+          .select(lit("p").as("kind"), col("d"), col("idx"), col("n"), col("sij"))
+          .unionByName(graft.operators.Covariance.dimCells(q)
+            .select(lit("d").as("kind"), lit(-1).as("d"), col("dim").as("idx"),
+              lit(0L).as("n"), col("s").as("sij")))
+      }))
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      val df = buildPlans.get(n).map(_(spark, sfDir))
+        .getOrElse(SparkEntry.queries(n)(spark, sfDir))
       if (run) {
         // collect() drives THIS df's QueryExecution (a writer would build
         // its own), so executedPlan afterwards is the final adaptive plan

@@ -8,14 +8,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * executor-local blocks — or RELIABLE `checkpoint` into
   * `spark.graft.checkpointDir` when set (shared storage on a cluster,
   * where an executor loss mid-build must recompute from the checkpoint
-  * instead of failing the job). The first caller wins the
-  * SparkContext-wide checkpoint dir, as that is a context-level knob.
+  * instead of failing the job). The checkpoint DIR is a context-level
+  * knob: the configured value wins, re-pointed only when a caller's conf
+  * names a DIFFERENT dir than the last claim (so sessions with distinct
+  * configured dirs each get their data under their own dir, and repeat
+  * callers pay no per-call context mutation).
   */
 object Checkpoints {
+  private val claimed =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def truncate(spark: SparkSession, df: DataFrame): DataFrame =
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        if (claimed.getAndSet(dir) != dir)
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(true)
       case None => df.localCheckpoint(true)

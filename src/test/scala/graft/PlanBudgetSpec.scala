@@ -95,7 +95,7 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_user_activity_window" -> 2, // ONE user exchange (both frames ride it) + order
     "q_mixture_cube"    -> 2, // Expand collapses map-side; cell agg + order
     "q_hist_percentiles" -> 4, // stats agg + bin agg + nBins-row cum window + order
-    "q_streaming_cms"   -> 0, // drained memory-table read; sort is on the drain side
+    "q_streaming_cms"   -> 1, // drained-blocks read (4 partitions) + result-sized sort exchange
     "q_ivm_packing"     -> 8, // 2×(bucket window + totals + offsets) + union agg + final
     "q_streaming_resume" -> 1, // drained memory-table read + output order
     "q_refindex_scan"   -> 1, // V2 letter-file partitions + output order
@@ -140,7 +140,7 @@ class PlanBudgetSpec extends SparkTestBase {
     "q_runtime_filter" -> 4,
     "q_agg_pushdown" -> 1, // footer-stats partials + one 1-row final agg
     "q_nested_prune" -> 2, // pruned-leaf agg + output order
-    "q_session_window" -> 0, // drained memory-table read; sort on drain side
+    "q_session_window" -> 2, // drained-blocks read: result-sized window + sort exchanges
     // round-10 additions. span scrub: shared-gram df agg + ONE doc
     // exchange (covered window + reassembly agg ride it) + order; the
     // token-stream×shared join broadcasts at test scale and is
